@@ -1,0 +1,197 @@
+"""Data module: batch-shard datasets → host prefetch → device.
+
+Native equivalent of reference ``predict_pv_yield/data/dataloader.py:38-131``
+(``NetCDFDataModule`` + ``get_dataloaders``). Same constructor surface —
+``temp_path, n_train_data, n_val_data, cloud, num_workers, pin_memory,
+data_path, fake_data, shuffle_train`` — and the same contract: the dataset
+yields *whole batches* (the reference's ``DataLoader(batch_size=None)``,
+``dataloader.py:90``).
+
+TPU-native differences:
+
+* Worker processes + pinned memory are replaced by a thread-pool prefetcher
+  over shard files plus the engine's async ``device_put`` double buffer
+  (host→HBM transfers overlap compute; SURVEY §2.6 "host data-loading
+  parallelism" row).
+* The on-disk format is ``.npz`` batch shards (see ``data/shards.py``) — one
+  file per batch like the reference's per-batch NetCDF files — with int16
+  satellite counts decoded and normalised on device by the fused XLA
+  preprocessing stage (``data/preprocess.py``), not per-worker numpy.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+from predict_pv_yield_tpu.config.dataset import load_yaml_configuration
+from predict_pv_yield_tpu.data.batch import Batch
+from predict_pv_yield_tpu.data.fake import FakeDataset
+
+_LOG = logging.getLogger(__name__)
+
+
+class PrefetchingLoader:
+    """Wrap a map-style dataset in a background-thread prefetcher.
+
+    ``num_workers`` reader threads pull indices from a shared queue and place
+    decoded batches into a bounded output queue (depth ``prefetch_factor``),
+    preserving order. Threads (not processes) suffice because shard decoding
+    is numpy/zlib — it releases the GIL — and the heavy normalisation runs on
+    device anyway.
+    """
+
+    def __init__(self, dataset, num_workers: int = 4, prefetch_factor: int = 4,
+                 shuffle: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.num_workers = max(0, num_workers)
+        self.prefetch_factor = max(1, prefetch_factor)
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def _order(self):
+        import numpy as np
+
+        indices = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(indices)
+        return indices
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = self._order()
+        self._epoch += 1
+        if self.num_workers == 0:
+            for i in indices:
+                yield self.dataset[i]
+            return
+
+        results: dict = {}
+        results_lock = threading.Condition()
+        work: queue.Queue = queue.Queue()
+        for pos, i in enumerate(indices):
+            work.put((pos, i))
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    pos, i = work.get_nowait()
+                except queue.Empty:
+                    return
+                batch = self.dataset[i]
+                with results_lock:
+                    # Bounded prefetch: don't run ahead of the consumer.
+                    while (
+                        not stop.is_set()
+                        and pos - next_pos[0] >= self.prefetch_factor + self.num_workers
+                    ):
+                        results_lock.wait(0.1)
+                    results[pos] = batch
+                    results_lock.notify_all()
+
+        next_pos = [0]
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for pos in range(len(indices)):
+                with results_lock:
+                    while pos not in results:
+                        results_lock.wait(0.1)
+                    batch = results.pop(pos)
+                    next_pos[0] = pos + 1
+                    results_lock.notify_all()
+                yield batch
+        finally:
+            stop.set()
+
+
+class NetCDFDataModule:
+    """Train/val/test loaders over prepared batch shards (or fake data).
+
+    Constructor-compatible with the reference datamodule
+    (``dataloader.py:53-91``, plus ``shuffle_train`` from
+    ``configs/datamodule/netcdf_datamodule.yaml``).
+    """
+
+    def __init__(
+        self,
+        temp_path: str = ".",
+        n_train_data: int = 24900,
+        n_val_data: int = 1000,
+        cloud: str = "local",
+        num_workers: int = 8,
+        pin_memory: bool = True,  # accepted for config parity; transfers are async device_put
+        data_path: str = "prepared_ML_training_data/v4/",
+        fake_data: bool = False,
+        shuffle_train: bool = True,
+    ):
+        self.temp_path = temp_path
+        self.data_path = data_path
+        self.cloud = cloud
+        self.n_train_data = n_train_data
+        self.n_val_data = n_val_data
+        self.num_workers = num_workers
+        self.pin_memory = pin_memory
+        self.fake_data = fake_data
+        self.shuffle_train = shuffle_train
+
+        filename = os.path.join(data_path, "configuration.yaml")
+        _LOG.debug("loading dataset configuration %s", filename)
+        self.configuration = load_yaml_configuration(filename)
+
+    def _dataset(self, n_batches: int, split: str):
+        if self.fake_data:
+            return FakeDataset(configuration=self.configuration, length=n_batches)
+        from predict_pv_yield_tpu.data.shards import ShardDataset
+
+        return ShardDataset(
+            n_batches=n_batches,
+            src_path=os.path.join(self.data_path, split),
+            configuration=self.configuration,
+        )
+
+    def _loader(self, dataset, shuffle: bool) -> PrefetchingLoader:
+        return PrefetchingLoader(
+            dataset,
+            num_workers=0 if self.fake_data else self.num_workers,
+            prefetch_factor=8,
+            shuffle=shuffle,
+        )
+
+    def train_dataloader(self) -> PrefetchingLoader:
+        return self._loader(self._dataset(self.n_train_data, "train"), self.shuffle_train)
+
+    def val_dataloader(self) -> PrefetchingLoader:
+        return self._loader(self._dataset(self.n_val_data, "test"), False)
+
+    def test_dataloader(self) -> PrefetchingLoader:
+        return self._loader(self._dataset(self.n_val_data, "test"), False)
+
+
+def get_dataloaders(
+    n_train_data: int = 24900,
+    n_validation_data: int = 900,
+    cloud: str = "gcp",
+    temp_path: str = ".",
+    data_path: str = "prepared_ML_training_data/v4/",
+) -> Tuple[PrefetchingLoader, PrefetchingLoader]:
+    """Convenience constructor (reference ``dataloader.py:18-35``)."""
+    data_module = NetCDFDataModule(
+        temp_path=temp_path,
+        data_path=data_path,
+        cloud=cloud,
+        n_train_data=n_train_data,
+        n_val_data=n_validation_data,
+    )
+    return data_module.train_dataloader(), data_module.val_dataloader()

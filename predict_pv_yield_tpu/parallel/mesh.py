@@ -1,0 +1,87 @@
+"""Device-mesh construction and sharding policy.
+
+The reference's only parallelism is PyTorch-Lightning DDP over NCCL
+(reference ``experiments/003...py:288-294``; ``sync_dist=True`` metric
+reductions at ``base_model.py:108-119``). The TPU-native equivalent
+(SURVEY §2.6) is single-controller JAX: one ``Mesh`` over all chips with a
+``data`` axis, batches sharded over it, parameters replicated, and XLA
+inserting the gradient/metric collectives over ICI (intra-slice) and DCN
+(inter-slice) automatically under ``jit``. No hand-written collectives are
+needed for data parallelism — the GSPMD partitioner derives ``psum`` from the
+sharding annotations.
+
+A ``model`` axis is provisioned for future tensor-parallel layouts (absent in
+the reference; SURVEY §2.6 rows TP/PP/SP — "not required for parity").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def build_mesh(
+    devices: Optional[Sequence] = None,
+    data_parallel: Optional[int] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """A (data, model) mesh over the given devices (default: all).
+
+    ``data_parallel`` defaults to ``len(devices) // model_parallel``. Device
+    order follows ``jax.devices()``, which is ICI-contiguous on TPU slices, so
+    the data axis rides ICI before DCN.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if data_parallel is None:
+        data_parallel = len(devices) // model_parallel
+    n = data_parallel * model_parallel
+    grid = np.asarray(devices[:n]).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None) -> Mesh:
+    """Largest data-parallel mesh whose size divides ``batch_size``.
+
+    Keeps sharding exact (no padding) for any batch size — e.g. the test
+    suite's batch-2 fake batches on an 8-device CPU mesh use 2 devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return build_mesh(devices, data_parallel=n)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (parameters, optimiser state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a Batch pytree with its leading dim sharded over ``data``.
+
+    This is the host→HBM boundary: one transfer per leaf, laid out directly
+    into each device's shard (no full-batch staging on any single device).
+    """
+    sharding = batch_sharding(mesh)
+    return jax.device_put(batch, sharding)
+
+
+def is_main_process() -> bool:
+    """Rank-zero guard for logging/IO, the JAX analog of the reference's
+    ``rank_zero_only`` wrappers (reference ``utils.py:35-46``)."""
+    return jax.process_index() == 0

@@ -1,0 +1,504 @@
+"""The training engine — a TPU-native replacement for the reference's
+PyTorch-Lightning ``Trainer`` + ``BaseModel`` step logic.
+
+Where the reference spreads training semantics across ``pl.Trainer`` and
+``BaseModel._training_or_validation_step`` (reference ``base_model.py:78-146``,
+``training.py:63-88``), this engine owns them once, for every model:
+
+* **One jitted train step** per model: forward → NMAE loss (the reference's
+  training loss, ``base_model.py:148-153``) → grads → Adam(lr=5e-4)
+  (``base_model.py:255-257``), compiled as a single XLA program with the
+  batch sharded over the mesh's ``data`` axis and parameters replicated.
+  Gradient and metric reductions become XLA collectives automatically — the
+  ``sync_dist=True`` analog (``base_model.py:108-119``) costs nothing extra.
+* **Metrics** MSE / NMAE / MSE_EXP / MAE_EXP per step and per epoch, plus
+  per-forecast-horizon MSE/MAE on validation/test (``base_model.py:121-141``;
+  the reference's key collision where MAE overwrote MSE is fixed — both are
+  emitted under distinct keys, values unchanged).
+* **Validation results** de-normalised to MW via ``gsp_capacity`` and saved
+  as per-epoch CSVs (``base_model.py:222-250``), when the model's forecast
+  cadence matches the 30-minute GSP series.
+* **Async metric collection**: device scalars are accumulated and fetched
+  once per epoch, so the dispatch pipeline never stalls on host readbacks.
+* **bf16 mixed precision** via module dtype (TPU-native: no loss scaling —
+  reference ``precision=16`` AMP, SURVEY §2.6).
+
+Trainer-config surface mirrors the reference's ``configs/trainer/*.yaml`` keys
+so those configs port verbatim; unsupported Lightning knobs are accepted and
+ignored with a debug log.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from predict_pv_yield_tpu.data.batch import Batch, as_batch
+from predict_pv_yield_tpu.losses import WeightedLosses, mse_loss, nmae_loss
+from predict_pv_yield_tpu.metrics import (
+    mae_each_forecast_horizon,
+    mse_each_forecast_horizon,
+)
+from predict_pv_yield_tpu.parallel.mesh import (
+    batch_sharding,
+    is_main_process,
+    mesh_for_batch,
+    replicated,
+)
+from predict_pv_yield_tpu.training.callbacks import Callback, ModelCheckpoint, load_state
+from predict_pv_yield_tpu.training.loggers import Logger, LoggerCollection
+from predict_pv_yield_tpu.validation import (
+    make_validation_results,
+    save_validation_results_to_logger,
+)
+
+log = logging.getLogger(__name__)
+
+
+def _as_logger_collection(logger) -> LoggerCollection:
+    if logger is None:
+        return LoggerCollection([])
+    if isinstance(logger, LoggerCollection):
+        return logger
+    if isinstance(logger, (list, tuple)):
+        return LoggerCollection(list(logger))
+    return LoggerCollection([logger])
+
+
+class _SimpleProfiler:
+    """Per-phase wall-time aggregation — parity with Lightning's
+    ``profiler='simple'`` report (reference ``configs/trainer/default.yaml:14``)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    class _Timer:
+        def __init__(self, profiler, phase):
+            self.profiler, self.phase = profiler, phase
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            dt = time.perf_counter() - self.t0
+            self.profiler.totals[self.phase] += dt
+            self.profiler.counts[self.phase] += 1
+
+    def time(self, phase: str) -> "_SimpleProfiler._Timer":
+        return self._Timer(self, phase)
+
+    def summary(self) -> str:
+        lines = ["Profiler report (phase | total s | calls | mean ms)"]
+        for phase in sorted(self.totals, key=self.totals.get, reverse=True):
+            total, count = self.totals[phase], self.counts[phase]
+            lines.append(
+                f"  {phase:<24} {total:10.3f} {count:8d} {1e3 * total / max(count, 1):10.2f}"
+            )
+        return "\n".join(lines)
+
+
+class Trainer:
+    """Generic training/validation/test engine for the model zoo."""
+
+    def __init__(
+        self,
+        min_epochs: int = 1,
+        max_epochs: int = 10,
+        callbacks: Optional[List[Callback]] = None,
+        logger=None,
+        precision: Any = 32,
+        fast_dev_run: bool = False,
+        profiler: Optional[str] = "simple",
+        resume_from_checkpoint: Optional[str] = None,
+        accumulate_grad_batches: int = 1,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        learning_rate: float = 5e-4,
+        devices: Optional[List] = None,
+        terminate_on_nan: bool = False,
+        debug_nans: bool = False,
+        prefetch_depth: int = 2,
+        **lightning_compat: Any,
+    ):
+        self.min_epochs = min_epochs
+        self.max_epochs = max_epochs
+        self.callbacks = list(callbacks or [])
+        self.logger = _as_logger_collection(logger)
+        self.precision = precision
+        self.fast_dev_run = bool(fast_dev_run)
+        self.profiler = _SimpleProfiler() if profiler else None
+        self.jax_trace = profiler == "jax"
+        self.resume_from_checkpoint = resume_from_checkpoint
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.learning_rate = learning_rate
+        self.devices = devices
+        self.terminate_on_nan = terminate_on_nan
+        self.prefetch_depth = prefetch_depth
+        if lightning_compat:
+            log.debug("ignoring Lightning-compat trainer args: %s", sorted(lightning_compat))
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        # run state
+        self.current_epoch = 0
+        self.global_step = 0
+        self.should_stop = False
+        self.sanity_checking = False
+        self.state: Optional[TrainState] = None
+        self.mesh = None
+        self.callback_metrics: Dict[str, float] = {}
+        self._model = None
+        self._datamodule = None
+        self._compiled: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def checkpoint_callback(self) -> Optional[ModelCheckpoint]:
+        for cb in self.callbacks:
+            if isinstance(cb, ModelCheckpoint):
+                return cb
+        return None
+
+    @property
+    def _bf16(self) -> bool:
+        return str(self.precision) in ("16", "bf16", "16-mixed", "bf16-mixed")
+
+    # ------------------------------------------------------------------
+    def _resolve_loaders(self, datamodule, train_loader, val_loader):
+        if datamodule is not None:
+            if train_loader is None and hasattr(datamodule, "train_dataloader"):
+                train_loader = datamodule.train_dataloader()
+            if val_loader is None and hasattr(datamodule, "val_dataloader"):
+                val_loader = datamodule.val_dataloader()
+        return train_loader, val_loader
+
+    def _prepare_model(self, model):
+        if self._bf16 and getattr(model, "dtype", None) is None:
+            try:
+                model = model.clone(dtype=jnp.bfloat16)
+            except TypeError:
+                log.debug("%s has no dtype field; running fp32", type(model).__name__)
+        return model
+
+    def _example_batch(self, loader) -> Batch:
+        if hasattr(loader, "__getitem__"):
+            return as_batch(loader[0])
+        return as_batch(next(iter(loader)))
+
+    def setup(self, model, example_batch: Batch) -> None:
+        """Build mesh, init or restore parameters, construct the optimiser."""
+        model = self._prepare_model(model)
+        self._model = model
+        example = example_batch.numeric()
+        self.mesh = mesh_for_batch(example.batch_size, self.devices)
+        self._batch_shard = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+
+        variables = jax.jit(
+            lambda: model.init(jax.random.key(0), example),
+            out_shardings=self._replicated,
+        )()
+
+        tx = optax.adam(self.learning_rate)  # reference base_model.py:255-257
+        if self.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
+        self.state = TrainState.create(apply_fn=model.apply, params=variables, tx=tx)
+
+        if self.resume_from_checkpoint:
+            self.state = load_state(self.resume_from_checkpoint, self.state)
+            log.info("resumed from %s", self.resume_from_checkpoint)
+
+        self._compiled = {
+            "train": self._build_train_step(model),
+            "eval": self._build_eval_step(model),
+        }
+
+    # ------------------------------------------------------------------
+    def _forward_and_metrics(self, model, variables, batch: Batch):
+        weighted = WeightedLosses(forecast_length=model.forecast_len)
+        y_hat = model.apply(variables, batch).astype(jnp.float32)
+        y = model.target(batch).astype(jnp.float32)
+        metrics = {
+            "MSE": mse_loss(y_hat, y),
+            "NMAE": nmae_loss(y_hat, y),
+            "MSE_EXP": weighted.get_mse_exp(y_hat, y),
+            "MAE_EXP": weighted.get_mae_exp(y_hat, y),
+        }
+        return y_hat, y, metrics
+
+    def _build_train_step(self, model):
+        def step(state: TrainState, batch: Batch):
+            def loss_fn(variables):
+                _, _, metrics = self._forward_and_metrics(model, variables, batch)
+                # The reference's training loss is NMAE (base_model.py:148-153).
+                return metrics["NMAE"], metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), metrics
+
+        return jax.jit(step, donate_argnums=0)
+
+    def _build_eval_step(self, model):
+        def step(state: TrainState, batch: Batch):
+            y_hat, y, metrics = self._forward_and_metrics(model, state.params, batch)
+            horizon_mse = mse_each_forecast_horizon(y_hat, y)
+            horizon_mae = mae_each_forecast_horizon(y_hat, y)
+            return metrics, horizon_mse, horizon_mae, y_hat
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def _iter_batches(self, loader, limit: Optional[int]):
+        """Host iterator → device iterator with transfer/compute overlap.
+
+        Keeps ``prefetch_depth`` batches in flight: ``device_put`` is async,
+        so the next batch's host→HBM copy rides under the current step's
+        compute — the double-buffering analog of the reference's
+        ``pin_memory`` + ``prefetch_factor`` DataLoader settings
+        (reference ``dataloader.py:82-91``).
+        """
+        from collections import deque
+
+        queue: deque = deque()
+        iterator: Optional[Iterable] = iter(loader)
+        count = 0
+        while True:
+            while iterator is not None and len(queue) < self.prefetch_depth:
+                try:
+                    host = as_batch(next(iterator))
+                except StopIteration:
+                    iterator = None
+                    break
+                device = jax.device_put(self._maybe_cast(host.numeric()), self._batch_shard)
+                queue.append((host, device))
+            if not queue:
+                return
+            yield queue.popleft()
+            count += 1
+            if limit is not None and count >= limit:
+                return
+            if self.fast_dev_run and count >= 1:
+                return
+
+    def _maybe_cast(self, batch: Batch) -> Batch:
+        if not self._bf16:
+            return batch
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32
+            else x,
+            batch,
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, model, datamodule=None, train_dataloaders=None, val_dataloaders=None):
+        """Full training loop (reference ``trainer.fit``, ``training.py:83``)."""
+        train_loader, val_loader = self._resolve_loaders(
+            datamodule, train_dataloaders, val_dataloaders
+        )
+        if train_loader is None:
+            raise ValueError("fit() needs a datamodule or train_dataloaders")
+        self._datamodule = datamodule
+
+        if self.state is None:
+            self.setup(model, self._example_batch(train_loader))
+        model = self._model
+
+        if self.jax_trace and is_main_process():
+            jax.profiler.start_trace("jax_trace")
+
+        for cb in self.callbacks:
+            cb.on_fit_start(self, model)
+
+        max_epochs = 1 if self.fast_dev_run else self.max_epochs
+        try:
+            for epoch in range(max_epochs):
+                self.current_epoch = epoch
+                train_metrics = self._train_epoch(train_loader)
+                for cb in self.callbacks:
+                    cb.on_train_epoch_end(self, model, train_metrics)
+
+                if val_loader is not None:
+                    val_metrics = self._eval_epoch(model, val_loader, tag="Validation")
+                    for cb in self.callbacks:
+                        cb.on_validation_epoch_end(self, model, val_metrics)
+
+                if self.terminate_on_nan and not np.isfinite(
+                    train_metrics.get("NMAE/Train_epoch", 0.0)
+                ):
+                    log.error("non-finite training loss; stopping")
+                    break
+                if self.should_stop and epoch + 1 >= self.min_epochs:
+                    break
+        finally:
+            if self.jax_trace and is_main_process():
+                jax.profiler.stop_trace()
+
+        for cb in self.callbacks:
+            cb.on_fit_end(self, model)
+        self.logger.finalize()
+        if self.profiler is not None and is_main_process():
+            log.info("%s", self.profiler.summary())
+        return self.callback_metrics
+
+    def _train_epoch(self, loader) -> Dict[str, float]:
+        step_fn = self._compiled["train"]
+        device_metrics: List[Dict] = []
+        profiler = self.profiler
+        limit = self.limit_train_batches
+        for _, device_batch in self._iter_batches(loader, limit):
+            if profiler:
+                with profiler.time("train_step"):
+                    self.state, metrics = step_fn(self.state, device_batch)
+            else:
+                self.state, metrics = step_fn(self.state, device_batch)
+            device_metrics.append(metrics)
+            self.global_step += 1
+
+        return self._flush_metrics(device_metrics, tag="Train")
+
+    def _eval_epoch(self, model, loader, tag: str) -> Dict[str, float]:
+        step_fn = self._compiled["eval"]
+        device_metrics: List[Dict] = []
+        horizon_mse_acc, horizon_mae_acc = [], []
+        results_dfs = []
+        limit = self.limit_val_batches
+
+        for batch_idx, (host_batch, device_batch) in enumerate(
+            self._iter_batches(loader, limit)
+        ):
+            if self.profiler:
+                with self.profiler.time(f"{tag.lower()}_step"):
+                    metrics, h_mse, h_mae, y_hat = step_fn(self.state, device_batch)
+            else:
+                metrics, h_mse, h_mae, y_hat = step_fn(self.state, device_batch)
+            device_metrics.append(metrics)
+            horizon_mse_acc.append(h_mse)
+            horizon_mae_acc.append(h_mae)
+
+            if tag == "Validation":
+                df = self._validation_results(model, host_batch, y_hat, batch_idx)
+                if df is not None:
+                    results_dfs.append(df)
+
+        epoch_metrics = self._flush_metrics(device_metrics, tag=tag)
+
+        # Per-horizon metrics over the first forecast_len_30 horizons
+        # (reference base_model.py:121-141; emitted under separate MSE/MAE
+        # keys — the reference's dict-key collision is fixed, values kept).
+        if horizon_mse_acc:
+            h_mse = np.mean(jax.device_get(horizon_mse_acc), axis=0)
+            h_mae = np.mean(jax.device_get(horizon_mae_acc), axis=0)
+            horizon_metrics = {}
+            for i in range(min(model.forecast_len_30, h_mse.shape[0])):
+                horizon_metrics[f"MSE_forecast_horizon_{i}/{tag}"] = float(h_mse[i])
+                horizon_metrics[f"MAE_forecast_horizon_{i}/{tag}"] = float(h_mae[i])
+            self.logger.log_metrics(horizon_metrics, self.global_step)
+            epoch_metrics.update(horizon_metrics)
+            self.callback_metrics.update(horizon_metrics)
+
+        if tag == "Validation" and results_dfs and is_main_process():
+            save_validation_results_to_logger(
+                results_dfs=results_dfs,
+                results_file_name=model.results_file_name,
+                current_epoch=self.current_epoch,
+                logger=self.logger,
+            )
+        return epoch_metrics
+
+    def _validation_results(self, model, host_batch: Batch, y_hat, batch_idx: int):
+        """Reference ``base_model.py:222-239``: de-normalise to MW via
+        gsp_capacity. Only meaningful when the model forecasts on the
+        30-minute GSP grid (for 5-minute pv targets the reference code would
+        shape-mismatch; we skip instead)."""
+        gsp = host_batch.gsp
+        if gsp.gsp_yield is None or gsp.gsp_capacity is None:
+            return None
+        forecast_len_30 = model.forecast_len_30
+        if model.forecast_len != forecast_len_30:
+            return None
+        capacity = np.asarray(gsp.gsp_capacity)[:, -forecast_len_30:, 0]
+        truths = np.asarray(gsp.gsp_yield)[:, -forecast_len_30:, 0] * capacity
+        predictions = np.asarray(jax.device_get(y_hat)) * capacity
+        t0 = (
+            np.asarray(host_batch.metadata.t0_datetime_utc)
+            if host_batch.metadata.t0_datetime_utc is not None
+            else np.zeros(truths.shape[0], dtype="int64")
+        )
+        return make_validation_results(
+            truths_mw=truths,
+            predictions_mw=predictions,
+            capacity_mwp=capacity,
+            gsp_ids=np.asarray(gsp.gsp_id)[:, 0] if gsp.gsp_id is not None else np.zeros(truths.shape[0]),
+            batch_idx=batch_idx,
+            t0_datetimes_utc=t0,
+        )
+
+    def _flush_metrics(self, device_metrics: List[Dict], tag: str) -> Dict[str, float]:
+        """One host sync per epoch: fetch accumulated device scalars, emit
+        per-step rows and the ``*_epoch`` aggregates."""
+        if not device_metrics:
+            return {}
+        host = jax.device_get(device_metrics)
+        start = self.global_step - len(host)
+        for offset, step_metrics in enumerate(host):
+            self.logger.log_metrics(
+                {f"{k}/{tag}": float(v) for k, v in step_metrics.items()},
+                max(start + offset, 0),
+            )
+        epoch_metrics = {
+            f"{k}/{tag}_epoch": float(np.mean([m[k] for m in host]))
+            for k in host[0]
+        }
+        self.logger.log_metrics(epoch_metrics, self.global_step)
+        self.callback_metrics.update(epoch_metrics)
+        return epoch_metrics
+
+    # ------------------------------------------------------------------
+    def validate(self, model=None, datamodule=None, dataloaders=None):
+        """reference ``trainer.validate`` (training.py:80-81)."""
+        _, val_loader = self._resolve_loaders(datamodule, None, dataloaders)
+        if val_loader is None and dataloaders is not None:
+            val_loader = dataloaders
+        if self.state is None:
+            self.setup(model, self._example_batch(val_loader))
+        model = self._model
+        metrics = self._eval_epoch(model, val_loader, tag="Validation")
+        for cb in self.callbacks:
+            cb.on_validation_epoch_end(self, model, metrics)
+        self.logger.finalize()
+        return metrics
+
+    def test(self, model=None, datamodule=None, dataloaders=None):
+        datamodule = datamodule or self._datamodule
+        loader = dataloaders
+        if loader is None and datamodule is not None and hasattr(datamodule, "test_dataloader"):
+            loader = datamodule.test_dataloader()
+        if loader is None:
+            raise ValueError("test() needs a datamodule or dataloaders")
+        if self.state is None:
+            self.setup(model, self._example_batch(loader))
+        model = self._model
+        return self._eval_epoch(model, loader, tag="Test")
+
+    def predict(self, model=None, dataloaders=None):
+        if self.state is None:
+            self.setup(model, self._example_batch(dataloaders))
+        step_fn = self._compiled["eval"]
+        outputs = []
+        for _, device_batch in self._iter_batches(dataloaders, None):
+            _, _, _, y_hat = step_fn(self.state, device_batch)
+            outputs.append(np.asarray(jax.device_get(y_hat)))
+        return outputs

@@ -1,0 +1,272 @@
+"""Experiment loggers.
+
+The reference selects among six Lightning logger backends by config group
+(``configs/logger/*``: csv, tensorboard, wandb, neptune, mlflow, comet —
+SURVEY §5.5). Here the same config surface maps onto a small first-party
+logger API; CSV and JSONL are always available, TensorBoard uses a
+first-party tfevents writer (no TF dependency), and the third-party SaaS
+backends degrade to warn-once no-ops when their client libraries are absent
+(this image has none of them).
+
+All loggers are rank-zero-only: under multi-host, non-zero processes get
+no-op writers (reference analog: ``utils.py:35-46``).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional
+
+from predict_pv_yield_tpu.parallel.mesh import is_main_process
+
+log = logging.getLogger(__name__)
+
+
+class Logger:
+    """Base experiment logger."""
+
+    def __init__(self, save_dir: str = ".", name: str = "default", version=None, prefix: str = ""):
+        self.save_dir = save_dir
+        self._name = name
+        self.version = version if version is not None else self._next_version()
+        self.prefix = prefix
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.save_dir, self._name, f"version_{self.version}")
+
+    def _next_version(self) -> int:
+        root = os.path.join(self.save_dir, self._name)
+        if not os.path.isdir(root):
+            return 0
+        versions = [
+            int(d.split("_", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("version_") and d.split("_", 1)[1].isdigit()
+        ]
+        return max(versions) + 1 if versions else 0
+
+    # -- API -------------------------------------------------------------
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        pass
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        pass
+
+    def log_artifact(self, path: str, name: Optional[str] = None) -> None:
+        pass
+
+    def finalize(self, status: str = "success") -> None:
+        pass
+
+
+class CSVLogger(Logger):
+    """``metrics.csv`` + ``hparams.json`` under ``save_dir/name/version_N``
+    (layout-compatible with Lightning's CSVLogger, reference
+    ``configs/logger/csv.yaml``)."""
+
+    def __init__(self, save_dir: str = ".", name: str = "csv/", version=None, prefix: str = ""):
+        super().__init__(save_dir, name, version, prefix)
+        self._rows: List[Dict[str, Any]] = []
+        self._keys: List[str] = []
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if not is_main_process():
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, "hparams.json"), "w") as fh:
+            json.dump(params, fh, indent=2, default=str)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if not is_main_process():
+            return
+        row = {"step": step, **{self.prefix + k: v for k, v in metrics.items()}}
+        self._rows.append(row)
+        for key in row:
+            if key not in self._keys:
+                self._keys.append(key)
+
+    def save(self) -> None:
+        if not self._rows or not is_main_process():
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, "metrics.csv"), "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=self._keys)
+            writer.writeheader()
+            writer.writerows(self._rows)
+
+    def log_artifact(self, path: str, name: Optional[str] = None) -> None:
+        if not is_main_process():
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        if os.path.abspath(os.path.dirname(path)) != os.path.abspath(self.log_dir):
+            shutil.copy(path, os.path.join(self.log_dir, name or os.path.basename(path)))
+
+    def finalize(self, status: str = "success") -> None:
+        self.save()
+
+
+class JSONLLogger(Logger):
+    """Newline-delimited JSON metrics stream (append-only, crash-safe)."""
+
+    def __init__(self, save_dir: str = ".", name: str = "jsonl/", version=None, prefix: str = ""):
+        super().__init__(save_dir, name, version, prefix)
+        self._fh = None
+
+    def _ensure(self):
+        if self._fh is None:
+            os.makedirs(self.log_dir, exist_ok=True)
+            self._fh = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        return self._fh
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if not is_main_process():
+            return
+        fh = self._ensure()
+        fh.write(json.dumps({"hparams": params, "time": time.time()}, default=str) + "\n")
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if not is_main_process():
+            return
+        fh = self._ensure()
+        fh.write(json.dumps({"step": step, **metrics}) + "\n")
+
+    def finalize(self, status: str = "success") -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+class TensorBoardLogger(Logger):
+    """Scalar logging in native tfevents format (first-party writer, see
+    ``training/tfevents.py``) — reference ``configs/logger/tensorboard.yaml``."""
+
+    def __init__(self, save_dir: str = ".", name: str = "tensorboard/", version=None, prefix: str = ""):
+        super().__init__(save_dir, name, version, prefix)
+        self._writer = None
+
+    def _ensure(self):
+        if self._writer is None:
+            from predict_pv_yield_tpu.training.tfevents import TFEventWriter
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            self._writer = TFEventWriter(self.log_dir)
+        return self._writer
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if not is_main_process():
+            return
+        self._ensure().add_text("hparams", json.dumps(params, indent=2, default=str), 0)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if not is_main_process():
+            return
+        writer = self._ensure()
+        for key, value in metrics.items():
+            writer.add_scalar(self.prefix + key, float(value), step)
+
+    def finalize(self, status: str = "success") -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
+
+class _OptionalBackendLogger(Logger):
+    """Shared shell for SaaS backends (wandb/neptune/mlflow/comet): if the
+    client library is importable it is used, otherwise the logger warns once
+    and becomes a JSONL logger so no experiment data is lost."""
+
+    backend = "none"
+
+    def __init__(self, save_dir: str = ".", **kwargs):
+        super().__init__(save_dir, name=f"{self.backend}/", version=kwargs.pop("version", None))
+        self.kwargs = kwargs
+        self._fallback = None
+        self._client = self._connect()
+        if self._client is None:
+            log.warning(
+                "%s client library not available; falling back to local JSONL logs",
+                self.backend,
+            )
+            self._fallback = JSONLLogger(save_dir=save_dir, name=f"{self.backend}/")
+
+    def _connect(self):
+        return None
+
+    def log_hyperparams(self, params):
+        if self._fallback:
+            self._fallback.log_hyperparams(params)
+
+    def log_metrics(self, metrics, step):
+        if self._fallback:
+            self._fallback.log_metrics(metrics, step)
+
+    def log_artifact(self, path, name=None):
+        if self._fallback:
+            self._fallback.log_artifact(path, name)
+
+    def finalize(self, status="success"):
+        if self._fallback:
+            self._fallback.finalize(status)
+
+
+class WandbLogger(_OptionalBackendLogger):
+    backend = "wandb"
+
+    def _connect(self):
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            return None
+        run = wandb.init(project=self.kwargs.get("project"), reinit=True)
+        self.log_metrics = lambda m, s: run.log(m, step=s)  # type: ignore
+        self.log_hyperparams = lambda p: run.config.update(p, allow_val_change=True)  # type: ignore
+        self.finalize = lambda status="success": run.finish()  # type: ignore
+        return run
+
+
+class NeptuneLogger(_OptionalBackendLogger):
+    backend = "neptune"
+
+
+class MLFlowLogger(_OptionalBackendLogger):
+    backend = "mlflow"
+
+
+class CometLogger(_OptionalBackendLogger):
+    backend = "comet"
+
+
+class LoggerCollection:
+    """Fan out to several loggers (reference ``many_loggers.yaml``)."""
+
+    def __init__(self, loggers: List[Logger]):
+        self.loggers = list(loggers)
+
+    def __iter__(self):
+        return iter(self.loggers)
+
+    def log_hyperparams(self, params):
+        for lg in self.loggers:
+            lg.log_hyperparams(params)
+
+    def log_metrics(self, metrics, step):
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def log_artifact(self, path, name=None):
+        for lg in self.loggers:
+            lg.log_artifact(path, name)
+
+    def finalize(self, status="success"):
+        for lg in self.loggers:
+            lg.finalize(status)

@@ -1,0 +1,31 @@
+"""Batch-shard round-trip + map-style dataset semantics."""
+
+import numpy as np
+import pytest
+
+from predict_pv_yield_tpu.data.fake import FakeDataset
+from predict_pv_yield_tpu.data.shards import ShardDataset, read_shard, write_shard
+
+
+def test_shard_roundtrip(configuration, tmp_path):
+    batch = FakeDataset(configuration=configuration)[0]
+    path = write_shard(str(tmp_path), 0, batch)
+    restored = read_shard(path)
+    np.testing.assert_array_equal(batch.satellite.data, restored.satellite.data)
+    np.testing.assert_array_equal(batch.gsp.gsp_datetime_index, restored.gsp.gsp_datetime_index)
+    np.testing.assert_array_equal(
+        batch.metadata.t0_datetime_utc, restored.metadata.t0_datetime_utc
+    )
+
+
+def test_shard_dataset(configuration, tmp_path):
+    ds_fake = FakeDataset(configuration=configuration, length=3)
+    for i in range(3):
+        write_shard(str(tmp_path), i, ds_fake[i])
+
+    ds = ShardDataset(n_batches=3, src_path=str(tmp_path), configuration=configuration)
+    assert len(ds) == 3
+    batch = ds[1]
+    np.testing.assert_array_equal(batch.pv.pv_yield, ds_fake[1].pv.pv_yield)
+    with pytest.raises(IndexError):
+        ds[3]
