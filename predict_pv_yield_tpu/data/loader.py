@@ -148,7 +148,18 @@ class NetCDFDataModule:
 
         filename = os.path.join(data_path, "configuration.yaml")
         _LOG.debug("loading dataset configuration %s", filename)
-        self.configuration = load_yaml_configuration(filename)
+        if os.path.exists(filename):
+            self.configuration = load_yaml_configuration(filename)
+        elif fake_data:
+            # Fake runs don't need a real dataset on disk; fall back to the
+            # default Configuration (the reference would require the file).
+            from predict_pv_yield_tpu.config.dataset import Configuration
+
+            _LOG.warning("%s not found; using default Configuration for fake data", filename)
+            self.configuration = Configuration()
+            self.configuration.input_data = self.configuration.input_data.set_all_to_defaults()
+        else:
+            raise FileNotFoundError(filename)
 
     def _dataset(self, n_batches: int, split: str):
         if self.fake_data:

@@ -128,8 +128,10 @@ class Trainer:
         terminate_on_nan: bool = False,
         debug_nans: bool = False,
         prefetch_depth: int = 2,
+        seed: int = 0,
         **lightning_compat: Any,
     ):
+        self.seed = seed
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -207,9 +209,17 @@ class Trainer:
         self._replicated = replicated(self.mesh)
 
         variables = jax.jit(
-            lambda: model.init(jax.random.key(0), example),
+            lambda: model.init(jax.random.key(self.seed), example),
             out_shardings=self._replicated,
         )()
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
+        self.logger.log_hyperparams(
+            {
+                "model/params_total": n_params,
+                "model/params_trainable": n_params,
+                "model/params_not_trainable": 0,
+            }
+        )
 
         tx = optax.adam(self.learning_rate)  # reference base_model.py:255-257
         if self.accumulate_grad_batches > 1:
@@ -472,6 +482,8 @@ class Trainer:
         _, val_loader = self._resolve_loaders(datamodule, None, dataloaders)
         if val_loader is None and dataloaders is not None:
             val_loader = dataloaders
+        if datamodule is not None:
+            self._datamodule = datamodule
         if self.state is None:
             self.setup(model, self._example_batch(val_loader))
         model = self._model

@@ -1,0 +1,95 @@
+"""CLI entrypoint.
+
+Native equivalent of reference ``run.py:16-43``:
+
+    python run.py experiment=example_simple
+    python run.py experiment=conv3d trainer.max_epochs=3 logger=csv
+    python run.py -m hparams_search=conv3d_optuna experiment=conv3d_sat_nwp
+
+Overrides use the same hydra syntax the reference documents; ``-m`` enables
+multirun (hyperparameter sweep). A ``.env`` file in the working directory is
+loaded into the environment first (the reference's dotenv behaviour,
+``run.py:13``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader (python-dotenv is not in this image)."""
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            os.environ[key.strip()] = value.strip().strip("'\"")
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
+    load_dotenv()
+
+    multirun = False
+    overrides = []
+    for arg in argv:
+        if arg in ("-m", "--multirun"):
+            multirun = True
+        else:
+            overrides.append(arg)
+
+    from predict_pv_yield_tpu.config.composer import compose
+    from predict_pv_yield_tpu.training.pipeline import train
+    from predict_pv_yield_tpu.utils import extras, print_config
+
+    config = compose("config", overrides)
+
+    # hydra-style run directory: compose resolved ${now:...} already
+    run_dir = (config.get("hydra") or {}).get("run", {}).get("dir")
+    if run_dir:
+        # Relative data paths are relative to the *launch* directory (the
+        # hydra to_absolute_path idiom); pin them before changing directory —
+        # both in the composed config and in the raw overrides (sweep trials
+        # re-compose from the overrides after the chdir).
+        datamodule = config.get("datamodule") or {}
+        for key in ("data_path", "temp_path"):
+            value = datamodule.get(key)
+            if value and "://" not in value and not os.path.isabs(value):
+                datamodule[key] = os.path.abspath(value)
+        for i, override in enumerate(overrides):
+            for key in ("datamodule.data_path=", "datamodule.temp_path="):
+                if override.startswith(key):
+                    value = override[len(key):]
+                    if value and "://" not in value and not os.path.isabs(value):
+                        overrides[i] = key + os.path.abspath(value)
+        os.makedirs(run_dir, exist_ok=True)
+        os.chdir(run_dir)
+
+    extras(config)
+    if config.get("print_config"):
+        print_config(config)
+
+    if multirun and config.get("sweep"):
+        from predict_pv_yield_tpu.sweep import run_sweep
+
+        def compose_fn(overrides):
+            return compose("config", overrides)
+
+        best_value, best_params, _ = run_sweep(compose_fn, overrides, config)
+        print(f"sweep best value: {best_value} with {best_params}")
+        return
+
+    result = train(config)
+    if result is not None:
+        print(f"{config.get('optimized_metric')}: {result}")
+
+
+if __name__ == "__main__":
+    main()
