@@ -1,0 +1,230 @@
+"""Perceiver encoder in flax.
+
+Native equivalent of the external ``perceiver_pytorch.Perceiver`` as consumed
+by the reference (reference ``models/perceiver/perceiver.py:70-80``:
+``input_channels, input_axis=2, num_freq_bands=6, max_freq=10, depth,
+num_latents, latent_dim, num_classes, weight_tie_layers=True``), matching
+that library's architecture and defaults:
+
+* Fourier position encoding: per axis, positions in [-1, 1], ``num_freq_bands``
+  linearly spaced frequencies up to ``max_freq/2``, sin+cos+raw → 2·bands+1
+  channels per axis, concatenated to the data channels;
+* per depth: cross-attention (1 head, 64-dim) from latents to the flattened
+  input, GEGLU feed-forward, then one latent self-attention block (8 heads,
+  64-dim) + feed-forward, all pre-norm with residuals;
+* head: mean over latents → LayerNorm → Dense(num_classes).
+
+TPU-first design: with ``weight_tie_layers=True`` (the only mode the
+reference uses) the depth loop is an ``nn.scan`` with broadcast parameters —
+the compiled program contains ONE block regardless of depth, so compile time
+and code size are O(1) in depth (the reference's depth equals the sequence
+length, up to 31). Attention is einsum-based and runs on the MXU in the
+module dtype (bf16 under mixed precision).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def fourier_encode(shape: Tuple[int, ...], num_freq_bands: int, max_freq: float) -> np.ndarray:
+    """Position features for a spatial grid, shape (*shape, n_axes*(2*bands+1)).
+
+    Computed once at trace time (static shapes) — ends up a constant folded
+    into the XLA program.
+    """
+    axes = [np.linspace(-1.0, 1.0, size, dtype=np.float32) for size in shape]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)  # (*shape, n_axes)
+    scales = np.linspace(1.0, max_freq / 2.0, num_freq_bands, dtype=np.float32)
+    scaled = grid[..., None] * scales * math.pi  # (*shape, n_axes, bands)
+    features = np.concatenate(
+        [np.sin(scaled), np.cos(scaled), grid[..., None]], axis=-1
+    )  # (*shape, n_axes, 2*bands+1)
+    return features.reshape(*shape, -1)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        projected = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="in")(x)
+        value, gate = jnp.split(projected, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(value * nn.gelu(gate))
+
+
+class Attention(nn.Module):
+    """Multi-head attention; cross-attention when ``context`` is given."""
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        def split_heads(t):
+            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scale = 1.0 / math.sqrt(self.dim_head)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(*out.shape[:-2], inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class PerceiverBlock(nn.Module):
+    """One depth step: cross-attn + FF + latent self-attn + FF (pre-norm)."""
+
+    latent_dim: int
+    cross_heads: int = 1
+    latent_heads: int = 8
+    cross_dim_head: int = 64
+    latent_dim_head: int = 64
+    self_per_cross_attn: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+        x = latents
+        normed = nn.LayerNorm(dtype=self.dtype, name="cross_norm")(x)
+        data_normed = nn.LayerNorm(dtype=self.dtype, name="cross_context_norm")(data)
+        x = x + Attention(
+            query_dim=self.latent_dim,
+            heads=self.cross_heads,
+            dim_head=self.cross_dim_head,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(normed, data_normed)
+        x = x + GEGLUFeedForward(self.latent_dim, dtype=self.dtype, name="cross_ff")(
+            nn.LayerNorm(dtype=self.dtype, name="cross_ff_norm")(x)
+        )
+        for i in range(self.self_per_cross_attn):
+            x = x + Attention(
+                query_dim=self.latent_dim,
+                heads=self.latent_heads,
+                dim_head=self.latent_dim_head,
+                dtype=self.dtype,
+                name=f"self_attn{i}",
+            )(nn.LayerNorm(dtype=self.dtype, name=f"self_norm{i}")(x))
+            x = x + GEGLUFeedForward(self.latent_dim, dtype=self.dtype, name=f"self_ff{i}")(
+                nn.LayerNorm(dtype=self.dtype, name=f"self_ff_norm{i}")(x)
+            )
+        return x
+
+
+class Perceiver(nn.Module):
+    """The full encoder: image(s) → class/feature vector."""
+
+    input_channels: int
+    input_axis: int = 2
+    num_freq_bands: int = 6
+    max_freq: float = 10.0
+    depth: int = 6
+    num_latents: int = 512
+    latent_dim: int = 512
+    num_classes: int = 1000
+    weight_tie_layers: bool = False
+    cross_heads: int = 1
+    latent_heads: int = 8
+    cross_dim_head: int = 64
+    latent_dim_head: int = 64
+    self_per_cross_attn: int = 1
+    fourier_encode_data: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
+        # data: (B, *spatial, C) with len(spatial) == input_axis
+        batch = data.shape[0]
+        spatial = data.shape[1 : 1 + self.input_axis]
+
+        if self.fourier_encode_data:
+            pos = fourier_encode(tuple(spatial), self.num_freq_bands, self.max_freq)
+            pos = jnp.broadcast_to(
+                jnp.asarray(pos, dtype=data.dtype), (batch, *pos.shape)
+            )
+            data = jnp.concatenate([data, pos], axis=-1)
+
+        data = data.reshape(batch, -1, data.shape[-1])  # flatten spatial -> N tokens
+
+        latents = self.param(
+            "latents",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (self.num_latents, self.latent_dim),
+        )
+        x = jnp.broadcast_to(latents, (batch, *latents.shape)).astype(
+            self.dtype or jnp.float32
+        )
+
+        block_kwargs = dict(
+            latent_dim=self.latent_dim,
+            cross_heads=self.cross_heads,
+            latent_heads=self.latent_heads,
+            cross_dim_head=self.cross_dim_head,
+            latent_dim_head=self.latent_dim_head,
+            self_per_cross_attn=self.self_per_cross_attn,
+            dtype=self.dtype,
+        )
+        if self.weight_tie_layers:
+            # One block scanned over depth with broadcast (shared) params:
+            # O(1) program size however deep the encoder is.
+            ScannedBlock = nn.scan(
+                _ScanBlock,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,
+                length=self.depth,
+            )
+            x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
+        else:
+            for i in range(self.depth):
+                x = PerceiverBlock(name=f"block{i}", **block_kwargs)(x, data)
+
+        x = jnp.mean(x, axis=1)
+        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="to_logits")(x)
+
+
+class _ScanBlock(nn.Module):
+    """PerceiverBlock under the (carry, broadcast-input) calling convention
+    ``nn.scan`` expects."""
+
+    latent_dim: int
+    cross_heads: int = 1
+    latent_heads: int = 8
+    cross_dim_head: int = 64
+    latent_dim_head: int = 64
+    self_per_cross_attn: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, latents, data):
+        out = PerceiverBlock(
+            latent_dim=self.latent_dim,
+            cross_heads=self.cross_heads,
+            latent_heads=self.latent_heads,
+            cross_dim_head=self.cross_dim_head,
+            latent_dim_head=self.latent_dim_head,
+            self_per_cross_attn=self.self_per_cross_attn,
+            dtype=self.dtype,
+            name="inner",
+        )(latents, data)
+        return out, None

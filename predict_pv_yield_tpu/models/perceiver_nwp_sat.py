@@ -1,0 +1,131 @@
+"""perceiver_nwp_sat — NWP concatenated as extra Perceiver input channels.
+
+Native equivalent of reference ``models/perceiver/perceiver_nwp_sat.py:41-204``:
+same skeleton as ``perceiver.py`` but the time-padded NWP grids join the
+satellite frames as channels before the Perceiver (sat and NWP must share
+H×W — asserted, reference ``:140-141``), and the RNN input is the Perceiver
+features only (``:180-185``).
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from predict_pv_yield_tpu.consts import N_PERCEIVER_EMBEDDING_IDS
+from predict_pv_yield_tpu.data.batch import as_batch
+from predict_pv_yield_tpu.models.base import BaseModel
+from predict_pv_yield_tpu.models.layers import StackedGRU
+from predict_pv_yield_tpu.models.perceiver import (
+    FC_OUTPUT_SIZE,
+    PERCEIVER_OUTPUT_SIZE,
+    RNN_HIDDEN_SIZE,
+    params,
+)
+from predict_pv_yield_tpu.models.perceiver_core import Perceiver
+
+
+class Model(BaseModel):
+    model_name: ClassVar[str] = "perceiver_nwp_sat"
+
+    history_minutes: int = params["history_minutes"]
+    forecast_minutes: int = params["forecast_minutes"]
+    nwp_channels: Sequence[str] = params["nwp_channels"]
+    batch_size: int = 32
+    num_latents: int = 128
+    latent_dim: int = 64
+    embedding_dem: int = 16
+    output_variable: str = "pv_yield"
+
+    @property
+    def total_seq_length(self) -> int:
+        return self.history_minutes // 5 + self.forecast_minutes // 5 + 1
+
+    @nn.compact
+    def __call__(self, x) -> jnp.ndarray:
+        x = as_batch(x)
+
+        sat_data = x.satellite.data[0 : self.batch_size].astype(jnp.float32)
+        batch_size, n_chans, seq_len, width, height = sat_data.shape
+        sat_data = jnp.transpose(sat_data, (0, 2, 3, 4, 1))
+        new_batch_size = batch_size * seq_len
+        sat_data = sat_data.reshape(new_batch_size, width, height, n_chans)
+
+        # NWP: time-pad to the satellite length, fold time into batch, concat
+        # as channels (reference :127-143).
+        nwp_data = x.nwp.data[0 : self.batch_size].astype(jnp.float32)
+        nwp_data = jnp.transpose(nwp_data, (0, 2, 3, 4, 1))  # (B, Tn, H, W, C)
+        nwp_seq_len, nwp_width, nwp_height, n_nwp_chans = nwp_data.shape[1:]
+        nwp_data = jnp.pad(
+            nwp_data, [(0, 0), (0, seq_len - nwp_seq_len), (0, 0), (0, 0), (0, 0)]
+        )
+        nwp_data = nwp_data.reshape(new_batch_size, nwp_width, nwp_height, n_nwp_chans)
+
+        assert nwp_width == width, f"widths should be the same ({nwp_width},{width})"
+        assert nwp_height == height, f"heights should be the same ({nwp_height},{height})"
+
+        data = jnp.concatenate([sat_data, nwp_data], axis=-1)
+
+        out = Perceiver(
+            input_channels=n_chans + n_nwp_chans,
+            input_axis=2,
+            num_freq_bands=6,
+            max_freq=10.0,
+            depth=self.total_seq_length,
+            num_latents=self.num_latents,
+            latent_dim=self.latent_dim,
+            num_classes=PERCEIVER_OUTPUT_SIZE,
+            weight_tie_layers=True,
+            dtype=self.dtype,
+            name="perceiver",
+        )(data)
+
+        out = out.reshape(new_batch_size, PERCEIVER_OUTPUT_SIZE)
+        out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
+
+        if self.embedding_dem:
+            ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
+            ids = jnp.repeat(ids.astype(jnp.int32), self.total_seq_length)
+            embedding = nn.Embed(
+                num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
+                features=self.embedding_dem,
+                name="pv_system_id_embedding",
+            )(ids)
+            out = jnp.concatenate([out, embedding.astype(out.dtype)], axis=1)
+
+        out = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2")(out))
+        out = nn.relu(nn.Dense(64, dtype=self.dtype, name="fc3")(out))
+        out = nn.relu(nn.Dense(32, dtype=self.dtype, name="fc4")(out))
+        out = nn.relu(nn.Dense(FC_OUTPUT_SIZE, dtype=self.dtype, name="fc5")(out))
+
+        rnn_input = out.reshape(batch_size, self.total_seq_length, FC_OUTPUT_SIZE)
+
+        if self.output_variable == "pv_yield":
+            yield_history = x.pv.pv_yield[0 : self.batch_size][
+                :, : self.history_len_5 + 1, 0
+            ][..., None].astype(out.dtype)
+            encoder_input = jnp.concatenate(
+                [rnn_input[:, : self.history_len_5 + 1], yield_history], axis=2
+            )
+        else:
+            yield_history = x.gsp.gsp_yield[0 : self.batch_size][
+                :, : self.history_len_30 + 1, 0
+            ][..., None].astype(out.dtype)
+            encoder_input = jnp.concatenate(
+                [rnn_input[:, : self.history_len_30 + 1], yield_history], axis=2
+            )
+
+        _, encoder_hidden = StackedGRU(
+            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="encoder_rnn"
+        )(encoder_input)
+        decoder_output, _ = StackedGRU(
+            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="decoder_rnn"
+        )(rnn_input[:, -self.forecast_len :], initial_carry=encoder_hidden)
+
+        decoder_output = nn.relu(
+            nn.Dense(8, dtype=self.dtype, name="decoder_fc1")(decoder_output)
+        )
+        decoder_output = nn.Dense(1, dtype=self.dtype, name="decoder_fc2")(decoder_output)
+        return decoder_output.squeeze(-1)

@@ -1,0 +1,29 @@
+"""perceiver_nwp_sat tests — mirrors reference
+``tests/models/perceiver/test_perceiver_sat_nwp.py`` (sat and NWP share H×W)."""
+
+import jax
+
+from predict_pv_yield_tpu.data.fake import FakeDataset
+from predict_pv_yield_tpu.models.perceiver import params
+from predict_pv_yield_tpu.models.perceiver_nwp_sat import Model
+
+
+def test_model_forward(configuration_perceiver):
+    dataset_configuration = configuration_perceiver
+    dataset_configuration.input_data.default_forecast_minutes = 60
+
+    model = Model(
+        history_minutes=30,
+        forecast_minutes=60,
+        nwp_channels=params["nwp_channels"],
+        embedding_dem=16,
+        num_latents=8,
+        latent_dim=16,
+    )
+    batch = FakeDataset(configuration=dataset_configuration)[0].numeric()
+    variables = model.init(jax.random.key(0), batch)
+    y = model.apply(variables, batch)
+
+    assert len(y.shape) == 2
+    assert y.shape[0] == dataset_configuration.process.batch_size
+    assert y.shape[1] == 60 // 5
