@@ -1,0 +1,91 @@
+"""Flow-based image warping and the triangular prediction matrix.
+
+Native equivalents of the reference's ``remap_image`` (cv.remap with
+INTER_LINEAR + constant-NaN border; notebook 13 cell 9) and
+``compute_optical_flow_predictions`` (n source images → n−1 flows →
+n(n−1)/2 warped future frames indexed by (T0, forecast step); cell 9).
+
+Semantics of ``remap_image`` match the notebook exactly:
+``dst(y, x) = src(y − flow_y(y, x), x − flow_x(y, x))`` with bilinear
+interpolation, and NaN wherever a sample would read outside the image —
+warping the image *forwards* in time by the flow field.
+
+The triangular loop becomes a dense (T0, step) grid computed in one vmapped
+launch: static shapes (XLA requirement), with entries beyond each T0's valid
+horizon simply never consumed downstream (the sampler indexes the triangle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def remap_image(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``image`` (H, W) forward by ``flow`` (H, W, 2) in (dx, dy) order.
+
+    Out-of-bounds samples become NaN (the notebook's BORDER_CONSTANT=NaN),
+    so downstream crop sampling can reject smeared borders.
+    """
+    height, width = image.shape
+    grid_y, grid_x = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    sample_y = grid_y - flow[..., 1]
+    sample_x = grid_x - flow[..., 0]
+
+    in_bounds = (
+        (sample_y >= 0.0)
+        & (sample_y <= height - 1.0)
+        & (sample_x >= 0.0)
+        & (sample_x <= width - 1.0)
+    )
+
+    ys = jnp.clip(sample_y, 0.0, height - 1.0)
+    xs = jnp.clip(sample_x, 0.0, width - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, height - 1)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+    wy = ys - y0
+    wx = xs - x0
+    top = image[y0, x0] * (1 - wx) + image[y0, x1] * wx
+    bottom = image[y1, x0] * (1 - wx) + image[y1, x1] * wx
+    warped = top * (1 - wy) + bottom * wy
+    return jnp.where(in_bounds, warped, jnp.nan)
+
+
+@jax.jit
+def flow_predictions(sat_data: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
+    """The prediction matrix.
+
+    Args:
+        sat_data: (T, H, W) normalised satellite frames.
+        flows: (T-1, H, W, 2) flow between consecutive frames.
+
+    Returns:
+        (T-1, T-1, H, W) array: ``out[i, s]`` is frame i warped forward by
+        ``flows[i] * (s+1)`` — the prediction for timestep ``i + s + 1``.
+        Entries with ``i + s + 1 >= T`` extrapolate past the sequence end
+        (valid images, just without ground truth); consumers index the
+        triangle ``s < T - 1 - i``.
+    """
+    num_flows = flows.shape[0]
+    steps = jnp.arange(1, num_flows + 1, dtype=jnp.float32)
+
+    def predictions_for_source(source, flow):
+        return jax.vmap(lambda s: remap_image(source, flow * s))(steps)
+
+    return jax.vmap(predictions_for_source)(sat_data[:-1], flows)
+
+
+def prediction_valid_mask(num_source_timesteps: int) -> jnp.ndarray:
+    """(T-1, T-1) bool: which (source i, step s) pairs have ground truth."""
+    num_flows = num_source_timesteps - 1
+    i = jnp.arange(num_flows)[:, None]
+    s = jnp.arange(num_flows)[None, :]
+    return i + s + 1 < num_source_timesteps

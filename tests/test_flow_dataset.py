@@ -1,0 +1,149 @@
+"""Super-batch pipeline + flow-forecaster tests (notebook 13 workload)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from predict_pv_yield_tpu.data.flow_dataset import (
+    FlowInMemDataset,
+    ImageHasNansError,
+    SatelliteFlowLoader,
+    compute_valid_start_times,
+    convert_10bpp_to_uint8,
+    normalise_forecast_horizon,
+    sample_squares,
+    super_batch_to_example,
+)
+from predict_pv_yield_tpu.models.flow_forecaster import (
+    FORECAST_HORIZON,
+    HISTORICAL_SAT_IMAGES,
+    OPTICAL_FLOW_PREDICTIONS,
+    TARGET_SAT_IMAGE,
+    FlowForecaster,
+)
+
+
+def _fake_archive(n_days=3, frames_per_day=24 * 12, size=160, seed=0):
+    """int16 archive of smooth drifting clouds, 5-minute cadence."""
+    rng = np.random.default_rng(seed)
+    n = n_days * frames_per_day
+    datetimes = np.datetime64("2019-05-28T00:00") + np.arange(n) * np.timedelta64(5, "m")
+    coarse = rng.integers(0, 900, size=(8, size // 16, size // 16)).astype(np.float32)
+    frames = np.empty((n, size, size), dtype=np.int16)
+    for i in range(n):
+        base = coarse[i % 8]
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(base), (size, size), "bilinear")
+        )
+        frames[i] = np.roll(img.astype(np.int16), shift=i % 7, axis=1)
+    return frames, datetimes
+
+
+@pytest.fixture(scope="module")
+def archive():
+    return _fake_archive()
+
+
+def test_valid_start_times(archive):
+    frames, datetimes = archive
+    valid = compute_valid_start_times(
+        datetimes,
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2019-05-29"), np.datetime64("2019-05-30")),
+    )
+    assert len(valid["training"]) > 0
+    assert len(valid["testing"]) > 0
+    # daytime window: hours 10..11 (16 - 4 forecast hours)
+    hours = valid["training"].astype("datetime64[h]").astype(np.int64) % 24
+    assert hours.min() >= 10
+    assert hours.max() <= 11
+    # no overlap between splits
+    assert not set(valid["training"]) & set(valid["testing"])
+
+
+def test_convert_10bpp():
+    arr = np.array([[-1, 0, 511, 1023]], dtype=np.float32)
+    arr[0, 0] = np.nan
+    out = convert_10bpp_to_uint8(arr)
+    assert out.dtype == np.uint8
+    assert list(out[0]) == [0, 0, 128, 255]
+
+
+def test_horizon_normalisation():
+    # mean horizon normalises to ~0
+    mid = normalise_forecast_horizon(12 * 300)
+    assert abs(mid) < 0.1
+
+
+def test_super_batch_and_example(archive):
+    frames, datetimes = archive
+    loader = SatelliteFlowLoader(
+        data=frames,
+        datetimes=datetimes,
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2019-05-29"), np.datetime64("2019-05-30")),
+    )
+    super_batch = loader.load_super_batch("training")
+    assert super_batch.sat_images.shape == (49, 160, 160)
+    assert super_batch.flows.shape == (48, 160, 160, 2)
+    assert super_batch.predictions.shape == (48, 48, 160, 160)
+
+    rng = np.random.default_rng(0)
+    example = super_batch_to_example(super_batch, rng=rng)
+    assert example[TARGET_SAT_IMAGE].shape == (64, 64)
+    assert example[HISTORICAL_SAT_IMAGES].shape == (4, 128, 128)
+    assert example[OPTICAL_FLOW_PREDICTIONS].shape == (128, 128)
+    assert not np.isnan(example[HISTORICAL_SAT_IMAGES]).any()
+    assert not np.isnan(example[OPTICAL_FLOW_PREDICTIONS]).any()
+
+
+def test_sample_squares_rejects_nans():
+    rng = np.random.default_rng(0)
+    example = {
+        OPTICAL_FLOW_PREDICTIONS: np.full((130, 130), np.nan, np.float32),
+        HISTORICAL_SAT_IMAGES: np.zeros((4, 130, 130), np.float32),
+        TARGET_SAT_IMAGE: np.zeros((130, 130), np.float32),
+        FORECAST_HORIZON: np.float32(0),
+    }
+    with pytest.raises(ImageHasNansError):
+        sample_squares(example, rng)
+
+
+def test_flow_forecaster_trains(archive):
+    frames, datetimes = archive
+    loader = SatelliteFlowLoader(
+        data=frames,
+        datetimes=datetimes,
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2019-05-29"), np.datetime64("2019-05-30")),
+    )
+    dataset = FlowInMemDataset(
+        loader,
+        n_super_batches=1,
+        n_examples_per_epoch=8,
+        batch_size=4,
+        background_refresh=False,
+    )
+    batch = next(iter(dataset))
+    assert batch[HISTORICAL_SAT_IMAGES].shape == (4, 4, 128, 128)
+
+    model = FlowForecaster(channels=8)
+    variables = model.init(jax.random.key(0), batch)
+    y_hat = model.apply(variables, batch)
+    assert y_hat.shape == (4, 64, 64)
+
+    # one training step decreases (or at least computes) the MSE
+    tx = optax.adam(1e-4)  # notebook 13 cell 39 configure_optimizers
+    opt_state = tx.init(variables)
+
+    def loss_fn(params):
+        prediction = model.apply(params, batch)
+        return jnp.mean((prediction - batch[TARGET_SAT_IMAGE]) ** 2)
+
+    loss0, grads = jax.value_and_grad(loss_fn)(variables)
+    updates, opt_state = tx.update(grads, opt_state, variables)
+    variables = optax.apply_updates(variables, updates)
+    loss1 = loss_fn(variables)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))

@@ -1,0 +1,124 @@
+"""Optical-flow kernel tests: known-motion recovery, warping semantics,
+prediction triangle, SSIM behaviour.
+
+The reference validates flow visually/via SSIM against OpenCV; OpenCV is not
+in this image, so correctness is gated analytically: for a pure translation
+of a smooth image the true flow is known exactly, and the estimator must
+recover it in the interior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from predict_pv_yield_tpu.ops.optical_flow import (
+    farneback_flow,
+    flow_sequence,
+    polynomial_expansion,
+)
+from predict_pv_yield_tpu.ops.remap import (
+    flow_predictions,
+    prediction_valid_mask,
+    remap_image,
+)
+from predict_pv_yield_tpu.ops.ssim import ssim
+
+
+def _smooth_image(size=96, seed=0, scale=8):
+    """Smooth random field (band-limited so translations are well-posed)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.standard_normal((size // scale, size // scale)).astype(np.float32)
+    image = jax.image.resize(jnp.asarray(coarse), (size, size), "bicubic")
+    return image * 50.0 + 100.0
+
+
+def _translate(image, dx, dy):
+    """Shift image content by (dx, dy) using spectral (exact) translation."""
+    freq = jnp.fft.fft2(image)
+    height, width = image.shape
+    fy = jnp.fft.fftfreq(height)[:, None]
+    fx = jnp.fft.fftfreq(width)[None, :]
+    phase = jnp.exp(-2j * jnp.pi * (fy * dy + fx * dx))
+    return jnp.real(jnp.fft.ifft2(freq * phase)).astype(jnp.float32)
+
+
+def test_polynomial_expansion_on_quadratic():
+    """The expansion must exactly recover a global quadratic's A and b."""
+    size = 32
+    y, x = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    xc, yc = x - size // 2, y - size // 2
+    image = 0.5 * xc**2 + 0.25 * yc**2 + 0.3 * xc * yc + 2.0 * xc - 1.0 * yc + 7.0
+    A, b = polynomial_expansion(jnp.asarray(image, jnp.float32))
+    interior = (slice(8, -8), slice(8, -8))
+    np.testing.assert_allclose(np.asarray(A[..., 0, 0][interior]), 0.5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(A[..., 1, 1][interior]), 0.25, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(A[..., 0, 1][interior]), 0.15, atol=1e-3)
+    # b is the local gradient: d/dx at (x0,y0) = x0 + ... — check at centre
+    centre = size // 2
+    np.testing.assert_allclose(float(b[centre, centre, 0]), 2.0, atol=1e-2)
+    np.testing.assert_allclose(float(b[centre, centre, 1]), -1.0, atol=1e-2)
+
+
+@pytest.mark.parametrize("shift", [(3.0, -2.0), (-1.5, 2.5)])
+def test_farneback_recovers_translation(shift):
+    dx, dy = shift
+    im1 = _smooth_image(size=96, seed=1)
+    im2 = _translate(im1, dx, dy)
+    flow = farneback_flow(im1, im2, winsize=15)
+    interior = np.asarray(flow[24:-24, 24:-24])
+    err_x = np.abs(interior[..., 0] - dx)
+    err_y = np.abs(interior[..., 1] - dy)
+    assert np.median(err_x) < 0.4, np.median(err_x)
+    assert np.median(err_y) < 0.4, np.median(err_y)
+
+
+def test_flow_sequence_batches():
+    im = _smooth_image(size=64, seed=2)
+    frames = jnp.stack([_translate(im, i * 1.0, 0.0) for i in range(4)])
+    flows = flow_sequence(frames, winsize=15)
+    assert flows.shape == (3, 64, 64, 2)
+    # each consecutive pair has ~unit x displacement
+    med = np.median(np.asarray(flows[:, 16:-16, 16:-16, 0]), axis=(1, 2))
+    np.testing.assert_allclose(med, 1.0, atol=0.4)
+
+
+def test_remap_semantics():
+    """Warping frame t by the true flow must reproduce frame t+1."""
+    im1 = _smooth_image(size=64, seed=3)
+    dx, dy = 3.0, -2.0
+    im2 = _translate(im1, dx, dy)
+    flow = jnp.broadcast_to(jnp.asarray([dx, dy], jnp.float32), (64, 64, 2))
+    warped = remap_image(im1, flow)
+    valid = ~jnp.isnan(warped)
+    # NaN border appears exactly where samples leave the frame
+    assert bool(jnp.isnan(warped[:, :3]).all())  # dx=3: left border invalid
+    err = jnp.abs(jnp.where(valid, warped - im2, 0.0))
+    assert float(err.max()) < 2.0
+    assert float(jnp.median(err[valid])) < 0.2
+
+
+def test_flow_predictions_triangle():
+    im = _smooth_image(size=48, seed=4)
+    frames = jnp.stack([_translate(im, 2.0 * i, 0.0) for i in range(5)])
+    flows = flow_sequence(frames, winsize=15)
+    preds = flow_predictions(frames, flows)
+    assert preds.shape == (4, 4, 48, 48)
+    mask = np.asarray(prediction_valid_mask(5))
+    assert mask.sum() == 4 * 5 / 2  # n(n-1)/2 valid predictions
+    # prediction (source 0, step 2) approximates frame 2 where valid
+    pred = preds[0, 1]
+    valid = ~np.isnan(np.asarray(pred))
+    err = np.abs(np.asarray(pred) - np.asarray(frames[2]))[valid]
+    assert np.median(err) < 2.0
+
+
+def test_ssim():
+    im = _smooth_image(size=64, seed=5)
+    assert float(ssim(im, im)) == pytest.approx(1.0, abs=1e-5)
+    noisy = im + 20.0 * np.random.default_rng(0).standard_normal(im.shape).astype(np.float32)
+    value = float(ssim(im, noisy))
+    assert 0.0 < value < 0.9
+    # translation hurts SSIM more than identity
+    shifted = _translate(im, 5.0, 0.0)
+    assert float(ssim(im, shifted)) < 0.95
