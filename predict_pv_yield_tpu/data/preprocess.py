@@ -1,0 +1,89 @@
+"""Fused on-device preprocessing.
+
+The reference decodes batches on the host, once per DataLoader worker:
+int16 satellite counts → float32, subtract per-channel SAT_MEAN, divide by
+SAT_STD (reference ``netcdf_dataset.py:96-101``), plus NaN cleanup and
+optional crops in the notebooks. On TPU that order is wrong twice over:
+int16→float32 triples the bytes crossing PCIe/DMA, and per-worker numpy
+burns host CPU the accelerator then waits on.
+
+Here the *raw int16* batch ships to HBM and one jitted program does decode,
+normalise, crop and (optionally) timestep-stacking in a single fusion — the
+"fused XLA preprocessing stage" of the north star (``BASELINE.json:5``).
+XLA fuses the widening, the subtract/multiply and the slice into one pass
+over HBM, so the cost is one read of the int16 data and one write of the
+result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from predict_pv_yield_tpu.consts import SAT_MEAN, SAT_STD, SAT_VARIABLE_NAMES
+from predict_pv_yield_tpu.data.batch import Batch
+
+
+def channel_stats(channel_names) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, std) vectors for a satellite channel subset, in order."""
+    index = {name: i for i, name in enumerate(SAT_VARIABLE_NAMES)}
+    idx = [index[name] for name in channel_names]
+    return jnp.asarray(SAT_MEAN[idx]), jnp.asarray(SAT_STD[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "missing_to_zero"))
+def decode_satellite(
+    raw: jnp.ndarray,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    crop: Optional[int] = None,
+    missing_to_zero: bool = True,
+) -> jnp.ndarray:
+    """int16 counts (B, C, T, H, W) → normalised float32, optionally
+    centre-cropped to ``crop`` px.
+
+    Missing data is encoded as −1 in the archives (notebook 13 cell 10);
+    with ``missing_to_zero`` it lands at 0 after normalisation (the models'
+    ``nan_to_num`` contract) instead of becoming NaN on device.
+    """
+    missing = raw == -1
+    data = raw.astype(jnp.float32)
+    data = (data - mean[None, :, None, None, None]) / std[None, :, None, None, None]
+    if missing_to_zero:
+        data = jnp.where(missing, 0.0, data)
+    if crop is not None:
+        height, width = data.shape[-2:]
+        top = (height - crop) // 2
+        left = (width - crop) // 2
+        data = data[..., top : top + crop, left : left + crop]
+    return data
+
+
+def preprocess_batch(
+    batch: Batch,
+    channel_names=None,
+    crop: Optional[int] = None,
+) -> Batch:
+    """Decode/normalise a device Batch whose satellite field is raw int16.
+
+    No-op for already-float satellite data (prepared v15-style datasets ship
+    normalised floats; raw zarr-sourced shards ship int16).
+    """
+    sat = batch.satellite.data
+    if sat is None or jnp.issubdtype(sat.dtype, jnp.floating):
+        return batch
+    if channel_names is None:
+        channel_names = SAT_VARIABLE_NAMES[1 : 1 + sat.shape[1]]
+    mean, std = channel_stats(channel_names)
+    decoded = decode_satellite(sat, mean, std, crop=crop)
+    return batch.replace(satellite=batch.satellite.replace(data=decoded))
+
+
+def stack_timesteps_as_channels(video: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, T, H, W) → (B, C·T, H, W): the experiment-001 input layout
+    (reference ``experiments/001...py:273-274``)."""
+    batch, channels, timesteps, height, width = video.shape
+    return video.reshape(batch, channels * timesteps, height, width)

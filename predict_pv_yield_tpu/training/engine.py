@@ -129,9 +129,11 @@ class Trainer:
         debug_nans: bool = False,
         prefetch_depth: int = 2,
         seed: int = 0,
+        save_validation_plots: bool = True,
         **lightning_compat: Any,
     ):
         self.seed = seed
+        self.save_validation_plots = save_validation_plots
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -402,6 +404,12 @@ class Trainer:
                 df = self._validation_results(model, host_batch, y_hat, batch_idx)
                 if df is not None:
                     results_dfs.append(df)
+                if (
+                    self.save_validation_plots
+                    and batch_idx in (0, 1, 2, 3, 4)
+                    and is_main_process()
+                ):
+                    self._plot_batch(model, host_batch, y_hat, batch_idx)
 
         epoch_metrics = self._flush_metrics(device_metrics, tag=tag)
 
@@ -427,6 +435,31 @@ class Trainer:
                 logger=self.logger,
             )
         return epoch_metrics
+
+    def _plot_batch(self, model, host_batch: Batch, y_hat, batch_idx: int) -> None:
+        """Upload a truth-vs-forecast summary plot for the first validation
+        batches (reference ``base_model.py:194-220`` writes ``temp_{i}.html``
+        and uploads to the experiment logger). Plot failures never interrupt
+        training."""
+        try:
+            from predict_pv_yield_tpu.visualization import plot_batch_results
+
+            if model.output_variable == "gsp_yield":
+                y = np.asarray(host_batch.gsp.gsp_yield)[: model.batch_size, :, 0]
+            else:
+                y = np.asarray(host_batch.pv.pv_yield)[: model.batch_size, :, 0]
+            figure = plot_batch_results(
+                model_name=type(model).model_name,
+                y=y,
+                y_hat=np.asarray(jax.device_get(y_hat))[: model.batch_size],
+            )
+            path = f"temp_{batch_idx}.html"
+            figure.write_html(path)
+            self.logger.log_artifact(
+                path, name=f"validation_plot_epoch_{self.current_epoch}_{batch_idx}.html"
+            )
+        except Exception as exc:  # pragma: no cover
+            log.debug("validation plot failed: %s", exc)
 
     def _validation_results(self, model, host_batch: Batch, y_hat, batch_idx: int):
         """Reference ``base_model.py:222-239``: de-normalise to MW via

@@ -1,0 +1,110 @@
+"""Numerical parity gate: reference torch architecture vs native flax model.
+
+The reference ships only a checkpoint *description* (``weights/conv3d/
+readme.md``: PRED-189, conv3d_channels 32, fc 128/128/64, 6 layers), not the
+weights. The gate therefore reproduces the reference conv3d architecture in
+plain torch (from its documented spec, ``models/conv3d/model.py:80-156``),
+fills it with random weights, converts the state_dict with ``convert.py``,
+and requires bit-level-close agreement between the torch forward and the
+native forward on the same batch — exactly what scoring the real PRED-189
+checkpoint would do.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from predict_pv_yield_tpu.convert import convert_conv3d  # noqa: E402
+from predict_pv_yield_tpu.data.batch import Batch, PVBatch, SatelliteBatch  # noqa: E402
+from predict_pv_yield_tpu.models.conv3d import Model  # noqa: E402
+
+
+class TorchConv3d(nn.Module):
+    """The reference conv3d architecture (model.py:80-106), sat-only branch +
+    pv-yield history, as the parity target."""
+
+    def __init__(self, model: Model):
+        super().__init__()
+        self.model = model
+        n = model.number_of_conv3d_layers
+        self.sat_conv0 = nn.Conv3d(model.number_sat_channels, model.conv3d_channels, 3, padding=0)
+        for i in range(n - 1):
+            setattr(
+                self,
+                f"conv3d_{i + 1}",
+                nn.Conv3d(model.conv3d_channels, model.conv3d_channels, 3, padding=0),
+            )
+        self.fc1 = nn.Linear(model.cnn_output_size, model.fc1_output_features)
+        self.fc2 = nn.Linear(model.fc1_output_features, model.fc2_output_features)
+        fc3_in = model.fc2_output_features
+        if model.include_pv_yield:
+            fc3_in += model.number_of_samples_per_batch * (model.history_len_30 + 1)
+        self.fc3 = nn.Linear(fc3_in, model.fc3_output_features)
+        self.fc4 = nn.Linear(model.fc3_output_features, model.forecast_len)
+
+    def forward(self, sat_data, pv_yield=None):
+        out = F.relu(self.sat_conv0(sat_data))
+        for i in range(self.model.number_of_conv3d_layers - 1):
+            out = F.relu(getattr(self, f"conv3d_{i + 1}")(out))
+        out = out.reshape(sat_data.shape[0], self.model.cnn_output_size)
+        out = F.relu(self.fc1(out))
+        out = F.relu(self.fc2(out))
+        if self.model.include_pv_yield:
+            history = pv_yield[:, : self.model.history_len_30 + 1]
+            out = torch.cat((out, history.reshape(history.shape[0], -1)), dim=1)
+        out = F.relu(self.fc3(out))
+        return self.fc4(out)
+
+
+@pytest.mark.parametrize("include_pv_yield", [False, True])
+def test_conv3d_torch_parity(include_pv_yield):
+    model = Model(
+        include_pv_yield=include_pv_yield,
+        include_nwp=False,
+        forecast_minutes=30,
+        history_minutes=60,
+        number_of_conv3d_layers=3,
+        conv3d_channels=8,
+        image_size_pixels=16,
+        number_sat_channels=4,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=16,
+        output_variable="pv_yield",
+    )
+    torch.manual_seed(0)
+    torch_model = TorchConv3d(model).eval()
+
+    rng = np.random.default_rng(0)
+    seq = model.seq_lens.seq_len_5
+    sat = rng.standard_normal((2, 4, seq, 16, 16)).astype(np.float32)
+    pv = rng.uniform(size=(2, seq, 128)).astype(np.float32)
+
+    with torch.no_grad():
+        y_torch = torch_model(torch.from_numpy(sat), torch.from_numpy(pv)).numpy()
+
+    variables = convert_conv3d(torch_model.state_dict(), model)
+    batch = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(sat)),
+        pv=PVBatch(pv_yield=jnp.asarray(pv)),
+    )
+    y_flax = np.asarray(model.apply(variables, batch))
+
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-4)
+
+
+def test_flatten_permutation_roundtrip():
+    from predict_pv_yield_tpu.convert import flatten_permutation
+
+    c, t, h, w = 3, 2, 4, 5
+    data = np.random.default_rng(0).standard_normal((c, t, h, w)).astype(np.float32)
+    torch_flat = data.reshape(-1)
+    native_flat = data.transpose(1, 2, 3, 0).reshape(-1)
+    perm = flatten_permutation(c, t, h, w)
+    np.testing.assert_array_equal(torch_flat[perm], native_flat)
