@@ -67,6 +67,17 @@ class GSPBatch:
 
 
 @struct.dataclass
+class DatetimeBatch:
+    """Cyclic datetime features at 5-minute cadence (consumed by the
+    experiment models, reference ``experiments/001...py:320-342``)."""
+
+    hour_of_day_sin: Optional[Array] = None  # (B, T5)
+    hour_of_day_cos: Optional[Array] = None  # (B, T5)
+    day_of_year_sin: Optional[Array] = None  # (B, T5)
+    day_of_year_cos: Optional[Array] = None  # (B, T5)
+
+
+@struct.dataclass
 class Metadata:
     t0_datetime_utc: Optional[Array] = None  # (B,) int64 ns (host only)
 
@@ -77,6 +88,7 @@ class Batch:
     nwp: NWPBatch = struct.field(default_factory=NWPBatch)
     pv: PVBatch = struct.field(default_factory=PVBatch)
     gsp: GSPBatch = struct.field(default_factory=GSPBatch)
+    datetime: DatetimeBatch = struct.field(default_factory=DatetimeBatch)
     metadata: Metadata = struct.field(default_factory=Metadata)
 
     # --- dict-style access (reference model.py:131,141 duck typing) ---------
@@ -122,6 +134,7 @@ class Batch:
             nwp=build(NWPBatch, data.get("nwp", {})),
             pv=build(PVBatch, data.get("pv", {})),
             gsp=build(GSPBatch, data.get("gsp", {})),
+            datetime=build(DatetimeBatch, data.get("datetime", {})),
             metadata=build(Metadata, data.get("metadata", {})),
         )
 
@@ -201,6 +214,12 @@ def batch_shapes(configuration) -> Dict[str, Dict[str, tuple]]:
             "gsp_id": (batch_size, n_gsp),
             "gsp_capacity": (batch_size, gsp_lens.seq_len_30, n_gsp),
             "gsp_datetime_index": (batch_size, gsp_lens.seq_len_30),
+        },
+        "datetime": {
+            "hour_of_day_sin": (batch_size, sat_lens.seq_len_5),
+            "hour_of_day_cos": (batch_size, sat_lens.seq_len_5),
+            "day_of_year_sin": (batch_size, sat_lens.seq_len_5),
+            "day_of_year_cos": (batch_size, sat_lens.seq_len_5),
         },
         "metadata": {"t0_datetime_utc": (batch_size,)},
     }

@@ -42,7 +42,13 @@ def fake_batch(configuration, rng: np.random.Generator) -> Batch:
         for name, shape in fields.items():
             dtype = field_dtype(name)
             if dtype == np.float32:
-                if name == "gsp_capacity":
+                if name.endswith("_sin") or name.endswith("_cos"):
+                    arr = rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
+                elif name == "x":  # OSGB easting per column
+                    arr = rng.uniform(0.0, 650_000.0, size=shape).astype(np.float32)
+                elif name == "y":  # OSGB northing per row
+                    arr = rng.uniform(0.0, 1_000_000.0, size=shape).astype(np.float32)
+                elif name == "gsp_capacity":
                     arr = rng.uniform(10.0, 500.0, size=shape).astype(np.float32)
                 elif name in ("pv_yield", "gsp_yield"):
                     arr = rng.uniform(0.0, 1.0, size=shape).astype(np.float32)

@@ -33,7 +33,7 @@ def write_shard(directory: str, index: int, batch: Batch) -> str:
     """Write one batch as an ``.npz`` shard; returns the path."""
     os.makedirs(directory, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
-    for group in ("satellite", "nwp", "pv", "gsp", "metadata"):
+    for group in ("satellite", "nwp", "pv", "gsp", "datetime", "metadata"):
         sub = getattr(batch, group)
         for field in sub.__dataclass_fields__:
             value = getattr(sub, field)

@@ -31,6 +31,15 @@ def get_model(name: str):
     return MODEL_REGISTRY[name]
 
 
+def _register_experimental() -> None:
+    from predict_pv_yield_tpu.models import experimental as _experimental
+    from predict_pv_yield_tpu.models import flow_forecaster as _flow
+
+    MODEL_REGISTRY.setdefault("cnn_concat_timesteps", _experimental.CNNConcatTimesteps)
+    MODEL_REGISTRY.setdefault("cnn_rnn", _experimental.CNNRNN)
+    MODEL_REGISTRY.setdefault("flow_forecaster", _flow.FlowForecaster)
+
+
 def _register_perceivers() -> None:
     """Perceiver family is imported lazily (heavier modules)."""
     from predict_pv_yield_tpu.models import perceiver as _perceiver
