@@ -1,0 +1,120 @@
+"""ctypes bindings for the native C++ kernels (``native/farneback.cpp``).
+
+The shared library is built on first use (``g++`` is assumed present, as in
+this image) and cached beside the sources; set ``PREDICT_PV_YIELD_TPU_NO_NATIVE``
+to skip native entirely (pure-JAX fallbacks cover every capability).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfarneback.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "libfarneback.so"],
+        cwd=os.path.abspath(_NATIVE_DIR),
+        check=True,
+        capture_output=True,
+    )
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("PREDICT_PV_YIELD_TPU_NO_NATIVE"):
+        raise NativeUnavailable("native kernels disabled via environment")
+    if not os.path.exists(_LIB_PATH):
+        try:
+            _build()
+        except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+            raise NativeUnavailable(f"could not build native library: {exc}") from exc
+    lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+
+    float_ptr = ctypes.POINTER(ctypes.c_float)
+    lib.farneback_flow.argtypes = [
+        float_ptr, float_ptr, ctypes.c_int, ctypes.c_int, float_ptr,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int,
+    ]
+    lib.farneback_flow_sequence.argtypes = [
+        float_ptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, float_ptr,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int,
+    ]
+    lib.remap_image.argtypes = [
+        float_ptr, float_ptr, ctypes.c_int, ctypes.c_int, float_ptr,
+    ]
+    _lib = lib
+    return lib
+
+
+def _as_float_ptr(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def farneback_flow_native(
+    im1: np.ndarray,
+    im2: np.ndarray,
+    levels: int = 2,
+    winsize: int = 40,
+    iterations: int = 3,
+    poly_n: int = 5,
+    poly_sigma: float = 0.7,
+    gaussian: bool = True,
+) -> np.ndarray:
+    """Host C++ Farnebäck flow → (H, W, 2) float32 (dx, dy)."""
+    lib = load_library()
+    im1 = np.ascontiguousarray(im1, dtype=np.float32)
+    im2 = np.ascontiguousarray(im2, dtype=np.float32)
+    height, width = im1.shape
+    flow = np.empty((height, width, 2), dtype=np.float32)
+    lib.farneback_flow(
+        _as_float_ptr(im1), _as_float_ptr(im2), height, width,
+        _as_float_ptr(flow), levels, winsize, iterations, poly_n,
+        ctypes.c_float(poly_sigma), int(gaussian),
+    )
+    return flow
+
+
+def flow_sequence_native(frames: np.ndarray, **kwargs) -> np.ndarray:
+    """(T, H, W) → (T-1, H, W, 2) via the C++ kernel."""
+    lib = load_library()
+    frames = np.ascontiguousarray(frames, dtype=np.float32)
+    t, height, width = frames.shape
+    flows = np.empty((t - 1, height, width, 2), dtype=np.float32)
+    lib.farneback_flow_sequence(
+        _as_float_ptr(frames), t, height, width, _as_float_ptr(flows),
+        kwargs.get("levels", 2), kwargs.get("winsize", 40),
+        kwargs.get("iterations", 3), kwargs.get("poly_n", 5),
+        ctypes.c_float(kwargs.get("poly_sigma", 0.7)),
+        int(kwargs.get("gaussian", True)),
+    )
+    return flows
+
+
+def remap_image_native(image: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    lib = load_library()
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    flow = np.ascontiguousarray(flow, dtype=np.float32)
+    height, width = image.shape
+    out = np.empty((height, width), dtype=np.float32)
+    lib.remap_image(_as_float_ptr(image), _as_float_ptr(flow), height, width, _as_float_ptr(out))
+    return out
