@@ -118,6 +118,27 @@ def _poly_exp_solver(poly_n: int, poly_sigma: float) -> Tuple[np.ndarray, np.nda
     return kernels, Ginv
 
 
+@functools.lru_cache(maxsize=None)
+def _poly_exp_conv_kernels(poly_n: int, poly_sigma: float):
+    """Fused conv kernels for the six moments: one 3-channel x-pass and one
+    dense (6-out, 3-in) y-pass, so polynomial expansion is exactly two XLA
+    convolutions instead of twelve."""
+    kernels, _ = _poly_exp_solver(poly_n, float(poly_sigma))
+    g, xg, xxg = kernels
+    size = 2 * poly_n + 1
+    # x-pass: (O=3, I=1, 1, K)
+    kx = np.stack([g, xg, xxg])[:, None, None, :].astype(np.float32)
+    # y-pass: (O=6, I=3, K, 1); moment order [m00, m10, m01, m20, m02, m11]
+    ky = np.zeros((6, 3, size, 1), np.float32)
+    ky[0, 0, :, 0] = g     # m00 = c0 ∘y g
+    ky[1, 1, :, 0] = g     # m10 = c1 ∘y g
+    ky[2, 0, :, 0] = xg    # m01 = c0 ∘y xg
+    ky[3, 2, :, 0] = g     # m20 = c2 ∘y g
+    ky[4, 0, :, 0] = xxg   # m02 = c0 ∘y xxg
+    ky[5, 1, :, 0] = xg    # m11 = c1 ∘y xg
+    return jnp.asarray(kx), jnp.asarray(ky)
+
+
 def polynomial_expansion(
     image: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,18 +148,19 @@ def polynomial_expansion(
         A: (H, W, 2, 2) symmetric quadratic term, (x, y) coordinate order.
         b: (H, W, 2) linear term.
     """
-    kernels, Ginv = _poly_exp_solver(poly_n, float(poly_sigma))
-    g, xg, xxg = kernels
+    _, Ginv = _poly_exp_solver(poly_n, float(poly_sigma))
+    kx, ky = _poly_exp_conv_kernels(poly_n, float(poly_sigma))
 
-    # moments m[p][q] = corr(f · x^p y^q · applicability); x = cols, y = rows.
-    m00 = _sep_correlate(image, g, g)
-    m10 = _sep_correlate(image, xg, g)
-    m01 = _sep_correlate(image, g, xg)
-    m20 = _sep_correlate(image, xxg, g)
-    m02 = _sep_correlate(image, g, xxg)
-    m11 = _sep_correlate(image, xg, xg)
-
-    m = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)  # (H, W, 6)
+    padded = jnp.pad(image, poly_n, mode="edge")[None, None]
+    rows = jax.lax.conv_general_dilated(
+        padded, kx, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (1, 3, H+2n, W)
+    moments = jax.lax.conv_general_dilated(
+        rows, ky, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (1, 6, H, W)
+    m = jnp.transpose(moments[0], (1, 2, 0))  # (H, W, 6)
     r = jnp.einsum("ij,hwj->hwi", jnp.asarray(Ginv), m)  # [c, bx, by, axx, ayy, axy]
 
     b = r[..., 1:3]
@@ -201,10 +223,11 @@ def _update_flow(
     sample_y = grid_y + flow[..., 1]
     sample_x = grid_x + flow[..., 0]
 
-    A2w = bilinear_sample(A2.reshape(height, width, 4), sample_y, sample_x).reshape(
-        height, width, 2, 2
-    )
-    b2w = bilinear_sample(b2, sample_y, sample_x)
+    # one 6-channel gather for the warped A2 and b2 fields
+    packed = jnp.concatenate([A2.reshape(height, width, 4), b2], axis=-1)
+    warped = bilinear_sample(packed, sample_y, sample_x)
+    A2w = warped[..., :4].reshape(height, width, 2, 2)
+    b2w = warped[..., 4:]
 
     A_avg = 0.5 * (A1 + A2w)
     delta_b = -0.5 * (b2w - b1) + jnp.einsum("hwij,hwj->hwi", A_avg, flow)
@@ -218,18 +241,34 @@ def _update_flow(
         radius = winsize // 2
         kernel = _gaussian_kernel(radius, sigma)
     else:
-        kernel = np.full(winsize, 1.0 / winsize, dtype=np.float32)
+        radius = (winsize - 1) // 2
+        kernel = np.full(2 * radius + 1, 1.0 / winsize, dtype=np.float32)
 
-    def smooth(field):  # (H, W, k) channelwise blur
-        return jnp.stack(
-            [_blur(field[..., i], kernel) for i in range(field.shape[-1])], axis=-1
-        )
+    # smooth the 5 accumulator fields with two grouped convolutions
+    # (one x-pass, one y-pass) instead of 10 separate launches.
+    fields = jnp.stack(
+        [ATA[..., 0, 0], ATA[..., 0, 1], ATA[..., 1, 1], ATb[..., 0], ATb[..., 1]]
+    )  # (5, H, W)
+    k = jnp.asarray(kernel)
+    padded = jnp.pad(fields, ((0, 0), (radius, radius), (radius, radius)), mode="edge")
+    smoothed = jax.lax.conv_general_dilated(
+        padded[None],
+        jnp.broadcast_to(k[None, None, None, :], (5, 1, 1, k.shape[0])),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=5,
+    )
+    smoothed = jax.lax.conv_general_dilated(
+        smoothed,
+        jnp.broadcast_to(k[None, None, :, None], (5, 1, k.shape[0], 1)),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=5,
+    )[0]
 
-    ata = smooth(ATA.reshape(height, width, 4))
-    atb = smooth(ATb)
-
-    g11, g12, g22 = ata[..., 0], ata[..., 1], ata[..., 3]
-    h1, h2 = atb[..., 0], atb[..., 1]
+    g11, g12, g22, h1, h2 = smoothed
     det = g11 * g22 - g12 * g12
     det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
     new_x = (g22 * h1 - g12 * h2) / det
