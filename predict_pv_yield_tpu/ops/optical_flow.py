@@ -136,7 +136,9 @@ def _poly_exp_conv_kernels(poly_n: int, poly_sigma: float):
     ky[3, 2, :, 0] = g     # m20 = c2 ∘y g
     ky[4, 0, :, 0] = xxg   # m02 = c0 ∘y xxg
     ky[5, 1, :, 0] = xg    # m11 = c1 ∘y xg
-    return jnp.asarray(kx), jnp.asarray(ky)
+    # cache host numpy only — caching jnp arrays here would capture tracers
+    # when first invoked inside a jit trace
+    return kx, ky
 
 
 def polynomial_expansion(
@@ -149,7 +151,8 @@ def polynomial_expansion(
         b: (H, W, 2) linear term.
     """
     _, Ginv = _poly_exp_solver(poly_n, float(poly_sigma))
-    kx, ky = _poly_exp_conv_kernels(poly_n, float(poly_sigma))
+    kx_np, ky_np = _poly_exp_conv_kernels(poly_n, float(poly_sigma))
+    kx, ky = jnp.asarray(kx_np), jnp.asarray(ky_np)
 
     padded = jnp.pad(image, poly_n, mode="edge")[None, None]
     rows = jax.lax.conv_general_dilated(
