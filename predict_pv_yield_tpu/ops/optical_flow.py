@@ -14,21 +14,25 @@ polynomial expansion", SCIA 2003):
 1.  **Polynomial expansion**: each neighbourhood is approximated as
     ``f(x) ≈ x^T A x + b^T x + c`` by Gaussian-weighted least squares over
     the basis ``{1, x, y, x², y², xy}``. The normal-equation matrix ``G`` is
-    position-independent, so the fit reduces to six separable correlations
-    (three 1-D kernels per axis) and a constant 6×6 solve — ``G⁻¹`` is built
-    once in numpy and folded into the program as a constant.
+    position-independent, so the fit reduces to exactly two multi-channel
+    XLA convolutions (a 3-kernel x-pass and a dense 6-from-3 y-pass) and a
+    constant 6×6 solve — ``G⁻¹`` is built once in numpy and folded into the
+    program.
 2.  **Displacement update**: with expansions (A₁,b₁), (A₂,b₂) and a current
     flow d₀, warp (A₂,b₂) by d₀, form Ā = (A₁+Ã₂)/2 and
     Δb = -½(b̃₂-b₁) + Ā d₀, Gaussian-average ``ĀᵀĀ`` and ``ĀᵀΔb`` over the
-    ``winsize`` window, and solve the per-pixel 2×2 system.
+    ``winsize`` window — a fused Pallas kernel on TPU (``ops/pallas_blur``):
+    both separable passes as banded-matrix MXU matmuls with the intermediate
+    resident in VMEM — and solve the per-pixel 2×2 system on the VPU.
 3.  **Pyramid**: coarse-to-fine over ``levels`` with scale ``pyr_scale``
     (5-tap [1,4,6,4,1] blur + stride-2 subsample for the 0.5 case), flow
     upsampled bilinearly and rescaled between levels.
 
-Everything is ``jnp`` with static shapes: convolutions hit the XLA conv
-emitter, the per-pixel solves are fused elementwise VPU work, and whole frame
-*sequences* batch through ``vmap`` — the reference's one-process-per-frame-pair
-parallelism becomes one device launch for all pairs.
+Everything is **batched-first**: every function takes (N, H, W) frame pairs
+and the batch dimension flows through the convolutions and the Pallas
+channel dimension natively — the reference's one-process-per-frame-pair
+parallelism becomes one device launch for all pairs, with no ``vmap``
+wrapping the custom kernel (Mosaic compiles a single fixed grid).
 
 Flow convention matches OpenCV: ``flow[..., 0]`` is the x (column)
 displacement, ``flow[..., 1]`` the y (row) displacement, such that
@@ -38,7 +42,6 @@ displacement, ``flow[..., 1]`` the y (row) displacement, such that
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -47,7 +50,7 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
-# small separable-correlation helpers
+# kernels / constants
 # ---------------------------------------------------------------------------
 
 
@@ -55,42 +58,6 @@ def _gaussian_kernel(n: int, sigma: float) -> np.ndarray:
     x = np.arange(-n, n + 1, dtype=np.float64)
     g = np.exp(-(x**2) / (2.0 * sigma**2))
     return (g / g.sum()).astype(np.float32)
-
-
-def _sep_correlate(image: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
-    """2-D correlation with the separable kernel ky (rows) ⊗ kx (cols),
-    edge-replicated borders. image: (H, W)."""
-    ry = len(ky) // 2
-    rx = len(kx) // 2
-    padded = jnp.pad(image, ((ry, ry), (rx, rx)), mode="edge")
-    # XLA convs are cross-correlations (no kernel flip) — exactly what the
-    # moment computation needs; rows then cols.
-    kyr = jnp.asarray(ky)
-    kxr = jnp.asarray(kx)
-    out = jax.lax.conv_general_dilated(
-        padded[None, None, :, :],
-        kyr[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    out = jax.lax.conv_general_dilated(
-        out,
-        kxr[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
-
-
-def _blur(image: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    return _sep_correlate(image, kernel, kernel)
-
-
-# ---------------------------------------------------------------------------
-# polynomial expansion
-# ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,8 +88,9 @@ def _poly_exp_solver(poly_n: int, poly_sigma: float) -> Tuple[np.ndarray, np.nda
 @functools.lru_cache(maxsize=None)
 def _poly_exp_conv_kernels(poly_n: int, poly_sigma: float):
     """Fused conv kernels for the six moments: one 3-channel x-pass and one
-    dense (6-out, 3-in) y-pass, so polynomial expansion is exactly two XLA
-    convolutions instead of twelve."""
+    dense (6-out, 3-in) y-pass — polynomial expansion is exactly two XLA
+    convolutions. Cached as host numpy (never jnp: caching device arrays
+    created under a jit trace would leak tracers)."""
     kernels, _ = _poly_exp_solver(poly_n, float(poly_sigma))
     g, xg, xxg = kernels
     size = 2 * poly_n + 1
@@ -136,35 +104,40 @@ def _poly_exp_conv_kernels(poly_n: int, poly_sigma: float):
     ky[3, 2, :, 0] = g     # m20 = c2 ∘y g
     ky[4, 0, :, 0] = xxg   # m02 = c0 ∘y xxg
     ky[5, 1, :, 0] = xg    # m11 = c1 ∘y xg
-    # cache host numpy only — caching jnp arrays here would capture tracers
-    # when first invoked inside a jit trace
     return kx, ky
 
 
-def polynomial_expansion(
-    image: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
+# ---------------------------------------------------------------------------
+# polynomial expansion (batched)
+# ---------------------------------------------------------------------------
+
+
+def polynomial_expansion_batched(
+    images: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-pixel quadratic-fit coefficients.
+    """Per-pixel quadratic-fit coefficients for (N, H, W) images.
 
     Returns:
-        A: (H, W, 2, 2) symmetric quadratic term, (x, y) coordinate order.
-        b: (H, W, 2) linear term.
+        A: (N, H, W, 2, 2) symmetric quadratic term, (x, y) coordinate order.
+        b: (N, H, W, 2) linear term.
     """
     _, Ginv = _poly_exp_solver(poly_n, float(poly_sigma))
     kx_np, ky_np = _poly_exp_conv_kernels(poly_n, float(poly_sigma))
     kx, ky = jnp.asarray(kx_np), jnp.asarray(ky_np)
 
-    padded = jnp.pad(image, poly_n, mode="edge")[None, None]
+    padded = jnp.pad(
+        images, ((0, 0), (poly_n, poly_n), (poly_n, poly_n)), mode="edge"
+    )[:, None]  # (N, 1, H+2n, W+2n)
     rows = jax.lax.conv_general_dilated(
         padded, kx, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )  # (1, 3, H+2n, W)
+    )  # (N, 3, H+2n, W)
     moments = jax.lax.conv_general_dilated(
         rows, ky, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )  # (1, 6, H, W)
-    m = jnp.transpose(moments[0], (1, 2, 0))  # (H, W, 6)
-    r = jnp.einsum("ij,hwj->hwi", jnp.asarray(Ginv), m)  # [c, bx, by, axx, ayy, axy]
+    )  # (N, 6, H, W)
+    m = jnp.transpose(moments, (0, 2, 3, 1))  # (N, H, W, 6)
+    r = jnp.einsum("ij,nhwj->nhwi", jnp.asarray(Ginv), m)
 
     b = r[..., 1:3]
     A = jnp.stack(
@@ -173,8 +146,16 @@ def polynomial_expansion(
             jnp.stack([r[..., 5] / 2, r[..., 4]], axis=-1),
         ],
         axis=-2,
-    )  # (H, W, 2, 2), rows/cols indexed in (x, y) order
+    )  # (N, H, W, 2, 2)
     return A, b
+
+
+def polynomial_expansion(
+    image: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-image convenience wrapper → A (H, W, 2, 2), b (H, W, 2)."""
+    A, b = polynomial_expansion_batched(image[None], poly_n, poly_sigma)
+    return A[0], b[0]
 
 
 # ---------------------------------------------------------------------------
@@ -199,45 +180,60 @@ def bilinear_sample(field: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
 
 
 def _resize_bilinear(field: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    return jax.image.resize(field, (*shape, *field.shape[2:]), method="bilinear")
+    """Resize the two spatial dims of (N, H, W, ...)."""
+    out_shape = (field.shape[0], *shape, *field.shape[3:])
+    return jax.image.resize(field, out_shape, method="bilinear")
 
 
-def _downsample(image: jnp.ndarray) -> jnp.ndarray:
-    """5-tap binomial blur + 2× subsample (the pyr_scale=0.5 pyramid step)."""
-    kernel = np.array([1, 4, 6, 4, 1], dtype=np.float32) / 16.0
-    return _blur(image, kernel)[::2, ::2]
+def _downsample(images: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W): 5-tap binomial blur + 2× subsample (pyr_scale=0.5 step)."""
+    k = np.array([1, 4, 6, 4, 1], dtype=np.float32) / 16.0
+    padded = jnp.pad(images, ((0, 0), (2, 2), (2, 2)), mode="edge")[:, None]
+    out = jax.lax.conv_general_dilated(
+        padded,
+        jnp.asarray(k)[None, None, :, None],
+        (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out,
+        jnp.asarray(k)[None, None, None, :],
+        (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[:, 0, ::2, ::2]
 
 
 # ---------------------------------------------------------------------------
-# flow estimation
+# flow estimation (batched)
 # ---------------------------------------------------------------------------
 
 
 def _update_flow(
     A1, b1, A2, b2, flow: jnp.ndarray, winsize: int, gaussian: bool
 ) -> jnp.ndarray:
-    """One Farnebäck iteration at a fixed scale. flow: (H, W, 2) in (x, y)."""
-    height, width = flow.shape[:2]
+    """One Farnebäck iteration. All args batched: A (N,H,W,2,2), b (N,H,W,2),
+    flow (N,H,W,2) in (x, y)."""
+    n, height, width = flow.shape[:3]
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(height, dtype=flow.dtype),
         jnp.arange(width, dtype=flow.dtype),
         indexing="ij",
     )
-    sample_y = grid_y + flow[..., 1]
-    sample_x = grid_x + flow[..., 0]
+    sample_y = grid_y[None] + flow[..., 1]
+    sample_x = grid_x[None] + flow[..., 0]
 
-    # one 6-channel gather for the warped A2 and b2 fields
-    packed = jnp.concatenate([A2.reshape(height, width, 4), b2], axis=-1)
-    warped = bilinear_sample(packed, sample_y, sample_x)
-    A2w = warped[..., :4].reshape(height, width, 2, 2)
+    # one 6-channel gather per pair for the warped A2/b2 fields
+    packed = jnp.concatenate([A2.reshape(n, height, width, 4), b2], axis=-1)
+    warped = jax.vmap(bilinear_sample)(packed, sample_y, sample_x)
+    A2w = warped[..., :4].reshape(n, height, width, 2, 2)
     b2w = warped[..., 4:]
 
     A_avg = 0.5 * (A1 + A2w)
-    delta_b = -0.5 * (b2w - b1) + jnp.einsum("hwij,hwj->hwi", A_avg, flow)
+    delta_b = -0.5 * (b2w - b1) + jnp.einsum("nhwij,nhwj->nhwi", A_avg, flow)
 
-    # accumulate ATA (2×2 sym) and ATb (2) over the window
-    ATA = jnp.einsum("hwki,hwkj->hwij", A_avg, A_avg)
-    ATb = jnp.einsum("hwki,hwk->hwi", A_avg, delta_b)
+    ATA = jnp.einsum("nhwki,nhwkj->nhwij", A_avg, A_avg)
+    ATb = jnp.einsum("nhwki,nhwk->nhwi", A_avg, delta_b)
 
     if gaussian:
         sigma = max(winsize * 0.15, 1.0)  # OpenCV's Gaussian window scaling
@@ -247,31 +243,20 @@ def _update_flow(
         radius = (winsize - 1) // 2
         kernel = np.full(2 * radius + 1, 1.0 / winsize, dtype=np.float32)
 
-    # smooth the 5 accumulator fields with two grouped convolutions
-    # (one x-pass, one y-pass) instead of 10 separate launches.
-    fields = jnp.stack(
-        [ATA[..., 0, 0], ATA[..., 0, 1], ATA[..., 1, 1], ATb[..., 0], ATb[..., 1]]
-    )  # (5, H, W)
-    k = jnp.asarray(kernel)
-    padded = jnp.pad(fields, ((0, 0), (radius, radius), (radius, radius)), mode="edge")
-    smoothed = jax.lax.conv_general_dilated(
-        padded[None],
-        jnp.broadcast_to(k[None, None, None, :], (5, 1, 1, k.shape[0])),
-        (1, 1),
-        [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=5,
-    )
-    smoothed = jax.lax.conv_general_dilated(
-        smoothed,
-        jnp.broadcast_to(k[None, None, :, None], (5, 1, k.shape[0], 1)),
-        (1, 1),
-        [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=5,
-    )[0]
+    # smooth the 5 accumulator fields of every pair in ONE fused pass: batch
+    # folds into the Pallas kernel's channel dimension (ops/pallas_blur keeps
+    # the x-pass intermediate in VMEM and runs both banded-matmul passes on
+    # the MXU); grouped XLA convs off-TPU.
+    from predict_pv_yield_tpu.ops.pallas_blur import sep_blur
 
-    g11, g12, g22, h1, h2 = smoothed
+    fields = jnp.stack(
+        [ATA[..., 0, 0], ATA[..., 0, 1], ATA[..., 1, 1], ATb[..., 0], ATb[..., 1]],
+        axis=1,
+    )  # (N, 5, H, W)
+    smoothed = sep_blur(fields.reshape(n * 5, height, width), kernel)
+    smoothed = smoothed.reshape(n, 5, height, width)
+    g11, g12, g22, h1, h2 = (smoothed[:, i] for i in range(5))
+
     det = g11 * g22 - g12 * g12
     det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
     new_x = (g22 * h1 - g12 * h2) / det
@@ -279,7 +264,7 @@ def _update_flow(
     return jnp.stack([new_x, new_y], axis=-1)
 
 
-def farneback_flow(
+def farneback_flow_batched(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
     pyr_scale: float = 0.5,
@@ -290,7 +275,7 @@ def farneback_flow(
     poly_sigma: float = 0.7,
     gaussian: bool = True,
 ) -> jnp.ndarray:
-    """Dense flow between two grayscale images → (H, W, 2), (dx, dy).
+    """Dense flow for (N, H, W) image pairs → (N, H, W, 2), (dx, dy).
 
     Defaults are the reference's tuned parameters (notebook 13 cell 7 /
     ``optical_flow_1.ipynb`` cells 38-45). Only ``pyr_scale=0.5`` is
@@ -311,16 +296,23 @@ def farneback_flow(
     flow = jnp.zeros((*pyramid[-1][0].shape, 2), dtype=jnp.float32)
     for level in reversed(range(levels)):
         level_im1, level_im2 = pyramid[level]
-        if flow.shape[:2] != level_im1.shape:
-            flow = _resize_bilinear(flow, level_im1.shape) / pyr_scale
-        A1, b1 = polynomial_expansion(level_im1, poly_n, poly_sigma)
-        A2, b2 = polynomial_expansion(level_im2, poly_n, poly_sigma)
+        if flow.shape[1:3] != level_im1.shape[1:3]:
+            flow = _resize_bilinear(flow, level_im1.shape[1:3]) / pyr_scale
+        A1, b1 = polynomial_expansion_batched(level_im1, poly_n, poly_sigma)
+        A2, b2 = polynomial_expansion_batched(level_im2, poly_n, poly_sigma)
         for _ in range(iterations):
             flow = _update_flow(A1, b1, A2, b2, flow, winsize, gaussian)
     return flow
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "levels", "iterations", "poly_n", "gaussian"))
+def farneback_flow(im1: jnp.ndarray, im2: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """Single-pair convenience wrapper → (H, W, 2)."""
+    return farneback_flow_batched(im1[None], im2[None], **kwargs)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("winsize", "levels", "iterations", "poly_n", "gaussian")
+)
 def flow_sequence(
     frames: jnp.ndarray,
     winsize: int = 40,
@@ -333,17 +325,13 @@ def flow_sequence(
     """Flow for every consecutive frame pair of a (T, H, W) sequence →
     (T-1, H, W, 2). One device launch replaces the reference's per-pair
     process farm (notebook 13 cell 7)."""
-
-    def pair_flow(im1, im2):
-        return farneback_flow(
-            im1,
-            im2,
-            levels=levels,
-            winsize=winsize,
-            iterations=iterations,
-            poly_n=poly_n,
-            poly_sigma=poly_sigma,
-            gaussian=gaussian,
-        )
-
-    return jax.vmap(pair_flow)(frames[:-1], frames[1:])
+    return farneback_flow_batched(
+        frames[:-1],
+        frames[1:],
+        levels=levels,
+        winsize=winsize,
+        iterations=iterations,
+        poly_n=poly_n,
+        poly_sigma=poly_sigma,
+        gaussian=gaussian,
+    )

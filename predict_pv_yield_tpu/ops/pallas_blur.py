@@ -1,0 +1,150 @@
+"""Fused separable blur as a Pallas TPU kernel.
+
+The Farnebäck displacement update Gaussian-averages five accumulator fields
+over the ``winsize`` window (41 taps at the reference's winsize=40) three
+times per pyramid level — the dominant tap-work of the whole flow pipeline.
+As two XLA convolutions the horizontal pass's intermediate makes a full HBM
+round trip; this kernel runs both passes back-to-back on a VMEM-resident
+row strip, so the intermediate never leaves the chip.
+
+TPU mapping: a separable correlation is two banded-matrix products, and the
+MXU eats dense matmuls — so each pass is one ``dot_general`` against a
+constant banded matrix (``band[k+j, j] = kernel[k]``) instead of a 41-tap
+shift-and-accumulate on the VPU (which also blows the VMEM stack with
+shifted-slice temporaries). Per row-tile:
+
+    strip (C, tile+2r, W+2r) @ band_x (W+2r, W)   → x-pass   (MXU)
+    band_y (tile, tile+2r) @ x-pass               → y-pass   (MXU)
+
+The y-halo is assembled from two ordinary pipelined input blocks (the padded
+input passed twice with block index maps ``i`` and ``i+1``; requires
+``tile >= 2*radius``) — no dynamically-offset DMA, which Mosaic's tiled
+memref slicing rejects for 3-D refs. Border handling is edge-replication
+applied by the caller's pad.
+
+Falls back to the two-conv XLA path off-TPU; both paths are tested against
+each other (tests/test_pallas_blur.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _band_matrix(kernel: np.ndarray, out_size: int) -> np.ndarray:
+    """(out_size + len(kernel) - 1, out_size) correlation operator:
+    ``(x @ band)[j] = Σ_k x[j + k] · kernel[k]``."""
+    taps = len(kernel)
+    band = np.zeros((out_size + taps - 1, out_size), np.float32)
+    for k in range(taps):
+        band[np.arange(out_size) + k, np.arange(out_size)] = kernel[k]
+    return band
+
+
+def _blur_kernel(cur_ref, nxt_ref, band_x_ref, band_y_ref, out_ref, *, tile, radius):
+    strip = jnp.concatenate([cur_ref[:], nxt_ref[:]], axis=1)[
+        :, : tile + 2 * radius, :
+    ]  # (C, tile+2r, W+2r)
+
+    # x-pass on the MXU: contract the lane dim with the banded operator.
+    acc_x = jax.lax.dot_general(
+        strip,
+        band_x_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, tile+2r, W)
+
+    # y-pass on the MXU: contract the row dim.
+    acc = jax.lax.dot_general(
+        band_y_ref[:],
+        acc_x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (tile, C, W)
+    out_ref[:] = jnp.transpose(acc, (1, 0, 2))
+
+
+def sep_blur(
+    fields: jnp.ndarray, kernel: np.ndarray, tile: int = 128, channel_tile: int = 8
+) -> jnp.ndarray:
+    """Edge-replicated separable correlation of (C, H, W) with a 1-D kernel,
+    applied along W then H. Pallas on TPU, XLA convs elsewhere.
+
+    The grid tiles both channels and rows, so arbitrarily large channel
+    counts (the flow pipeline folds its whole pair batch into C) stream
+    through a bounded VMEM footprint.
+    """
+    kernel = np.asarray(kernel, dtype=np.float32)
+    radius = len(kernel) // 2
+    channels, height, width = fields.shape
+
+    if jax.default_backend() != "tpu" or tile < 2 * radius:
+        return _sep_blur_xla(fields, kernel)
+
+    grid_h = -(-height // tile)  # cdiv
+    grid_c = -(-channels // channel_tile)
+    padded = jnp.pad(
+        fields, ((0, 0), (radius, radius), (radius, radius)), mode="edge"
+    )
+    rows_needed = (grid_h + 1) * tile  # block indices i and i+1 must exist
+    pad_rows = max(rows_needed - padded.shape[1], 0)
+    pad_chans = grid_c * channel_tile - channels
+    if pad_rows or pad_chans:
+        padded = jnp.pad(padded, ((0, pad_chans), (0, pad_rows), (0, 0)))
+    padded = padded.astype(jnp.float32)
+    padded_w = padded.shape[2]
+
+    band_x = jnp.asarray(_band_matrix(kernel, width))  # (W+2r, W)
+    band_y = jnp.asarray(_band_matrix(kernel, tile).T)  # (tile, tile+2r)
+
+    block = (channel_tile, tile, padded_w)
+    out = pl.pallas_call(
+        functools.partial(_blur_kernel, tile=tile, radius=radius),
+        grid=(grid_c, grid_h),
+        in_specs=[
+            pl.BlockSpec(block, lambda c, i: (c, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda c, i: (c, i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(band_x.shape, lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(band_y.shape, lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (channel_tile, tile, width), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_c * channel_tile, grid_h * tile, width), jnp.float32
+        ),
+    )(padded, padded, band_x, band_y)
+    return out[:channels, :height, :]
+
+
+def _sep_blur_xla(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Reference path: two grouped convolutions."""
+    radius = len(kernel) // 2
+    channels = fields.shape[0]
+    k = jnp.asarray(kernel)
+    padded = jnp.pad(
+        fields, ((0, 0), (radius, radius), (radius, radius)), mode="edge"
+    )
+    out = jax.lax.conv_general_dilated(
+        padded[None],
+        jnp.broadcast_to(k[None, None, None, :], (channels, 1, 1, k.shape[0])),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=channels,
+    )
+    out = jax.lax.conv_general_dilated(
+        out,
+        jnp.broadcast_to(k[None, None, :, None], (channels, 1, k.shape[0], 1)),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=channels,
+    )
+    return out[0]
