@@ -94,8 +94,23 @@ class ShardDataset:
             )
         name = shard_filename(index)
         if self._fs is not None:
+            # Remote fetch with the reference's retry posture (its gcsfs
+            # patch retried transient HTTP errors, SURVEY §5.3).
+            import time
+
             local = os.path.join(self.tmp_path or ".", name)
-            self._fs.get(os.path.join(self.src_path, name), local)
+            last_error: Exception | None = None
+            for attempt in range(5):
+                try:
+                    self._fs.get(os.path.join(self.src_path, name), local)
+                    break
+                except Exception as exc:  # transient cloud-FS errors
+                    last_error = exc
+                    time.sleep(min(2**attempt, 8))
+            else:
+                raise RuntimeError(
+                    f"failed to fetch shard {name} after 5 attempts"
+                ) from last_error
             batch = read_shard(local)
             os.remove(local)
             return batch

@@ -253,8 +253,7 @@ def _update_flow(
         [ATA[..., 0, 0], ATA[..., 0, 1], ATA[..., 1, 1], ATb[..., 0], ATb[..., 1]],
         axis=1,
     )  # (N, 5, H, W)
-    smoothed = sep_blur(fields.reshape(n * 5, height, width), kernel)
-    smoothed = smoothed.reshape(n, 5, height, width)
+    smoothed = sep_blur(fields, kernel)
     g11, g12, g22, h1, h2 = (smoothed[:, i] for i in range(5))
 
     det = g11 * g22 - g12 * g12

@@ -73,19 +73,30 @@ def _blur_kernel(cur_ref, nxt_ref, band_x_ref, band_y_ref, out_ref, *, tile, rad
 def sep_blur(
     fields: jnp.ndarray, kernel: np.ndarray, tile: int = 128, channel_tile: int = 8
 ) -> jnp.ndarray:
-    """Edge-replicated separable correlation of (C, H, W) with a 1-D kernel,
-    applied along W then H. Pallas on TPU, XLA convs elsewhere.
+    """Edge-replicated separable correlation with a 1-D kernel applied along
+    W then H. Accepts (C, H, W) or batched (N, C, H, W). Pallas on TPU, XLA
+    convs elsewhere.
 
-    The grid tiles both channels and rows, so arbitrarily large channel
-    counts (the flow pipeline folds its whole pair batch into C) stream
+    On the XLA path a leading batch dim stays the convolution batch (large
+    ``feature_group_count`` lowers poorly); the Pallas path folds batch into
+    its channel grid, which tiles both channels and rows so any size streams
     through a bounded VMEM footprint.
     """
     kernel = np.asarray(kernel, dtype=np.float32)
     radius = len(kernel) // 2
-    channels, height, width = fields.shape
+    batched = fields.ndim == 4
+    if batched:
+        n, c, height, width = fields.shape
+    else:
+        c, height, width = fields.shape
 
     if jax.default_backend() != "tpu" or tile < 2 * radius:
+        if batched:
+            return _sep_blur_xla_batched(fields, kernel)
         return _sep_blur_xla(fields, kernel)
+    if batched:
+        fields = fields.reshape(n * c, height, width)
+    channels = fields.shape[0]
 
     grid_h = -(-height // tile)  # cdiv
     grid_c = -(-channels // channel_tile)
@@ -120,7 +131,36 @@ def sep_blur(
             (grid_c * channel_tile, grid_h * tile, width), jnp.float32
         ),
     )(padded, padded, band_x, band_y)
-    return out[:channels, :height, :]
+    out = out[:channels, :height, :]
+    if batched:
+        out = out.reshape(n, c, height, width)
+    return out
+
+
+def _sep_blur_xla_batched(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """(N, C, H, W): batch rides the conv batch dim, channels the groups."""
+    radius = len(kernel) // 2
+    channels = fields.shape[1]
+    k = jnp.asarray(kernel)
+    padded = jnp.pad(
+        fields, ((0, 0), (0, 0), (radius, radius), (radius, radius)), mode="edge"
+    )
+    out = jax.lax.conv_general_dilated(
+        padded,
+        jnp.broadcast_to(k[None, None, None, :], (channels, 1, 1, k.shape[0])),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=channels,
+    )
+    return jax.lax.conv_general_dilated(
+        out,
+        jnp.broadcast_to(k[None, None, :, None], (channels, 1, k.shape[0], 1)),
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=channels,
+    )
 
 
 def _sep_blur_xla(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:

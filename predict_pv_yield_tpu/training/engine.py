@@ -239,6 +239,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _forward_and_metrics(self, model, variables, batch: Batch):
+        # Fused on-device preprocessing: raw int16 satellite shards decode +
+        # normalise inside the same XLA program as the step (no-op for
+        # already-float data). The int16 ships over the host-device link;
+        # widening happens in HBM (data/preprocess.py).
+        from predict_pv_yield_tpu.data.preprocess import preprocess_batch
+
+        batch = preprocess_batch(batch)
         weighted = WeightedLosses(forecast_length=model.forecast_len)
         y_hat = model.apply(variables, batch).astype(jnp.float32)
         y = model.target(batch).astype(jnp.float32)
