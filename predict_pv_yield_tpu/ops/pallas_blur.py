@@ -22,13 +22,19 @@ input passed twice with block index maps ``i`` and ``i+1``; requires
 memref slicing rejects for 3-D refs. Border handling is edge-replication
 applied by the caller's pad.
 
-Falls back to the two-conv XLA path off-TPU; both paths are tested against
-each other (tests/test_pallas_blur.py).
+Measured verdict (v5e, 48-pair 256x256 flow pipeline): the XLA grouped-conv
+path with the pair batch on the convolution *batch* dimension reaches 75.2
+frame-pairs/s vs 47.4 for this kernel — XLA's native conv emitter beats the
+banded-matmul formulation at these tile sizes (the double-block halo also
+reads the input twice from HBM). The Pallas path is therefore opt-in
+(``PREDICT_PV_YIELD_TPU_PALLAS_BLUR=1``) and kept as the tuning vehicle;
+both paths are cross-tested (tests/test_pallas_blur.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +96,12 @@ def sep_blur(
     else:
         c, height, width = fields.shape
 
-    if jax.default_backend() != "tpu" or tile < 2 * radius:
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and tile >= 2 * radius
+        and os.environ.get("PREDICT_PV_YIELD_TPU_PALLAS_BLUR") == "1"
+    )
+    if not use_pallas:
         if batched:
             return _sep_blur_xla_batched(fields, kernel)
         return _sep_blur_xla(fields, kernel)
