@@ -206,7 +206,10 @@ class Trainer:
         model = self._prepare_model(model)
         self._model = model
         example = example_batch.numeric()
-        self.mesh = mesh_for_batch(example.batch_size, self.devices)
+        # Loaders yield host-local batches; the mesh spans the global batch
+        # (local × processes) so the data axis divides it exactly.
+        global_batch_size = example.batch_size * jax.process_count()
+        self.mesh = mesh_for_batch(global_batch_size, self.devices)
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
 
@@ -300,8 +303,7 @@ class Trainer:
                 except StopIteration:
                     iterator = None
                     break
-                device = jax.device_put(self._maybe_cast(host.numeric()), self._batch_shard)
-                queue.append((host, device))
+                queue.append((host, self._to_device(host)))
             if not queue:
                 return
             yield queue.popleft()
@@ -310,6 +312,22 @@ class Trainer:
                 return
             if self.fast_dev_run and count >= 1:
                 return
+
+    def _to_device(self, host: Batch):
+        """Host batch → device batch sharded over the data axis.
+
+        Single-process: one async ``device_put`` per leaf. Multi-host: each
+        process holds its local slice of the global batch and the global
+        sharded arrays are assembled without cross-host transfer
+        (``parallel/distributed.py``, SURVEY §5.8)."""
+        numeric = self._maybe_cast(host.numeric())
+        if jax.process_count() > 1:
+            from predict_pv_yield_tpu.parallel.distributed import (
+                global_batch_from_host_local,
+            )
+
+            return global_batch_from_host_local(numeric, self._batch_shard)
+        return jax.device_put(numeric, self._batch_shard)
 
     def _maybe_cast(self, batch: Batch) -> Batch:
         if not self._bf16:
