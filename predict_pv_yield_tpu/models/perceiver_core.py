@@ -148,6 +148,10 @@ class Perceiver(nn.Module):
     latent_dim_head: int = 64
     self_per_cross_attn: int = 1
     fourier_encode_data: bool = True
+    #: Rematerialise each depth block in the backward pass — trades recompute
+    #: for activation memory (jax.checkpoint; useful when depth × latents
+    #: outgrows HBM, SURVEY §7 "rematerialisation" note).
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -186,8 +190,9 @@ class Perceiver(nn.Module):
         if self.weight_tie_layers:
             # One block scanned over depth with broadcast (shared) params:
             # O(1) program size however deep the encoder is.
+            block_cls = nn.remat(_ScanBlock, prevent_cse=False) if self.remat else _ScanBlock
             ScannedBlock = nn.scan(
-                _ScanBlock,
+                block_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=nn.broadcast,
@@ -196,7 +201,8 @@ class Perceiver(nn.Module):
             x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
         else:
             for i in range(self.depth):
-                x = PerceiverBlock(name=f"block{i}", **block_kwargs)(x, data)
+                block_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock
+                x = block_cls(name=f"block{i}", **block_kwargs)(x, data)
 
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)

@@ -86,6 +86,14 @@ def train(config: Dict[str, Any]) -> Optional[float]:
     if config.get("test_after_training") and not config.get("trainer", {}).get(
         "fast_dev_run"
     ):
+        # Test with the best checkpoint, like Lightning's trainer.test()
+        # (reference training.py:86-88 + callbacks config "save best").
+        ckpt = trainer.checkpoint_callback
+        if ckpt is not None and ckpt.best_model_path and trainer.state is not None:
+            from predict_pv_yield_tpu.training.callbacks import load_state
+
+            log.info("Testing with best checkpoint %s", ckpt.best_model_path)
+            trainer.state = load_state(ckpt.best_model_path, trainer.state)
         log.info("Starting testing!")
         trainer.test()
 
