@@ -88,3 +88,29 @@ def test_many_loggers_group():
     cfg = _compose(["logger=many_loggers"])
     assert "csv" in cfg["logger"]
     assert "tensorboard" in cfg["logger"]
+
+
+def test_experiment_configs_all_compose():
+    """Every experiment overlay composes and re-selects its model."""
+    import os
+
+    experiments = sorted(
+        f[:-5]
+        for f in os.listdir(os.path.join(CONFIG_DIR, "experiment"))
+        if f.endswith(".yaml")
+    )
+    assert len(experiments) >= 11
+    for name in experiments:
+        cfg = _compose([f"experiment={name}"])
+        assert "_target_" in cfg["model"], name
+        assert "seed" in cfg, name
+
+
+def test_model_configs_all_instantiate():
+    """Every model yaml builds its flax module."""
+    import os
+
+    for f in sorted(os.listdir(os.path.join(CONFIG_DIR, "model"))):
+        cfg = _compose([f"model={f[:-5]}"])
+        model = instantiate(cfg["model"])
+        assert hasattr(model, "model_name") or hasattr(model, "channels"), f

@@ -1,0 +1,102 @@
+"""End-to-end input-pipeline benchmark.
+
+`bench.py` measures the pure-compute train-step ceiling with batches
+synthesised in HBM. This tool answers the follow-up question — can the host
+pipeline keep the chip fed? It prepares a shard dataset (int16 satellite,
+the native wire format), then times a real ``Trainer.fit`` epoch: threaded
+shard decode → async ``device_put`` double buffer → fused on-device int16
+decode → train step. Prints one JSON line with the sustained
+batches/sec/chip *including* the data path.
+
+    python tools/pipeline_bench.py --shards 64 --steps 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=60)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--dir", default=None, help="shard dir (default: tmpfs)")
+    args = parser.parse_args()
+
+    from bench import flagship_configuration, flagship_model
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.data.loader import PrefetchingLoader
+    from predict_pv_yield_tpu.data.shards import ShardDataset, write_shard
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    configuration = flagship_configuration(args.batch_size)
+    directory = args.dir or tempfile.mkdtemp(prefix="shards_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+
+    print(f"writing {args.shards} shards to {directory} ...", file=sys.stderr)
+    for i in range(args.shards):
+        rng = np.random.default_rng(i)
+        batch = fake_batch(configuration, rng)
+        # native wire format: raw int16 satellite counts
+        raw = rng.integers(-1, 1023, size=batch.satellite.data.shape, dtype=np.int16)
+        batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+        write_shard(directory, i, batch)
+
+    dataset = ShardDataset(n_batches=args.shards, src_path=directory)
+    loader = PrefetchingLoader(
+        dataset, num_workers=args.workers, prefetch_factor=8, shuffle=True
+    )
+
+    model = flagship_model()
+    trainer = Trainer(max_epochs=1, profiler=None, precision=16)
+    trainer.setup(model, dataset[0])
+    step = trainer._compiled["train"]
+    state = trainer.state
+
+    import jax
+
+    # warm: compile + first pass
+    warm = 0
+    for _, device_batch in trainer._iter_batches(loader, limit=4):
+        state, metrics = step(state, device_batch)
+        warm += 1
+    jax.device_get(metrics)
+
+    count = 0
+    t0 = time.perf_counter()
+    while count < args.steps:
+        for _, device_batch in trainer._iter_batches(loader, limit=None):
+            state, metrics = step(state, device_batch)
+            count += 1
+            if count >= args.steps:
+                break
+    jax.device_get(metrics)
+    dt = time.perf_counter() - t0
+
+    compute_only = 35.4  # bench.py reference number for context
+    value = count / dt
+    print(
+        json.dumps(
+            {
+                "metric": "conv3d_sat_nwp end-to-end batches/sec/chip (host shards, b32, bf16)",
+                "value": round(value, 3),
+                "unit": "batches/s/chip",
+                "vs_baseline": round(value / 4.2, 3),
+                "fraction_of_compute_ceiling": round(value / compute_only, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
