@@ -29,8 +29,12 @@ def shard_filename(index: int) -> str:
     return f"{index:06d}.npz"
 
 
-def write_shard(directory: str, index: int, batch: Batch) -> str:
-    """Write one batch as an ``.npz`` shard; returns the path."""
+def write_shard(directory: str, index: int, batch: Batch, compress: bool = True) -> str:
+    """Write one batch as an ``.npz`` shard; returns the path.
+
+    ``compress=False`` writes a plain npz — the right choice for local
+    SSD/tmpfs stores, where zlib decompression (GIL-heavy) costs more than
+    the bytes saved; keep compression for cloud storage."""
     os.makedirs(directory, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     for group in ("satellite", "nwp", "pv", "gsp", "datetime", "metadata"):
@@ -42,7 +46,7 @@ def write_shard(directory: str, index: int, batch: Batch) -> str:
     path = os.path.join(directory, shard_filename(index))
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        np.savez_compressed(fh, **arrays)
+        (np.savez_compressed if compress else np.savez)(fh, **arrays)
     os.replace(tmp, path)
     return path
 

@@ -130,10 +130,16 @@ class Trainer:
         prefetch_depth: int = 2,
         seed: int = 0,
         save_validation_plots: bool = True,
+        wire_float16: bool = False,
         **lightning_compat: Any,
     ):
         self.seed = seed
         self.save_validation_plots = save_validation_plots
+        #: Cast float32 batch leaves to float16 on the host before transfer —
+        #: halves host->HBM bytes (numpy f32->f16 is vectorized and cheap;
+        #: models upcast on device). Useful when the link, not compute, is
+        #: the bottleneck.
+        self.wire_float16 = wire_float16
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -321,6 +327,13 @@ class Trainer:
         sharded arrays are assembled without cross-host transfer
         (``parallel/distributed.py``, SURVEY §5.8)."""
         numeric = self._maybe_cast(host.numeric())
+        if self.wire_float16:
+            numeric = jax.tree.map(
+                lambda x: x.astype(np.float16)
+                if isinstance(x, np.ndarray) and x.dtype == np.float32
+                else x,
+                numeric,
+            )
         if jax.process_count() > 1:
             from predict_pv_yield_tpu.parallel.distributed import (
                 global_batch_from_host_local,
@@ -330,11 +343,18 @@ class Trainer:
         return jax.device_put(numeric, self._batch_shard)
 
     def _maybe_cast(self, batch: Batch) -> Batch:
+        """bf16-cast float leaves — device arrays only.
+
+        Host numpy must NOT be cast here: numpy→ml_dtypes bfloat16 is a slow
+        scalar loop (~0.5 s per 34 MB batch — measured as the end-to-end
+        pipeline bottleneck). Mixed precision on the host path comes from the
+        module dtype instead: flax casts inputs to bf16 on device, so float32
+        leaves ship as-is and narrow inside the step."""
         if not self._bf16:
             return batch
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == np.float32
+            if isinstance(x, jax.Array) and x.dtype == jnp.float32
             else x,
             batch,
         )
