@@ -88,4 +88,12 @@ def instantiate(cfg: Dict[str, Any], **extra_kwargs: Any) -> Any:
         if accepts_var_kw:
             raise
         allowed = set(signature.parameters)
+        dropped = sorted(set(kwargs) - allowed)
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s does not accept config keys %s; dropping them "
+                "(check for typos)", cls.__name__, dropped,
+            )
         return cls(**{k: v for k, v in kwargs.items() if k in allowed})

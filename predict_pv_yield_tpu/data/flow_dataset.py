@@ -138,10 +138,16 @@ class SatelliteFlowLoader:
         for _ in range(NUM_RETRIES):
             start = self.rng.choice(starts)
             i = self._time_index[start]
-            if i + window <= len(self.data):
-                frames = np.asarray(self.data[i : i + window])
-                times = np.asarray(self.datetimes[i : i + window])
-                return frames, times
+            if i + window > len(self.data):
+                continue
+            times = np.asarray(self.datetimes[i : i + window], dtype="datetime64[ns]")
+            # temporal contiguity: the reference only accepts a window whose
+            # time slice yields exactly window frames (notebook 13 cell 10) —
+            # positional slicing must not silently span archive gaps.
+            if not np.all(np.diff(times) == np.timedelta64(MINUTES_PER_TIMESTEP, "m")):
+                continue
+            frames = np.asarray(self.data[i : i + window])
+            return frames, times
         raise ValueError(f"Failed to find valid data after {NUM_RETRIES} retries!")
 
     def load_super_batch(self, batch_type: str = "training") -> SuperBatch:
@@ -156,13 +162,11 @@ class SatelliteFlowLoader:
         flows = np.asarray(flow_sequence(np.asarray(uint8_frames, np.float32)))
 
         normalised = (decoded - SAT_IMAGE_MEAN) / SAT_IMAGE_STD
-        preds = np.asarray(
-            flow_predictions(np.nan_to_num(normalised), flows)
-        )
-        # restore NaNs where source pixels were missing is handled by the
-        # warp's out-of-bounds NaN border; missing-data NaNs were zero-filled
-        # for the warp (the reference normalises before warping, keeping NaN —
-        # we keep the crop-sampler's NaN rejection via the border instead).
+        # Warp the NaN-preserving frames (reference normalises before warping,
+        # keeping NaN): interior missing-data pixels propagate into the
+        # predictions so the crop sampler's NaN rejection sees them, and the
+        # warp's out-of-bounds border adds its own NaNs.
+        preds = np.asarray(flow_predictions(normalised, flows))
         return SuperBatch(
             sat_images=normalised, flows=flows, predictions=preds, datetimes=times
         )
@@ -184,8 +188,10 @@ def sample_squares(
 
     out = dict(example)
 
-    top = rng.integers(0, height - n_pixels_per_side_large)
-    left = rng.integers(0, width - n_pixels_per_side_large)
+    # inclusive upper bound: the last valid top/left offset must be reachable
+    # (and height == crop size must work, offset 0 only)
+    top = rng.integers(0, height - n_pixels_per_side_large + 1)
+    left = rng.integers(0, width - n_pixels_per_side_large + 1)
     border = (n_pixels_per_side_large - n_pixels_per_side_small) // 2
 
     def crop(names, t, l, size):

@@ -86,7 +86,13 @@ class PrefetchingLoader:
                     pos, i = work.get_nowait()
                 except queue.Empty:
                     return
-                batch = self.dataset[i]
+                try:
+                    batch = self.dataset[i]
+                except Exception as exc:  # propagate to the consumer
+                    with results_lock:
+                        results[pos] = exc
+                        results_lock.notify_all()
+                    return
                 with results_lock:
                     # Bounded prefetch: don't run ahead of the consumer.
                     while (
@@ -111,6 +117,8 @@ class PrefetchingLoader:
                     batch = results.pop(pos)
                     next_pos[0] = pos + 1
                     results_lock.notify_all()
+                if isinstance(batch, Exception):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -76,7 +76,26 @@ def preprocess_batch(
     if sat is None or jnp.issubdtype(sat.dtype, jnp.floating):
         return batch
     if channel_names is None:
-        channel_names = SAT_VARIABLE_NAMES[1 : 1 + sat.shape[1]]
+        # No dataset configuration available: fall back by channel count.
+        # 12 → the full HRV-first list; ≤11 → the non-HRV channels in order
+        # (the common prepared-dataset layout). Ambiguous counts should pass
+        # channel_names explicitly (the engine threads it from the
+        # datamodule's configuration).
+        count = sat.shape[1]
+        if count == len(SAT_VARIABLE_NAMES):
+            channel_names = SAT_VARIABLE_NAMES
+        elif count < len(SAT_VARIABLE_NAMES):
+            channel_names = SAT_VARIABLE_NAMES[1 : 1 + count]
+        else:
+            raise ValueError(
+                f"cannot infer satellite channel stats for {count} channels; "
+                "pass channel_names"
+            )
+    if len(channel_names) != sat.shape[1]:
+        raise ValueError(
+            f"satellite data has {sat.shape[1]} channels but channel_names "
+            f"has {len(channel_names)}"
+        )
     mean, std = channel_stats(channel_names)
     decoded = decode_satellite(sat, mean, std, crop=crop)
     return batch.replace(satellite=batch.satellite.replace(data=decoded))

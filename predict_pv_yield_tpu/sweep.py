@@ -73,7 +73,9 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
             }
             value = evaluate(assignment)
             trials.append((assignment, value))
-            return float("inf") if value is None else value
+            if value is None:  # failed trial must never win
+                return float("inf") if direction == "minimize" else float("-inf")
+            return value
 
         sampler = optuna.samplers.TPESampler(seed=seed)
         study = optuna.create_study(direction=direction, sampler=sampler)

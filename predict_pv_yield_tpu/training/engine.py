@@ -172,6 +172,9 @@ class Trainer:
         self._model = None
         self._datamodule = None
         self._compiled: Dict[str, Any] = {}
+        #: satellite channel list from the dataset configuration — drives the
+        #: per-channel stats of the fused int16 decode.
+        self._satellite_channels = None
 
     # ------------------------------------------------------------------
     @property
@@ -188,6 +191,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def _resolve_loaders(self, datamodule, train_loader, val_loader):
         if datamodule is not None:
+            configuration = getattr(datamodule, "configuration", None)
+            if configuration is not None:
+                self._satellite_channels = tuple(
+                    configuration.input_data.satellite.satellite_channels
+                )
             if train_loader is None and hasattr(datamodule, "train_dataloader"):
                 train_loader = datamodule.train_dataloader()
             if val_loader is None and hasattr(datamodule, "val_dataloader"):
@@ -203,9 +211,21 @@ class Trainer:
         return model
 
     def _example_batch(self, loader) -> Batch:
+        # Prefer side-effect-free access: a prefetching loader's underlying
+        # map-style dataset, or direct indexing — iterating would consume an
+        # epoch (shuffle counter, spawned worker threads) just for shapes.
+        dataset = getattr(loader, "dataset", None)
+        if dataset is not None and hasattr(dataset, "__getitem__"):
+            return as_batch(dataset[0])
         if hasattr(loader, "__getitem__"):
             return as_batch(loader[0])
-        return as_batch(next(iter(loader)))
+        iterator = iter(loader)
+        try:
+            return as_batch(next(iterator))
+        finally:
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                close()
 
     def setup(self, model, example_batch: Batch) -> None:
         """Build mesh, init or restore parameters, construct the optimiser."""
@@ -254,7 +274,7 @@ class Trainer:
         # widening happens in HBM (data/preprocess.py).
         from predict_pv_yield_tpu.data.preprocess import preprocess_batch
 
-        batch = preprocess_batch(batch)
+        batch = preprocess_batch(batch, channel_names=self._satellite_channels)
         weighted = WeightedLosses(forecast_length=model.forecast_len)
         y_hat = model.apply(variables, batch).astype(jnp.float32)
         y = model.target(batch).astype(jnp.float32)

@@ -78,7 +78,10 @@ def train(config: Dict[str, Any]) -> Optional[float]:
     )
 
     log.info("Starting training!")
-    if "validate_only" in config:
+    validate_only = config.get("validate_only")
+    if isinstance(validate_only, str):
+        validate_only = validate_only.strip().lower() not in ("", "0", "false", "none")
+    if validate_only:
         trainer.validate(model=model, datamodule=datamodule)
     else:
         trainer.fit(model=model, datamodule=datamodule)

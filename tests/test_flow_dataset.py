@@ -147,3 +147,67 @@ def test_flow_forecaster_trains(archive):
     variables = optax.apply_updates(variables, updates)
     loss1 = loss_fn(variables)
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+
+
+def test_window_rejects_time_gaps():
+    """Positional windows spanning archive gaps must be rejected (the
+    reference's contiguity check)."""
+    frames, datetimes = _fake_archive(n_days=1)
+    # remove an afternoon chunk, leaving a gap inside every candidate window
+    keep = np.ones(len(frames), bool)
+    keep[126:132] = False  # ~10:30-11:00
+    loader = SatelliteFlowLoader(
+        data=frames[keep],
+        datetimes=datetimes[keep],
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2020-01-01"), np.datetime64("2020-01-02")),
+        rng_seed=0,
+    )
+    starts = loader.valid_start_times["training"]
+    # every remaining valid start leads into the gap -> loader must refuse
+    # rather than return a discontiguous window
+    window = loader.num_forecast_timesteps + 1
+    idx = [loader._time_index[s] for s in starts]
+    spans_gap = [
+        not np.all(
+            np.diff(np.asarray(loader.datetimes[i : i + window], dtype="datetime64[ns]"))
+            == np.timedelta64(5, "m")
+        )
+        for i in idx
+    ]
+    if all(spans_gap):
+        with pytest.raises(ValueError, match="Failed to find valid data"):
+            loader.load_satellite_window("training")
+    else:
+        frames_out, times = loader.load_satellite_window("training")
+        assert np.all(np.diff(times) == np.timedelta64(5, "m"))
+
+
+def test_sample_squares_exact_size_ok():
+    rng = np.random.default_rng(0)
+    example = {
+        OPTICAL_FLOW_PREDICTIONS: np.zeros((128, 128), np.float32),
+        HISTORICAL_SAT_IMAGES: np.zeros((4, 128, 128), np.float32),
+        TARGET_SAT_IMAGE: np.zeros((128, 128), np.float32),
+        FORECAST_HORIZON: np.float32(0),
+    }
+    out = sample_squares(example, rng)
+    assert out[OPTICAL_FLOW_PREDICTIONS].shape == (128, 128)
+    assert out[TARGET_SAT_IMAGE].shape == (64, 64)
+
+
+def test_interior_nans_propagate_to_predictions():
+    """Missing-data pixels (int16 == -1) must surface as NaN in the flow
+    predictions so crop rejection sees them."""
+    frames, datetimes = _fake_archive(n_days=1)
+    frames = frames.copy()
+    frames[:, 80:90, 80:90] = -1  # persistent interior outage
+    loader = SatelliteFlowLoader(
+        data=frames,
+        datetimes=datetimes,
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2020-01-01"), np.datetime64("2020-01-02")),
+    )
+    super_batch = loader.load_super_batch("training")
+    assert np.isnan(super_batch.sat_images[:, 85, 85]).all()
+    assert np.isnan(super_batch.predictions[0, 0, 85, 85])

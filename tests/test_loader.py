@@ -65,3 +65,18 @@ def test_prefetching_loader_order_and_shuffle(prepared_dataset):
     second_epoch = [int(b.metadata.t0_datetime_utc[0]) for b in shuffled]
     assert sorted(first_epoch) == sorted(second_epoch) == sorted(int(x) for x in a)
     assert first_epoch != second_epoch  # reshuffled per epoch
+
+
+def test_prefetching_loader_propagates_worker_errors():
+    class FlakyDataset:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise RuntimeError("corrupt shard")
+            return i
+
+    loader = PrefetchingLoader(FlakyDataset(), num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        list(loader)

@@ -124,11 +124,23 @@ def main() -> None:
         if step >= args.steps:
             break
 
-    # evaluation: SSIM of model vs flow-only vs persistence on fresh examples
+    # evaluation: SSIM of model vs flow-only vs persistence on the held-out
+    # testing date range (the notebook's BatchType.TESTING split)
+    eval_dataset = FlowInMemDataset(
+        loader,
+        n_super_batches=1,
+        n_examples_per_epoch=8 * args.batch_size,
+        batch_size=args.batch_size,
+        batch_type="testing",
+        crop_large=args.crop_large,
+        crop_small=args.crop_small,
+        background_refresh=False,
+        seed=1,
+    )
     border = (args.crop_large - args.crop_small) // 2
     scores = {"model": [], "flow": [], "persistence": []}
     for _ in range(8):
-        batch = next(iter(dataset))
+        batch = next(iter(eval_dataset))
         prediction = np.asarray(model.apply(variables, batch))
         target = batch[TARGET_SAT_IMAGE]
         centre = (slice(None), slice(border, -border), slice(border, -border))
