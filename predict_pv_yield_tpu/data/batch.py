@@ -67,6 +67,32 @@ class GSPBatch:
 
 
 @struct.dataclass
+class HRVSatelliteBatch:
+    """High-resolution visible channel (own grid; BatchML carries it as a
+    separate group — unused by the reference's models but part of the batch
+    schema)."""
+
+    data: Optional[Array] = None  # (B, 1, T5, Hh, Wh)
+    x: Optional[Array] = None
+    y: Optional[Array] = None
+
+
+@struct.dataclass
+class SunBatch:
+    """Solar geometry series (BatchML ``sun`` group)."""
+
+    sun_elevation_angle: Optional[Array] = None  # (B, T5) degrees
+    sun_azimuth_angle: Optional[Array] = None  # (B, T5) degrees
+
+
+@struct.dataclass
+class TopographicBatch:
+    """Static elevation map (BatchML ``topographic`` group)."""
+
+    topo_data: Optional[Array] = None  # (B, Ht, Wt) metres
+
+
+@struct.dataclass
 class DatetimeBatch:
     """Cyclic datetime features at 5-minute cadence (consumed by the
     experiment models, reference ``experiments/001...py:320-342``)."""
@@ -85,9 +111,12 @@ class Metadata:
 @struct.dataclass
 class Batch:
     satellite: SatelliteBatch = struct.field(default_factory=SatelliteBatch)
+    hrvsatellite: HRVSatelliteBatch = struct.field(default_factory=HRVSatelliteBatch)
     nwp: NWPBatch = struct.field(default_factory=NWPBatch)
     pv: PVBatch = struct.field(default_factory=PVBatch)
     gsp: GSPBatch = struct.field(default_factory=GSPBatch)
+    sun: SunBatch = struct.field(default_factory=SunBatch)
+    topographic: TopographicBatch = struct.field(default_factory=TopographicBatch)
     datetime: DatetimeBatch = struct.field(default_factory=DatetimeBatch)
     metadata: Metadata = struct.field(default_factory=Metadata)
 
@@ -131,6 +160,9 @@ class Batch:
 
         return cls(
             satellite=build(SatelliteBatch, data.get("satellite", {})),
+            hrvsatellite=build(HRVSatelliteBatch, data.get("hrvsatellite", {})),
+            sun=build(SunBatch, data.get("sun", {})),
+            topographic=build(TopographicBatch, data.get("topographic", {})),
             nwp=build(NWPBatch, data.get("nwp", {})),
             pv=build(PVBatch, data.get("pv", {})),
             gsp=build(GSPBatch, data.get("gsp", {})),
@@ -169,10 +201,12 @@ def batch_shapes(configuration) -> Dict[str, Dict[str, tuple]]:
         return SeqLens(history, forecast)
 
     sat = input_data.satellite
+    hrv = input_data.hrvsatellite
     nwp = input_data.nwp
     pv = input_data.pv
     gsp = input_data.gsp
 
+    hrv_lens = lens(hrv)
     sat_lens = lens(sat)
     nwp_lens = lens(nwp)
     pv_lens = lens(pv)
@@ -193,6 +227,26 @@ def batch_shapes(configuration) -> Dict[str, Dict[str, tuple]]:
             "x": (batch_size, sat.satellite_image_size_pixels),
             "y": (batch_size, sat.satellite_image_size_pixels),
             "datetime_index": (batch_size, sat_lens.seq_len_5),
+        },
+        "hrvsatellite": {
+            "data": (
+                batch_size,
+                len(hrv.hrvsatellite_channels),
+                hrv_lens.seq_len_5,
+                hrv.hrvsatellite_image_size_pixels,
+                hrv.hrvsatellite_image_size_pixels,
+            ),
+        },
+        "sun": {
+            "sun_elevation_angle": (batch_size, sat_lens.seq_len_5),
+            "sun_azimuth_angle": (batch_size, sat_lens.seq_len_5),
+        },
+        "topographic": {
+            "topo_data": (
+                batch_size,
+                input_data.topographic.topographic_image_size_pixels,
+                input_data.topographic.topographic_image_size_pixels,
+            ),
         },
         "nwp": {
             "data": (

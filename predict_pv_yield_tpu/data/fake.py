@@ -42,7 +42,13 @@ def fake_batch(configuration, rng: np.random.Generator) -> Batch:
         for name, shape in fields.items():
             dtype = field_dtype(name)
             if dtype == np.float32:
-                if name.endswith("_sin") or name.endswith("_cos"):
+                if name == "sun_elevation_angle":
+                    arr = rng.uniform(-10.0, 60.0, size=shape).astype(np.float32)
+                elif name == "sun_azimuth_angle":
+                    arr = rng.uniform(0.0, 360.0, size=shape).astype(np.float32)
+                elif name == "topo_data":
+                    arr = rng.uniform(0.0, 600.0, size=shape).astype(np.float32)
+                elif name.endswith("_sin") or name.endswith("_cos"):
                     arr = rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
                 elif name == "x":  # OSGB easting per column
                     arr = rng.uniform(0.0, 650_000.0, size=shape).astype(np.float32)

@@ -37,7 +37,7 @@ def write_shard(directory: str, index: int, batch: Batch, compress: bool = True)
     the bytes saved; keep compression for cloud storage."""
     os.makedirs(directory, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
-    for group in ("satellite", "nwp", "pv", "gsp", "datetime", "metadata"):
+    for group in ("satellite", "hrvsatellite", "nwp", "pv", "gsp", "sun", "topographic", "datetime", "metadata"):
         sub = getattr(batch, group)
         for field in sub.__dataclass_fields__:
             value = getattr(sub, field)
