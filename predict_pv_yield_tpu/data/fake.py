@@ -116,8 +116,7 @@ def fake_batch_on_device(configuration, seed: int = 0, sharding=None):
     shapes = batch_shapes(configuration)
 
     def build(key):
-        keys = jax.random.split(key, 16)
-        k = iter(range(16))
+        counter = iter(range(1_000))
         data: dict = {}
         for group, fields in shapes.items():
             data[group] = {}
@@ -125,17 +124,16 @@ def fake_batch_on_device(configuration, seed: int = 0, sharding=None):
                 dtype = field_dtype(name)
                 if dtype == np.int64:
                     continue
+                field_key = jax.random.fold_in(key, next(counter))
                 if dtype == np.int32:
                     high = 940 if name == "pv_system_row_number" else 340
-                    arr = jax.random.randint(keys[next(k)], shape, 0, high, jnp.int32)
+                    arr = jax.random.randint(field_key, shape, 0, high, jnp.int32)
                 elif name in ("pv_yield", "gsp_yield"):
-                    arr = jax.random.uniform(keys[next(k)], shape, jnp.float32)
+                    arr = jax.random.uniform(field_key, shape, jnp.float32)
                 elif name == "gsp_capacity":
-                    arr = jax.random.uniform(
-                        keys[next(k)], shape, jnp.float32, 10.0, 500.0
-                    )
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, 10.0, 500.0)
                 else:
-                    arr = jax.random.normal(keys[next(k)], shape, jnp.float32)
+                    arr = jax.random.normal(field_key, shape, jnp.float32)
                 data[group][name] = arr
         return Batch.from_dict(data)
 
