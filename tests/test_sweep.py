@@ -1,0 +1,79 @@
+"""Sweeper unit tests (first-party sampler path; optuna path is exercised
+when optuna is installed)."""
+
+import numpy as np
+
+from predict_pv_yield_tpu import sweep as sweep_mod
+from predict_pv_yield_tpu.sweep import _space_choices, run_sweep
+
+
+def test_space_choices():
+    space = {
+        "a": {"type": "categorical", "choices": [True, False]},
+        "b": {"type": "int", "low": 1, "high": 4, "steps": 4},
+    }
+    choices = dict(_space_choices(space))
+    assert choices["a"] == [True, False]
+    assert choices["b"] == [1, 2, 3, 4]
+
+
+def test_run_sweep_finds_best(monkeypatch):
+    """Exhaustive sampler over a 2x2 space picks the known optimum."""
+    calls = []
+
+    def fake_train(config):
+        a = config["model"]["a"]
+        b = config["model"]["b"]
+        value = (0.1 if a else 0.5) + (0.01 if b else 0.2)
+        calls.append((a, b, value))
+        return value
+
+    monkeypatch.setattr(
+        "predict_pv_yield_tpu.training.pipeline.train", fake_train
+    )
+
+    def compose_fn(overrides):
+        config = {"model": {"a": False, "b": False}}
+        for override in overrides:
+            key, _, raw = override.partition("=")
+            config["model"][key.split(".")[-1]] = raw == "True"
+        return config
+
+    config = {
+        "optimized_metric": "MSE/Validation_epoch",
+        "sweep": {
+            "direction": "minimize",
+            "n_trials": 10,
+            "seed": 0,
+            "search_space": {
+                "model.a": {"type": "categorical", "choices": [True, False]},
+                "model.b": {"type": "categorical", "choices": [True, False]},
+            },
+        },
+    }
+    best_value, best_params, trials = run_sweep(compose_fn, [], config)
+    assert np.isclose(best_value, 0.11)
+    assert best_params == {"model.a": True, "model.b": True} or best_params == {
+        "model.a": "True",
+        "model.b": "True",
+    }
+    assert len(trials) >= 4  # exhaustive over the 2x2 space
+
+
+def test_failed_trials_never_win(monkeypatch):
+    monkeypatch.setattr(
+        "predict_pv_yield_tpu.training.pipeline.train", lambda config: None
+    )
+    config = {
+        "optimized_metric": "x",
+        "sweep": {
+            "direction": "maximize",
+            "n_trials": 2,
+            "search_space": {
+                "model.a": {"type": "categorical", "choices": [1, 2]},
+            },
+        },
+    }
+    best_value, best_params, trials = run_sweep(lambda overrides: {"model": {}}, [], config)
+    if best_value is not None:  # optuna path returns sentinel -inf
+        assert best_value == float("-inf")
