@@ -17,11 +17,9 @@ def test_initialize_noop_single_process():
 
 
 def test_host_local_batch_slice_single_process():
+    # single process owns the whole batch; any size divides 1
     assert host_local_batch_slice(32) == slice(0, 32)
-    with pytest.raises(ValueError):
-        host_local_batch_slice(33) if jax.process_count() > 1 else (_ for _ in ()).throw(
-            ValueError
-        )
+    assert host_local_batch_slice(33) == slice(0, 33)
 
 
 def test_global_batch_from_host_local_roundtrip():
