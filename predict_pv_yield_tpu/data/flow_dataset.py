@@ -96,8 +96,23 @@ def compute_valid_start_times(
 class SuperBatch:
     sat_images: np.ndarray  # (T, H, W) normalised float32 (NaNs preserved)
     flows: np.ndarray  # (T-1, H, W, 2)
-    predictions: np.ndarray  # (T-1, T-1, H, W) normalised, NaN borders
+    #: (T-1, T-1, H, W) dense prediction matrix, or None when the loader runs
+    #: with precompute_predictions=False (real-scale HRV frames: the dense
+    #: matrix is O(T²·H·W) ≈ tens of GB; predictions are then warped lazily
+    #: per sampled example instead).
+    predictions: Optional[np.ndarray]
     datetimes: np.ndarray  # (T,)
+
+    def prediction(self, t0_idx: int, step: int) -> np.ndarray:
+        """Prediction for timestep ``t0_idx + step`` from source ``t0_idx``."""
+        if self.predictions is not None:
+            return self.predictions[t0_idx, step - 1]
+        from predict_pv_yield_tpu.ops.remap import remap_image
+
+        # same math as the dense path: warp the NaN-preserving frame
+        return np.asarray(
+            remap_image(self.sat_images[t0_idx], self.flows[t0_idx] * float(step))
+        )
 
 
 @dataclass
@@ -117,6 +132,10 @@ class SatelliteFlowLoader:
         np.datetime64("2019-06-14"),
     )
     rng_seed: Optional[int] = 42
+    #: False skips the dense (T-1, T-1, H, W) prediction matrix (O(T²·H·W)
+    #: memory — tens of GB at real HRV frame sizes); examples then warp their
+    #: single needed prediction lazily via SuperBatch.prediction().
+    precompute_predictions: bool = True
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.rng_seed)
@@ -166,7 +185,11 @@ class SatelliteFlowLoader:
         # keeping NaN): interior missing-data pixels propagate into the
         # predictions so the crop sampler's NaN rejection sees them, and the
         # warp's out-of-bounds border adds its own NaNs.
-        preds = np.asarray(flow_predictions(normalised, flows))
+        preds = (
+            np.asarray(flow_predictions(normalised, flows))
+            if self.precompute_predictions
+            else None
+        )
         return SuperBatch(
             sat_images=normalised, flows=flows, predictions=preds, datetimes=times
         )
@@ -233,7 +256,7 @@ def super_batch_to_example(
             TARGET_SAT_IMAGE: super_batch.sat_images[t0_idx + step],
             FORECAST_HORIZON: normalise_forecast_horizon(step * SECONDS_PER_TIMESTEP),
             HISTORICAL_SAT_IMAGES: super_batch.sat_images[hist_start:hist_end:history_stride],
-            OPTICAL_FLOW_PREDICTIONS: super_batch.predictions[t0_idx, step - 1],
+            OPTICAL_FLOW_PREDICTIONS: super_batch.prediction(t0_idx, step),
         }
         for _ in range(MAX_RETRIES):
             try:

@@ -211,3 +211,31 @@ def test_interior_nans_propagate_to_predictions():
     super_batch = loader.load_super_batch("training")
     assert np.isnan(super_batch.sat_images[:, 85, 85]).all()
     assert np.isnan(super_batch.predictions[0, 0, 85, 85])
+
+
+def test_lazy_predictions_match_dense(archive):
+    frames, datetimes = archive
+    kwargs = dict(
+        data=frames,
+        datetimes=datetimes,
+        num_forecast_timesteps=48,
+        testing_date_range=(np.datetime64("2019-05-29"), np.datetime64("2019-05-30")),
+        rng_seed=7,
+    )
+    dense = SatelliteFlowLoader(**kwargs).load_super_batch("training")
+    lazy = SatelliteFlowLoader(**kwargs, precompute_predictions=False).load_super_batch(
+        "training"
+    )
+    assert lazy.predictions is None
+    np.testing.assert_array_equal(dense.sat_images, lazy.sat_images)
+    for t0_idx, step in ((0, 1), (3, 5), (10, 2)):
+        a = dense.prediction(t0_idx, step)
+        b = lazy.prediction(t0_idx, step)
+        np.testing.assert_allclose(
+            np.nan_to_num(a), np.nan_to_num(b), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+
+    rng = np.random.default_rng(0)
+    example = super_batch_to_example(lazy, rng=rng)
+    assert example[OPTICAL_FLOW_PREDICTIONS].shape == (128, 128)
