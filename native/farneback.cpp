@@ -13,8 +13,13 @@
 //      Gaussian-weighted correlations and a constant 6x6 normal-equation
 //      inverse;
 //   2. displacement update: warped-coefficient averaging, Gaussian window
-//      accumulation of A^T A / A^T db, per-pixel 2x2 solve;
-//   3. coarse-to-fine binomial pyramid (scale 0.5).
+//      accumulation of A^T A / A^T db, per-pixel 2x2 solve — with OpenCV's
+//      5-px border damping ramp and out-of-bounds warp branch, so results
+//      match cv2.calcOpticalFlowFarneback to sub-pixel precision (the same
+//      semantics as the XLA kernel; gated by tests/test_opencv_parity.py);
+//   3. coarse-to-fine pyramid, OpenCV semantics: `levels` counts downscale
+//      steps (levels+1 images, short side capped at >= 32 px), each level a
+//      Gaussian-smoothed INTER_LINEAR resize of the ORIGINAL frame.
 //
 // Build: g++ -O3 -shared -fPIC (see native/Makefile). API is C for ctypes.
 
@@ -173,6 +178,18 @@ inline float bilinear(const float* f, int H, int W, float y, float x) {
 
 // -------------------------------------------------------- flow update
 
+// cv2's FarnebackUpdateMatrices border damping ramp (5 px).
+const float kBorderRamp[5] = {0.14f, 0.14f, 0.4472f, 0.4472f, 0.4472f};
+
+inline float border_scale(int x, int y, int H, int W) {
+  float s = 1.f;
+  if (x < 5) s *= kBorderRamp[x];
+  if (x >= W - 5) s *= kBorderRamp[W - 1 - x];
+  if (y < 5) s *= kBorderRamp[y];
+  if (y >= H - 5) s *= kBorderRamp[H - 1 - y];
+  return s;
+}
+
 void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
                  vector<float>& flow /* 2*N, [dx|dy] planes */, int winsize,
                  bool gaussian) {
@@ -183,13 +200,27 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
       int i = y * W + x;
       float dx = flow[i], dy = flow[N + i];
       float sx = x + dx, sy = y + dy;
-      float a11 = 0.5f * (p1.A11[i] + bilinear(p2.A11.data(), H, W, sy, sx));
-      float a12 = 0.5f * (p1.A12[i] + bilinear(p2.A12.data(), H, W, sy, sx));
-      float a22 = 0.5f * (p1.A22[i] + bilinear(p2.A22.data(), H, W, sy, sx));
-      float db1 = -0.5f * (bilinear(p2.b1.data(), H, W, sy, sx) - p1.b1[i]) +
-                  (a11 * dx + a12 * dy);
-      float db2 = -0.5f * (bilinear(p2.b2.data(), H, W, sy, sx) - p1.b2[i]) +
-                  (a12 * dx + a22 * dy);
+      float a11, a12, a22, db1, db2;
+      // cv2 only warp-samples when floor(sample) is strictly interior;
+      // otherwise A-bar = A1 and the b difference is dropped.
+      int xf = (int)std::floor(sx), yf = (int)std::floor(sy);
+      if (xf >= 0 && xf <= W - 2 && yf >= 0 && yf <= H - 2) {
+        a11 = 0.5f * (p1.A11[i] + bilinear(p2.A11.data(), H, W, sy, sx));
+        a12 = 0.5f * (p1.A12[i] + bilinear(p2.A12.data(), H, W, sy, sx));
+        a22 = 0.5f * (p1.A22[i] + bilinear(p2.A22.data(), H, W, sy, sx));
+        db1 = -0.5f * (bilinear(p2.b1.data(), H, W, sy, sx) - p1.b1[i]);
+        db2 = -0.5f * (bilinear(p2.b2.data(), H, W, sy, sx) - p1.b2[i]);
+      } else {
+        a11 = p1.A11[i];
+        a12 = p1.A12[i];
+        a22 = p1.A22[i];
+        db1 = 0.f;
+        db2 = 0.f;
+      }
+      db1 += a11 * dx + a12 * dy;
+      db2 += a12 * dx + a22 * dy;
+      float s = border_scale(x, y, H, W);
+      a11 *= s; a12 *= s; a22 *= s; db1 *= s; db2 *= s;
       g11[i] = a11 * a11 + a12 * a12;
       g12[i] = a11 * a12 + a12 * a22;
       g22[i] = a12 * a12 + a22 * a22;
@@ -201,13 +232,10 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
   int radius = winsize / 2;
   vector<float> kernel;
   if (gaussian) {
-    float sigma = winsize * 0.15f;
-    if (sigma < 1.f) sigma = 1.f;
+    float sigma = radius * 0.3f;  // cv2: sigma = (block_size/2) * 0.3
     gaussian_kernel(sigma, radius, kernel);
   } else {
-    kernel.assign(winsize, 1.0f / winsize);
-    radius = (winsize - 1) / 2;  // odd box
-    kernel.resize(2 * radius + 1, 1.0f / winsize);
+    kernel.assign(2 * radius + 1, 1.0f / (2 * radius + 1));
   }
   vector<float> tmp(N), sm(N);
   float* fields[5] = {g11.data(), g12.data(), g22.data(), h1.data(), h2.data()};
@@ -224,16 +252,75 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
   }
 }
 
-void downsample(const float* src, int H, int W, vector<float>& dst, int& h2,
-                int& w2) {
-  static const float k[5] = {1.f / 16, 4.f / 16, 6.f / 16, 4.f / 16, 1.f / 16};
-  vector<float> blurred(H * W), tmp(H * W);
-  sep_correlate(src, blurred.data(), H, W, k, 2, k, 2, tmp.data());
-  h2 = (H + 1) / 2;
-  w2 = (W + 1) / 2;
-  dst.resize(h2 * w2);
-  for (int y = 0; y < h2; ++y)
-    for (int x = 0; x < w2; ++x) dst[y * w2 + x] = blurred[(2 * y) * W + (2 * x)];
+// Separable blur with BORDER_REFLECT_101 (cv2 GaussianBlur default).
+void blur_reflect101(const float* src, float* dst, int H, int W,
+                     const float* k, int r, float* tmp) {
+  auto reflect = [](int i, int n) {
+    if (i < 0) i = -i;
+    if (i >= n) i = 2 * n - 2 - i;
+    return i;
+  };
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      float acc = 0.f;
+      for (int t = -r; t <= r; ++t)
+        acc += src[y * W + reflect(x + t, W)] * k[t + r];
+      tmp[y * W + x] = acc;
+    }
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      float acc = 0.f;
+      for (int t = -r; t <= r; ++t)
+        acc += tmp[reflect(y + t, H) * W + x] * k[t + r];
+      dst[y * W + x] = acc;
+    }
+}
+
+// cv2 getGaussianKernel: fixed binomial taps when sigma<=0 at small sizes.
+void pyramid_smooth_kernel(float sigma, int size, vector<float>& k) {
+  if (sigma <= 0.f && size <= 7) {
+    static const float k3[] = {0.25f, 0.5f, 0.25f};
+    static const float k5[] = {0.0625f, 0.25f, 0.375f, 0.25f, 0.0625f};
+    static const float k7[] = {0.03125f, 0.109375f, 0.21875f, 0.28125f,
+                               0.21875f, 0.109375f, 0.03125f};
+    const float* src = size == 3 ? k3 : (size == 5 ? k5 : k7);
+    k.assign(src, src + size);
+    return;
+  }
+  if (sigma <= 0.f) sigma = 0.3f * ((size - 1) * 0.5f - 1.f) + 0.8f;
+  gaussian_kernel(sigma, size / 2, k);
+}
+
+// Level-k input, cv2 calcOpticalFlowFarneback semantics: smooth the ORIGINAL
+// image with sigma=(1/scale-1)/2 (ksize=round(5*sigma)|1, min 3), then one
+// INTER_LINEAR (half-pixel, non-antialiased) resize to the level size.
+void pyramid_level(const float* img, int H, int W, int level, float pyr_scale,
+                   vector<float>& dst, int& h_out, int& w_out) {
+  double scale = std::pow((double)pyr_scale, level);
+  float sigma = (float)((1.0 / scale - 1.0) * 0.5);
+  int size = (int)std::rint(sigma * 5.0) | 1;
+  if (size < 3) size = 3;
+  vector<float> kernel;
+  pyramid_smooth_kernel(sigma, size, kernel);
+  vector<float> smoothed(H * W), tmp(H * W);
+  blur_reflect101(img, smoothed.data(), H, W, kernel.data(),
+                  (int)kernel.size() / 2, tmp.data());
+  if (level == 0) {
+    h_out = H;
+    w_out = W;
+    dst = std::move(smoothed);
+    return;
+  }
+  h_out = (int)std::rint(H * scale);
+  w_out = (int)std::rint(W * scale);
+  dst.resize(h_out * w_out);
+  for (int y = 0; y < h_out; ++y) {
+    float sy = (y + 0.5f) * (float)H / h_out - 0.5f;
+    for (int x = 0; x < w_out; ++x) {
+      float sx = (x + 0.5f) * (float)W / w_out - 0.5f;
+      dst[y * w_out + x] = bilinear(smoothed.data(), H, W, sy, sx);
+    }
+  }
 }
 
 }  // namespace
@@ -244,45 +331,46 @@ extern "C" {
 void farneback_flow(const float* im1, const float* im2, int H, int W,
                     float* flow_out, int levels, int winsize, int iterations,
                     int poly_n, float poly_sigma, int gaussian) {
-  // build pyramid
-  vector<vector<float>> pyr1, pyr2;
-  vector<int> hs, ws;
-  pyr1.emplace_back(im1, im1 + H * W);
-  pyr2.emplace_back(im2, im2 + H * W);
-  hs.push_back(H);
-  ws.push_back(W);
-  for (int l = 1; l < levels; ++l) {
-    vector<float> d1, d2;
-    int h2, w2;
-    downsample(pyr1.back().data(), hs.back(), ws.back(), d1, h2, w2);
-    downsample(pyr2.back().data(), hs.back(), ws.back(), d2, h2, w2);
-    pyr1.push_back(std::move(d1));
-    pyr2.push_back(std::move(d2));
-    hs.push_back(h2);
-    ws.push_back(w2);
+  const float pyr_scale = 0.5f;
+  // cv2 cap: `levels` counts downscale steps; stop before the short side
+  // drops below 32 px. levels_used+1 pyramid images total.
+  int min_side = H < W ? H : W;
+  int levels_used = 0;
+  for (int k = 0; k < levels; ++k) {
+    if (min_side * std::pow((double)pyr_scale, k + 1) < 32.0) break;
+    levels_used = k + 1;
   }
 
-  vector<float> flow(2 * hs.back() * ws.back(), 0.f);
-  for (int level = levels - 1; level >= 0; --level) {
-    int h = hs[level], w = ws[level];
-    if ((int)flow.size() != 2 * h * w) {
-      // upsample flow from the coarser level and rescale by 2
-      int ph = hs[level + 1], pw = ws[level + 1];
+  vector<float> flow;
+  int prev_h = 0, prev_w = 0;
+  for (int level = levels_used; level >= 0; --level) {
+    vector<float> l1, l2;
+    int h, w;
+    pyramid_level(im1, H, W, level, pyr_scale, l1, h, w);
+    pyramid_level(im2, H, W, level, pyr_scale, l2, h, w);
+    if (flow.empty()) {
+      flow.assign(2 * h * w, 0.f);
+    } else if (prev_h != h || prev_w != w) {
+      // INTER_LINEAR upsample (half-pixel) + rescale by 1/pyr_scale
       vector<float> up(2 * h * w);
       for (int plane = 0; plane < 2; ++plane) {
-        const float* src = flow.data() + plane * ph * pw;
-        for (int y = 0; y < h; ++y)
+        const float* src = flow.data() + plane * prev_h * prev_w;
+        for (int y = 0; y < h; ++y) {
+          float sy = (y + 0.5f) * (float)prev_h / h - 0.5f;
           for (int x = 0; x < w; ++x) {
-            float sy = (float)y * (ph - 1) / (h - 1 > 0 ? h - 1 : 1);
-            float sx = (float)x * (pw - 1) / (w - 1 > 0 ? w - 1 : 1);
-            up[plane * h * w + y * w + x] = 2.f * bilinear(src, ph, pw, sy, sx);
+            float sx = (x + 0.5f) * (float)prev_w / w - 0.5f;
+            up[plane * h * w + y * w + x] =
+                bilinear(src, prev_h, prev_w, sy, sx) / pyr_scale;
           }
+        }
       }
       flow = std::move(up);
     }
+    prev_h = h;
+    prev_w = w;
     PolyExp p1, p2;
-    polynomial_expansion(pyr1[level].data(), h, w, poly_n, poly_sigma, p1);
-    polynomial_expansion(pyr2[level].data(), h, w, poly_n, poly_sigma, p2);
+    polynomial_expansion(l1.data(), h, w, poly_n, poly_sigma, p1);
+    polynomial_expansion(l2.data(), h, w, poly_n, poly_sigma, p2);
     for (int it = 0; it < iterations; ++it)
       update_flow(p1, p2, h, w, flow, winsize, gaussian != 0);
   }

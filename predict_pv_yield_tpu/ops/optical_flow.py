@@ -24,9 +24,10 @@ polynomial expansion", SCIA 2003):
     ``winsize`` window — a fused Pallas kernel on TPU (``ops/pallas_blur``):
     both separable passes as banded-matrix MXU matmuls with the intermediate
     resident in VMEM — and solve the per-pixel 2×2 system on the VPU.
-3.  **Pyramid**: coarse-to-fine over ``levels`` with scale ``pyr_scale``
-    (5-tap [1,4,6,4,1] blur + stride-2 subsample for the 0.5 case), flow
-    upsampled bilinearly and rescaled between levels.
+3.  **Pyramid**: coarse-to-fine over levels+1 images (OpenCV semantics:
+    ``levels`` counts downscale steps), each a Gaussian-smoothed
+    INTER_LINEAR resize of the original frame, flow upsampled bilinearly
+    and rescaled between levels.
 
 Everything is **batched-first**: every function takes (N, H, W) frame pairs
 and the batch dimension flows through the convolutions and the Pallas
@@ -179,29 +180,83 @@ def bilinear_sample(field: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
     return top * (1 - wy) + bottom * wy
 
 
-def _resize_bilinear(field: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    """Resize the two spatial dims of (N, H, W, ...)."""
-    out_shape = (field.shape[0], *shape, *field.shape[3:])
-    return jax.image.resize(field, out_shape, method="bilinear")
+def _resize_linear(field: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Resize the two spatial dims of (N, H, W, ...) with plain (non-
+    antialiased) bilinear point sampling at half-pixel-centre coordinates —
+    OpenCV ``INTER_LINEAR`` semantics, which ``jax.image.resize`` does NOT
+    match on downscale (it antialiases)."""
+    in_h, in_w = field.shape[1:3]
+    out_h, out_w = shape
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (in_h / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (in_w / out_w) - 0.5
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+    return jax.vmap(lambda f: bilinear_sample(f, grid_y, grid_x))(field)
 
 
-def _downsample(images: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W): 5-tap binomial blur + 2× subsample (pyr_scale=0.5 step)."""
-    k = np.array([1, 4, 6, 4, 1], dtype=np.float32) / 16.0
-    padded = jnp.pad(images, ((0, 0), (2, 2), (2, 2)), mode="edge")[:, None]
+def _cv_round(value: float) -> int:
+    """OpenCV cvRound: round half to even (C rint semantics)."""
+    return int(np.rint(value))
+
+
+@functools.lru_cache(maxsize=None)
+def _pyramid_smooth_kernel(sigma: float, size: int) -> np.ndarray:
+    """OpenCV ``getGaussianKernel`` semantics: fixed binomial coefficients for
+    sigma<=0 at small sizes, a sampled normalised Gaussian otherwise."""
+    if sigma <= 0 and size <= 7:
+        fixed = {
+            1: [1.0],
+            3: [0.25, 0.5, 0.25],
+            5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+            7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+        }
+        return np.asarray(fixed[size], np.float32)
+    if sigma <= 0:
+        sigma = 0.3 * ((size - 1) * 0.5 - 1) + 0.8
+    x = np.arange(size, dtype=np.float64) - (size - 1) * 0.5
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _smooth_reflect101(images: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable blur of (N, H, W) with BORDER_REFLECT_101 (OpenCV
+    ``GaussianBlur`` default)."""
+    radius = len(kernel) // 2
+    k = jnp.asarray(kernel)
+    padded = jnp.pad(
+        images, ((0, 0), (radius, radius), (radius, radius)), mode="reflect"
+    )[:, None]
     out = jax.lax.conv_general_dilated(
         padded,
-        jnp.asarray(k)[None, None, :, None],
+        k[None, None, :, None],
         (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     out = jax.lax.conv_general_dilated(
         out,
-        jnp.asarray(k)[None, None, None, :],
+        k[None, None, None, :],
         (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out[:, 0, ::2, ::2]
+    return out[:, 0]
+
+
+def _pyramid_level(
+    images: jnp.ndarray, level: int, pyr_scale: float
+) -> jnp.ndarray:
+    """Level ``k`` input image, OpenCV ``calcOpticalFlowFarneback`` semantics:
+    Gaussian-smooth the ORIGINAL full-resolution image with
+    ``sigma = (1/scale − 1)/2`` (ksize = round(5σ)|1, min 3 — so level 0 gets
+    a fixed 3-tap [1,2,1]/4 pre-blur), then one INTER_LINEAR resize straight
+    to the level's size. Not a cascaded half-res pyramid."""
+    scale = pyr_scale**level
+    sigma = (1.0 / scale - 1.0) * 0.5
+    size = max(_cv_round(sigma * 5) | 1, 3)
+    smoothed = _smooth_reflect101(images, _pyramid_smooth_kernel(sigma, size))
+    if level == 0:
+        return smoothed
+    out_h = _cv_round(images.shape[1] * scale)
+    out_w = _cv_round(images.shape[2] * scale)
+    return _resize_linear(smoothed, (out_h, out_w))
 
 
 # ---------------------------------------------------------------------------
@@ -209,11 +264,33 @@ def _downsample(images: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# OpenCV's FarnebackUpdateMatrices damps the normal-equation fields in a
+# 5-pixel border ramp so ill-posed edge pixels barely vote in the window
+# average (constants extracted verbatim from cv2's optflowgf rodata).
+_BORDER_RAMP = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _border_scale(height: int, width: int) -> np.ndarray:
+    """(H, W) damping factors: ramp within 5 px of any edge, 1 elsewhere."""
+    ramp = _BORDER_RAMP
+    def axis_weights(size: int) -> np.ndarray:
+        w = np.ones(size, np.float32)
+        m = min(len(ramp), size)
+        w[:m] *= ramp[:m]
+        w[size - m:] *= ramp[:m][::-1]
+        return w
+    return axis_weights(height)[:, None] * axis_weights(width)[None, :]
+
+
 def _update_flow(
     A1, b1, A2, b2, flow: jnp.ndarray, winsize: int, gaussian: bool
 ) -> jnp.ndarray:
     """One Farnebäck iteration. All args batched: A (N,H,W,2,2), b (N,H,W,2),
-    flow (N,H,W,2) in (x, y)."""
+    flow (N,H,W,2) in (x, y). Matches OpenCV's FarnebackUpdateMatrices
+    semantics: when the warped sample's floor cell leaves [0,W-2]×[0,H-2] the
+    pixel uses Ā=A1 and a zero b-difference, and all fields are damped by the
+    5-px border ramp before the window average."""
     n, height, width = flow.shape[:3]
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(height, dtype=flow.dtype),
@@ -229,19 +306,30 @@ def _update_flow(
     A2w = warped[..., :4].reshape(n, height, width, 2, 2)
     b2w = warped[..., 4:]
 
-    A_avg = 0.5 * (A1 + A2w)
-    delta_b = -0.5 * (b2w - b1) + jnp.einsum("nhwij,nhwj->nhwi", A_avg, flow)
+    # cv2 takes the no-warp branch unless floor(sample) is strictly interior
+    x_floor = jnp.floor(sample_x)
+    y_floor = jnp.floor(sample_y)
+    oob = ~(
+        (x_floor >= 0) & (x_floor <= width - 2)
+        & (y_floor >= 0) & (y_floor <= height - 2)
+    )
+    A_avg = jnp.where(oob[..., None, None], A1, 0.5 * (A1 + A2w))
+    b_diff = jnp.where(oob[..., None], 0.0, -0.5 * (b2w - b1))
+    delta_b = b_diff + jnp.einsum("nhwij,nhwj->nhwi", A_avg, flow)
+
+    scale = jnp.asarray(_border_scale(height, width))[None]
+    A_avg = A_avg * scale[..., None, None]
+    delta_b = delta_b * scale[..., None]
 
     ATA = jnp.einsum("nhwki,nhwkj->nhwij", A_avg, A_avg)
     ATb = jnp.einsum("nhwki,nhwk->nhwi", A_avg, delta_b)
 
+    radius = winsize // 2
     if gaussian:
-        sigma = max(winsize * 0.15, 1.0)  # OpenCV's Gaussian window scaling
-        radius = winsize // 2
+        sigma = radius * 0.3  # cv2: sigma = (block_size/2) * 0.3
         kernel = _gaussian_kernel(radius, sigma)
     else:
-        radius = (winsize - 1) // 2
-        kernel = np.full(2 * radius + 1, 1.0 / winsize, dtype=np.float32)
+        kernel = np.full(2 * radius + 1, 1.0 / (2 * radius + 1), dtype=np.float32)
 
     # smooth the 5 accumulator fields of every pair in ONE fused pass: batch
     # folds into the Pallas kernel's channel dimension (ops/pallas_blur keeps
@@ -277,26 +365,31 @@ def farneback_flow_batched(
     """Dense flow for (N, H, W) image pairs → (N, H, W, 2), (dx, dy).
 
     Defaults are the reference's tuned parameters (notebook 13 cell 7 /
-    ``optical_flow_1.ipynb`` cells 38-45). Only ``pyr_scale=0.5`` is
-    supported (the reference uses nothing else); other scales would need a
-    fractional-resample pyramid.
+    ``optical_flow_1.ipynb`` cells 38-45). Semantics follow OpenCV's
+    ``calcOpticalFlowFarneback`` exactly (the cv2-gated parity tests in
+    ``tests/test_opencv_parity.py`` hold both to sub-pixel agreement):
+    ``levels`` counts DOWNSCALE steps, so levels+1 pyramid images are used,
+    capped so no level's short side drops below 32 px; each level is a
+    smoothed INTER_LINEAR resize of the original (``_pyramid_level``).
     """
-    if abs(pyr_scale - 0.5) > 1e-6:
-        raise NotImplementedError("only pyr_scale=0.5 is supported")
-
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
 
-    pyramid = [(im1, im2)]
-    for _ in range(levels - 1):
-        prev1, prev2 = pyramid[-1]
-        pyramid.append((_downsample(prev1), _downsample(prev2)))
+    min_side = min(im1.shape[1], im1.shape[2])
+    levels_used = 0
+    for k in range(levels):
+        if min_side * pyr_scale ** (k + 1) < 32.0:
+            break
+        levels_used = k + 1
 
-    flow = jnp.zeros((*pyramid[-1][0].shape, 2), dtype=jnp.float32)
-    for level in reversed(range(levels)):
-        level_im1, level_im2 = pyramid[level]
-        if flow.shape[1:3] != level_im1.shape[1:3]:
-            flow = _resize_bilinear(flow, level_im1.shape[1:3]) / pyr_scale
+    flow = None
+    for level in reversed(range(levels_used + 1)):
+        level_im1 = _pyramid_level(im1, level, pyr_scale)
+        level_im2 = _pyramid_level(im2, level, pyr_scale)
+        if flow is None:
+            flow = jnp.zeros((*level_im1.shape, 2), dtype=jnp.float32)
+        elif flow.shape[1:3] != level_im1.shape[1:3]:
+            flow = _resize_linear(flow, level_im1.shape[1:3]) / pyr_scale
         A1, b1 = polynomial_expansion_batched(level_im1, poly_n, poly_sigma)
         A2, b2 = polynomial_expansion_batched(level_im2, poly_n, poly_sigma)
         for _ in range(iterations):

@@ -1,8 +1,8 @@
 """Cross-validation: C++ host kernels vs the JAX/XLA kernels.
 
 Two independent implementations of the same algorithm (one C++, one jnp)
-agreeing on random smooth inputs is the parity gate the reference delegated
-to OpenCV (not present in this image)."""
+must agree on random smooth inputs; both are additionally held to OpenCV
+itself in tests/test_opencv_parity.py (cv2 is importable in this image)."""
 
 import numpy as np
 import pytest

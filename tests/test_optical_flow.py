@@ -1,10 +1,11 @@
 """Optical-flow kernel tests: known-motion recovery, warping semantics,
 prediction triangle, SSIM behaviour.
 
-The reference validates flow visually/via SSIM against OpenCV; OpenCV is not
-in this image, so correctness is gated analytically: for a pure translation
-of a smooth image the true flow is known exactly, and the estimator must
-recover it in the interior.
+Correctness is gated two ways: analytically here (for a pure translation of
+a smooth image the true flow is known exactly and the estimator must recover
+it in the interior), and bit-for-bit-ish against OpenCV in
+``tests/test_opencv_parity.py`` (the reference's contracted gate — its
+notebook 13 uses ``cv2.calcOpticalFlowFarneback`` / ``cv2.remap`` directly).
 """
 
 import jax
