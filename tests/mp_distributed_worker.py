@@ -1,0 +1,99 @@
+"""Worker for the two-process distributed test (run via subprocess).
+
+Each process: force a 4-device virtual CPU backend, join the coordinator,
+load its host-local half of a deterministic global batch, run ONE sharded
+train step through the engine's real multi-host path
+(``Trainer._to_device`` → ``global_batch_from_host_local``), and print a
+digest of the post-step parameters. The parent asserts both processes agree —
+the DDP-equivalence contract of the reference's ``num_nodes``/
+``num_processes`` trainer surface (reference ``configs/trainer/
+all_params.yaml:8-9``).
+"""
+
+import hashlib
+import sys
+
+
+def main() -> None:
+    port = sys.argv[1]
+    process_id = int(sys.argv[2])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    import numpy as np
+
+    from predict_pv_yield_tpu.config.dataset import Configuration
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.models.conv3d_sat_nwp import Model
+    from predict_pv_yield_tpu.parallel.distributed import (
+        host_local_batch_slice,
+        initialize_distributed,
+    )
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    global_batch_size = 8
+    configuration = Configuration()
+    configuration.process.batch_size = global_batch_size
+    configuration.input_data.default_history_minutes = 30
+    configuration.input_data.default_forecast_minutes = 60
+    configuration.input_data = configuration.input_data.set_all_to_defaults()
+    configuration.input_data.satellite.satellite_image_size_pixels = 12
+    configuration.input_data.nwp.nwp_image_size_pixels = 12
+
+    # Same seed on both processes → identical global batch; each host keeps
+    # only its slice, as a real per-host loader would.
+    global_host_batch = fake_batch(configuration, np.random.default_rng(0))
+    local_slice = host_local_batch_slice(global_batch_size)
+    local_batch = jax.tree.map(lambda x: x[local_slice], global_host_batch)
+    assert local_batch.batch_size == global_batch_size // 2
+
+    model = Model(
+        forecast_minutes=60,
+        history_minutes=30,
+        number_of_conv3d_layers=2,
+        conv3d_channels=8,
+        image_size_pixels=12,
+        nwp_image_size_pixels=12,
+        number_sat_channels=11,
+        number_nwp_channels=10,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=16,
+        output_variable="gsp_yield",
+        include_pv_yield_history=True,
+        include_future_satellite=True,
+    )
+
+    trainer = Trainer(max_epochs=1, profiler=None)
+    trainer.setup(model, local_batch)
+    assert trainer.mesh.shape["data"] == 8, trainer.mesh
+
+    device_batch = trainer._to_device(local_batch)
+    sat = device_batch.satellite.data
+    assert sat.shape[0] == global_batch_size, sat.shape
+    assert len(sat.sharding.device_set) == 8, sat.sharding
+
+    state, metrics = trainer._compiled["train"](trainer.state, device_batch)
+    nmae = float(jax.device_get(metrics["NMAE"]))
+    assert np.isfinite(nmae), metrics
+
+    # Params are replicated → addressable everywhere; digest must agree.
+    leaves = jax.tree_util.tree_leaves(state.params)
+    flat = np.concatenate([np.asarray(leaf, np.float32).ravel() for leaf in leaves])
+    digest = hashlib.sha256(flat.tobytes()).hexdigest()
+    print(f"RESULT process={process_id} digest={digest} nmae={nmae:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
