@@ -59,7 +59,9 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         projected = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="in")(x)
         value, gate = jnp.split(projected, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(value * nn.gelu(gate))
+        # exact (erf) GELU — perceiver_pytorch's F.gelu, not the tanh approx
+        gated = value * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(gated)
 
 
 class Attention(nn.Module):

@@ -108,3 +108,72 @@ def test_flatten_permutation_roundtrip():
     native_flat = data.transpose(1, 2, 3, 0).reshape(-1)
     perm = flatten_permutation(c, t, h, w)
     np.testing.assert_array_equal(torch_flat[perm], native_flat)
+
+
+def test_conv3d_one_training_step_parity():
+    """Training-semantics gate: same converted weights + same batch must give
+    the same NMAE loss and the same post-step parameters after one
+    NMAE-backward + Adam(lr=5e-4) step in torch (reference
+    base_model.py:146-153,255-257) and in the native engine's real compiled
+    train step."""
+    import copy
+
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    model = Model(
+        include_pv_yield=True,
+        include_nwp=False,
+        forecast_minutes=30,
+        history_minutes=60,
+        number_of_conv3d_layers=3,
+        conv3d_channels=8,
+        image_size_pixels=16,
+        number_sat_channels=4,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=16,
+        output_variable="pv_yield",
+    )
+    torch.manual_seed(1)
+    torch_model = TorchConv3d(model)
+    state_dict_before = copy.deepcopy(torch_model.state_dict())
+
+    rng = np.random.default_rng(1)
+    seq = model.seq_lens.seq_len_5
+    sat = rng.standard_normal((2, 4, seq, 16, 16)).astype(np.float32)
+    pv = rng.uniform(size=(2, seq, 128)).astype(np.float32)
+
+    # --- torch: forward, NMAE backward, one Adam step -------------------
+    sat_t, pv_t = torch.from_numpy(sat), torch.from_numpy(pv)
+    y_hat_t = torch_model(sat_t, pv_t)
+    y_t = pv_t[:, -model.forecast_len:, 0]
+    loss_t = (y_hat_t - y_t).abs().mean()
+    optimizer = torch.optim.Adam(torch_model.parameters(), lr=5e-4)
+    optimizer.zero_grad()
+    loss_t.backward()
+    optimizer.step()
+    params_after_torch = convert_conv3d(torch_model.state_dict(), model)
+
+    # --- native: the engine's actual compiled train step ----------------
+    variables = convert_conv3d(state_dict_before, model)
+    batch = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(sat)),
+        pv=PVBatch(pv_yield=jnp.asarray(pv)),
+    )
+    trainer = Trainer(max_epochs=1, profiler=None)
+    trainer.setup(model, batch)
+    trainer.state = trainer.state.replace(params=variables)
+    device_batch = trainer._to_device(batch)
+    state, metrics = trainer._compiled["train"](trainer.state, device_batch)
+
+    np.testing.assert_allclose(
+        float(metrics["NMAE"]), float(loss_t.detach()), rtol=0, atol=2e-6
+    )
+    flat_native = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_torch = dict(jax.tree_util.tree_leaves_with_path(params_after_torch))
+    assert flat_torch.keys() == dict(flat_native).keys()
+    for path, leaf in flat_native:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_torch[path]),
+            rtol=0, atol=5e-5, err_msg=str(path),
+        )
