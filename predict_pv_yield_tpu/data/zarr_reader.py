@@ -7,9 +7,10 @@ client library exists in this image, so this module implements the slice of
 the zarr v2 spec those archives need, first-party:
 
 * ``.zarray`` JSON metadata (shape, chunks, dtype, order C, fill_value);
-* chunk files named ``i.j.k`` (dot-separated grid indices), raw or
-  zlib/gzip-compressed (``numcodecs`` ids ``zlib``/``gzip``; blosc-compressed
-  stores raise a clear error rather than mis-reading);
+* chunk files named ``i.j.k`` (dot-separated grid indices), raw,
+  zlib/gzip-compressed, or **blosc**-compressed (lz4/zlib/zstd inner codecs
+  with byte shuffle — the format real OCF archives use; first-party frame
+  codec in ``data/blosc.py`` + ``native/lz4.cpp``);
 * basic orthogonal slicing assembled chunk-by-chunk, missing chunks filled
   with ``fill_value``.
 
@@ -49,10 +50,10 @@ class ZarrArray:
         self._codec: Optional[str] = None
         if compressor is not None:
             codec_id = compressor.get("id")
-            if codec_id not in ("zlib", "gzip"):
+            if codec_id not in ("zlib", "gzip", "blosc"):
                 raise ValueError(
                     f"unsupported zarr compressor {codec_id!r} "
-                    "(first-party reader supports null/zlib/gzip)"
+                    "(first-party reader supports null/zlib/gzip/blosc)"
                 )
             self._codec = codec_id
         self._separator = meta.get("dimension_separator", ".")
@@ -74,6 +75,10 @@ class ZarrArray:
             raw = fh.read()
         if self._codec in ("zlib", "gzip"):
             raw = zlib.decompress(raw, zlib.MAX_WBITS | 32 if self._codec == "gzip" else zlib.MAX_WBITS)
+        elif self._codec == "blosc":
+            from predict_pv_yield_tpu.data import blosc
+
+            raw = blosc.decompress(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(chunk_shape)
 
     def __getitem__(self, key) -> np.ndarray:
@@ -159,9 +164,27 @@ def open_zarr(path: str, array: Optional[str] = None) -> ZarrArray:
     raise FileNotFoundError(f"no zarr array at {path}")
 
 
-def write_zarr(path: str, data: np.ndarray, chunks: Tuple[int, ...], compress: bool = True) -> None:
-    """Write a zarr v2 array (test fixtures / dataset preparation)."""
+def write_zarr(
+    path: str,
+    data: np.ndarray,
+    chunks: Tuple[int, ...],
+    compress: bool = True,
+    compressor: str = "zlib",
+) -> None:
+    """Write a zarr v2 array (test fixtures / dataset preparation).
+
+    ``compressor``: "zlib" or "blosc" (blosc-lz4 + byte shuffle, the layout
+    numcodecs' default Blosc codec writes for real OCF archives)."""
     os.makedirs(path, exist_ok=True)
+    if not compress:
+        compressor_meta = None
+    elif compressor == "blosc":
+        compressor_meta = {
+            "id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+            "blocksize": 0,
+        }
+    else:
+        compressor_meta = {"id": "zlib", "level": 5}
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),
@@ -170,7 +193,7 @@ def write_zarr(path: str, data: np.ndarray, chunks: Tuple[int, ...], compress: b
         "order": "C",
         "fill_value": 0,
         "filters": None,
-        "compressor": {"id": "zlib", "level": 5} if compress else None,
+        "compressor": compressor_meta,
     }
     with open(os.path.join(path, ".zarray"), "w") as fh:
         json.dump(meta, fh)
@@ -188,7 +211,11 @@ def write_zarr(path: str, data: np.ndarray, chunks: Tuple[int, ...], compress: b
                 padded[tuple(slice(0, s) for s in chunk.shape)] = chunk
                 chunk = padded
             raw = np.ascontiguousarray(chunk).tobytes()
-            if compress:
+            if compress and compressor == "blosc":
+                from predict_pv_yield_tpu.data import blosc
+
+                raw = blosc.compress(raw, typesize=data.dtype.itemsize)
+            elif compress:
                 raw = zlib.compress(raw, 5)
             name = ".".join(str(i) for i in chunk_index)
             with open(os.path.join(path, name), "wb") as fh:

@@ -62,6 +62,21 @@ def load_library() -> ctypes.CDLL:
     lib.remap_image.argtypes = [
         float_ptr, float_ptr, ctypes.c_int, ctypes.c_int, float_ptr,
     ]
+    byte_ptr = ctypes.POINTER(ctypes.c_uint8)
+    lib.lz4_decompress_block.argtypes = [
+        byte_ptr, ctypes.c_long, byte_ptr, ctypes.c_long,
+    ]
+    lib.lz4_decompress_block.restype = ctypes.c_long
+    lib.lz4_compress_block.argtypes = [
+        byte_ptr, ctypes.c_long, byte_ptr, ctypes.c_long,
+    ]
+    lib.lz4_compress_block.restype = ctypes.c_long
+    lib.blosc_shuffle.argtypes = [
+        byte_ptr, byte_ptr, ctypes.c_long, ctypes.c_long,
+    ]
+    lib.blosc_unshuffle.argtypes = [
+        byte_ptr, byte_ptr, ctypes.c_long, ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -118,3 +133,56 @@ def remap_image_native(image: np.ndarray, flow: np.ndarray) -> np.ndarray:
     out = np.empty((height, width), dtype=np.float32)
     lib.remap_image(_as_float_ptr(image), _as_float_ptr(flow), height, width, _as_float_ptr(out))
     return out
+
+
+def _as_byte_ptr(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
+    """Decompress one raw LZ4 block (native/lz4.cpp)."""
+    lib = load_library()
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(decompressed_size, dtype=np.uint8)
+    written = lib.lz4_decompress_block(
+        _as_byte_ptr(src), len(src), _as_byte_ptr(dst), decompressed_size
+    )
+    if written != decompressed_size:
+        raise ValueError(
+            f"malformed LZ4 block: wrote {written}, expected {decompressed_size}"
+        )
+    return dst.tobytes()
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """Compress one raw LZ4 block (greedy matcher, format-conformant)."""
+    lib = load_library()
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(src) + len(src) // 255 + 32
+    dst = np.empty(cap, dtype=np.uint8)
+    written = lib.lz4_compress_block(_as_byte_ptr(src), len(src), _as_byte_ptr(dst), cap)
+    if written < 0:
+        raise ValueError("LZ4 compression overflow")
+    return dst[:written].tobytes()
+
+
+def byte_unshuffle(data: bytes, typesize: int) -> bytes:
+    """Inverse of blosc's byte shuffle over complete elements; the tail
+    (len % typesize bytes) is copied through unchanged, as c-blosc does."""
+    lib = load_library()
+    n_shuffled = len(data) - len(data) % typesize
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(len(data), dtype=np.uint8)
+    lib.blosc_unshuffle(_as_byte_ptr(src), _as_byte_ptr(dst), n_shuffled, typesize)
+    dst[n_shuffled:] = src[n_shuffled:]
+    return dst.tobytes()
+
+
+def byte_shuffle(data: bytes, typesize: int) -> bytes:
+    lib = load_library()
+    n_shuffled = len(data) - len(data) % typesize
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(len(data), dtype=np.uint8)
+    lib.blosc_shuffle(_as_byte_ptr(src), _as_byte_ptr(dst), n_shuffled, typesize)
+    dst[n_shuffled:] = src[n_shuffled:]
+    return dst.tobytes()

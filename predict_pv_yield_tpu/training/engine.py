@@ -128,6 +128,7 @@ class Trainer:
         terminate_on_nan: bool = False,
         debug_nans: bool = False,
         prefetch_depth: int = 2,
+        steps_per_execution: int = 1,
         seed: int = 0,
         save_validation_plots: bool = True,
         wire_float16: bool = False,
@@ -156,6 +157,9 @@ class Trainer:
         self.devices = devices
         self.terminate_on_nan = terminate_on_nan
         self.prefetch_depth = prefetch_depth
+        #: Train steps fused into one device dispatch via lax.scan —
+        #: amortises host dispatch latency when single steps are tiny.
+        self.steps_per_execution = max(1, int(steps_per_execution))
         if lightning_compat:
             log.debug("ignoring Lightning-compat trainer args: %s", sorted(lightning_compat))
         if debug_nans:
@@ -265,6 +269,8 @@ class Trainer:
             "train": self._build_train_step(model),
             "eval": self._build_eval_step(model),
         }
+        if self.steps_per_execution > 1:
+            self._compiled["train_multi"] = self._build_multi_train_step(model)
 
     # ------------------------------------------------------------------
     def _forward_and_metrics(self, model, variables, batch: Batch):
@@ -286,17 +292,37 @@ class Trainer:
         }
         return y_hat, y, metrics
 
+    def _train_step_body(self, model, state: TrainState, batch: Batch):
+        def loss_fn(variables):
+            _, _, metrics = self._forward_and_metrics(model, variables, batch)
+            # The reference's training loss is NMAE (base_model.py:148-153).
+            return metrics["NMAE"], metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), metrics
+
     def _build_train_step(self, model):
-        def step(state: TrainState, batch: Batch):
-            def loss_fn(variables):
-                _, _, metrics = self._forward_and_metrics(model, variables, batch)
-                # The reference's training loss is NMAE (base_model.py:148-153).
-                return metrics["NMAE"], metrics
+        return jax.jit(
+            lambda state, batch: self._train_step_body(model, state, batch),
+            donate_argnums=0,
+        )
 
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), metrics
+    def _build_multi_train_step(self, model):
+        """``steps_per_execution`` train steps in ONE device dispatch.
 
-        return jax.jit(step, donate_argnums=0)
+        ``batches`` is a Batch pytree with a leading (k, ...) axis; a
+        ``lax.scan`` applies the train step per slice — the program stays
+        O(1) in k and one dispatch amortises the host launch latency over k
+        optimiser updates (the b32 single-step path measured
+        dispatch-latency-bound on the v5e: near-flat step time from b32 to
+        b128). Returns stacked (k,) per-step metrics."""
+
+        def multi(state: TrainState, batches: Batch):
+            return jax.lax.scan(
+                lambda s, b: self._train_step_body(model, s, b), state, batches
+            )
+
+        return jax.jit(multi, donate_argnums=(0, 1))
 
     def _build_eval_step(self, model):
         def step(state: TrainState, batch: Batch):
@@ -338,6 +364,75 @@ class Trainer:
                 return
             if self.fast_dev_run and count >= 1:
                 return
+
+    def _iter_batch_groups(self, loader, limit: Optional[int]):
+        """Like ``_iter_batches`` but yields stacked groups of
+        ``steps_per_execution`` host batches transferred as one (k, B, ...)
+        device pytree, prefetched one group deep. A final short group (or a
+        ``limit`` that is not a multiple of k) falls back to per-batch
+        transfer and is yielded as (hosts, device, is_group=False) items."""
+        from collections import deque
+
+        k = self.steps_per_execution
+        queue: deque = deque()
+        iterator: Optional[Iterable] = iter(loader)
+        pending: List[Batch] = []
+        count = 0
+        while True:
+            while iterator is not None and len(queue) < max(self.prefetch_depth, 1):
+                try:
+                    pending.append(as_batch(next(iterator)))
+                except StopIteration:
+                    iterator = None
+                    for host in pending:  # leftover short group: single steps
+                        queue.append(([host], self._to_device(host), False))
+                    pending = []
+                    break
+                if len(pending) == k:
+                    queue.append((pending, self._to_device_stacked(pending), True))
+                    pending = []
+            if not queue:
+                return
+            hosts, device, is_group = queue.popleft()
+            yield hosts, device, is_group
+            count += len(hosts)
+            if limit is not None and count >= limit:
+                return
+            if self.fast_dev_run and count >= 1:
+                return
+
+    def _to_device_stacked(self, hosts: List[Batch]):
+        """k host batches → one (k, B, ...) device pytree, batch axis sharded
+        over ``data`` and the scan axis replicated (P(None, 'data'))."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        numeric = [self._maybe_cast(h.numeric()) for h in hosts]
+        if self.wire_float16:
+            numeric = [
+                jax.tree.map(
+                    lambda x: x.astype(np.float16)
+                    if isinstance(x, np.ndarray) and x.dtype == np.float32
+                    else x,
+                    n,
+                )
+                for n in numeric
+            ]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *numeric)
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            k = len(hosts)
+
+            def assemble(leaf):
+                local = np.asarray(leaf)
+                global_shape = (
+                    k, local.shape[1] * jax.process_count(), *local.shape[2:]
+                )
+                return jax.make_array_from_process_local_data(
+                    sharding, local, global_shape
+                )
+
+            return jax.tree.map(assemble, stacked)
+        return jax.device_put(stacked, sharding)
 
     def _to_device(self, host: Batch):
         """Host batch → device batch sharded over the data axis.
@@ -435,6 +530,20 @@ class Trainer:
         device_metrics: List[Dict] = []
         profiler = self.profiler
         limit = self.limit_train_batches
+
+        if self.steps_per_execution > 1 and not self.fast_dev_run:
+            multi_fn = self._compiled["train_multi"]
+            for hosts, device, is_group in self._iter_batch_groups(loader, limit):
+                fn = multi_fn if is_group else step_fn
+                if profiler:
+                    with profiler.time("train_step"):
+                        self.state, metrics = fn(self.state, device)
+                else:
+                    self.state, metrics = fn(self.state, device)
+                device_metrics.append(metrics)  # (k,)-stacked when grouped
+                self.global_step += len(hosts)
+            return self._flush_metrics(device_metrics, tag="Train")
+
         for _, device_batch in self._iter_batches(loader, limit):
             if profiler:
                 with profiler.time("train_step"):
@@ -560,6 +669,19 @@ class Trainer:
         if not device_metrics:
             return {}
         host = jax.device_get(device_metrics)
+        # steps_per_execution groups arrive as dicts of (k,) arrays — expand
+        # back into one dict per optimiser step so log rows stay per-step.
+        expanded: List[Dict] = []
+        for entry in host:
+            sample = next(iter(entry.values()))
+            if np.ndim(sample) > 0:
+                expanded.extend(
+                    {k: v[i] for k, v in entry.items()}
+                    for i in range(len(sample))
+                )
+            else:
+                expanded.append(entry)
+        host = expanded
         start = self.global_step - len(host)
         for offset, step_metrics in enumerate(host):
             self.logger.log_metrics(

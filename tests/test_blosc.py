@@ -1,0 +1,104 @@
+"""First-party blosc frame + LZ4 block codec tests (data/blosc.py,
+native/lz4.cpp). Gates the format against a hand-assembled known-answer LZ4
+vector (spec: lz4 Block_format.md), round-trips every inner codec, and opens
+a blosc-compressed zarr store — the layout real OCF satellite archives use
+(reference notebook 13 cell 10)."""
+
+import numpy as np
+import pytest
+
+from predict_pv_yield_tpu import native
+from predict_pv_yield_tpu.data import blosc
+from predict_pv_yield_tpu.data.zarr_reader import open_zarr, write_zarr
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _native(request):
+    try:
+        native.load_library()
+    except native.NativeUnavailable as exc:  # pragma: no cover
+        pytest.skip(f"native library unavailable: {exc}")
+
+
+def test_lz4_known_answer_vector():
+    # token 0x54: 5 literals, match len 4+4=8; offset 5 → copies the 5-byte
+    # literal run starting over (overlapping match extends the repetition);
+    # final sequence: 4 literals ("end!").
+    block = bytes([0x54]) + b"abcde" + bytes([0x05, 0x00]) + bytes([0x40]) + b"end!"
+    out = native.lz4_decompress(block, 5 + 8 + 4)
+    assert out == b"abcdeabcdeabcend!"
+
+
+def test_lz4_roundtrip_structured():
+    rng = np.random.default_rng(0)
+    # repetitive + random sections exercise matches, long literal runs, and
+    # the overlap copy
+    data = (
+        b"0123456789" * 400
+        + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+        + b"\x00" * 5000
+        + b"tail"
+    )
+    compressed = native.lz4_compress(data)
+    assert len(compressed) < len(data)
+    assert native.lz4_decompress(compressed, len(data)) == data
+
+
+def test_lz4_rejects_malformed():
+    with pytest.raises(ValueError):
+        native.lz4_decompress(b"\xff\xff\xff", 100)
+
+
+def test_byte_shuffle_roundtrip():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 2**16, 1000, dtype=np.uint16).tobytes()
+    shuffled = native.byte_shuffle(data, 2)
+    assert shuffled != data
+    # shuffled layout: all low bytes then all high bytes
+    arr = np.frombuffer(data, np.uint8).reshape(-1, 2)
+    assert shuffled == arr[:, 0].tobytes() + arr[:, 1].tobytes()
+    assert native.byte_unshuffle(shuffled, 2) == data
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd"])
+@pytest.mark.parametrize("shuffle", [True, False])
+def test_blosc_roundtrip(cname, shuffle):
+    rng = np.random.default_rng(2)
+    # int16 satellite-like data: smooth ramps + noise, > 1 block at 256 KiB
+    base = np.linspace(0, 1023, 400_000).astype(np.int16)
+    noisy = base + rng.integers(-3, 4, base.shape).astype(np.int16)
+    raw = noisy.tobytes()
+    frame = blosc.compress(raw, typesize=2, cname=cname, shuffle=shuffle)
+    assert len(frame) < len(raw)
+    assert blosc.decompress(frame) == raw
+
+
+def test_blosc_memcpy_frame():
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes()  # incompressible
+    frame = blosc.compress(raw, typesize=1, cname="lz4")
+    assert frame[2] & 0x2  # memcpy flag
+    assert blosc.decompress(frame) == raw
+
+
+def test_blosc_leftover_block_and_split_layout():
+    # nbytes chosen so the last block is partial (never split); full blocks
+    # of int16 ARE split into 2 streams per the c-blosc rule
+    rng = np.random.default_rng(4)
+    data = (np.arange(300_000, dtype=np.int16) % 997).astype(np.int16)
+    data[::7] += rng.integers(0, 3, data[::7].shape).astype(np.int16)
+    raw = data.tobytes()
+    frame = blosc.compress(raw, typesize=2, cname="lz4", blocksize=65536)
+    assert blosc.decompress(frame) == raw
+
+
+def test_zarr_blosc_store(tmp_path):
+    """A blosc-lz4 zarr store (the real-archive layout) opens and slices."""
+    rng = np.random.default_rng(5)
+    data = (rng.normal(300, 80, (7, 96, 96)) * 4).astype(np.int16)
+    path = str(tmp_path / "hrv.zarr")
+    write_zarr(path, data, chunks=(2, 64, 64), compressor="blosc")
+    arr = open_zarr(path)
+    np.testing.assert_array_equal(arr[:], data)
+    np.testing.assert_array_equal(arr[3:6, 10:90, 5:], data[3:6, 10:90, 5:])
+    np.testing.assert_array_equal(arr[4], data[4])

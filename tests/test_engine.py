@@ -97,3 +97,33 @@ def test_grad_accumulation(configuration_conv3d, tmp_cwd):
     trainer = Trainer(max_epochs=1, profiler=None, accumulate_grad_batches=2)
     metrics = trainer.fit(model, train_dataloaders=ds)
     assert np.isfinite(metrics["NMAE/Train_epoch"])
+
+
+def test_steps_per_execution_matches_single_step(sharded_configuration, tmp_cwd):
+    """k train steps fused into one dispatch (lax.scan) must be numerically
+    equivalent to k separate dispatches, including a leftover short group."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=5)
+
+    def run(steps_per_execution):
+        model = Conv3d(**config)
+        trainer = Trainer(
+            max_epochs=1, profiler=None,
+            steps_per_execution=steps_per_execution,
+        )
+        metrics = trainer.fit(model, train_dataloaders=ds)
+        return trainer, metrics
+
+    trainer1, metrics1 = run(1)
+    trainer2, metrics2 = run(2)  # groups of 2 + one leftover single step
+
+    assert trainer1.global_step == trainer2.global_step == 5
+    assert metrics2["NMAE/Train_epoch"] == pytest.approx(
+        metrics1["NMAE/Train_epoch"], abs=1e-6
+    )
+    leaves1 = jax.tree_util.tree_leaves(trainer1.state.params)
+    leaves2 = jax.tree_util.tree_leaves(trainer2.state.params)
+    for l1, l2 in zip(leaves1, leaves2):
+        # scanned vs unscanned programs fuse differently → f32 reduction
+        # order differs; bound the drift rather than expect bit equality
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)

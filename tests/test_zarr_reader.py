@@ -49,7 +49,7 @@ def test_uncompressed_and_missing_chunks(tmp_path):
 def test_unsupported_compressor(tmp_path):
     import json, os
 
-    path = tmp_path / "blosc.zarr"
+    path = tmp_path / "snappy.zarr"
     path.mkdir()
     (path / ".zarray").write_text(
         json.dumps(
@@ -60,7 +60,7 @@ def test_unsupported_compressor(tmp_path):
                 "dtype": "<f4",
                 "order": "C",
                 "fill_value": 0,
-                "compressor": {"id": "blosc"},
+                "compressor": {"id": "snappy"},
             }
         )
     )
