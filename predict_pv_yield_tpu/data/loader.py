@@ -172,13 +172,40 @@ class NetCDFDataModule:
     def _dataset(self, n_batches: int, split: str):
         if self.fake_data:
             return FakeDataset(configuration=self.configuration, length=n_batches)
+        src_path = os.path.join(self.data_path, split)
+        if self._is_netcdf(src_path):
+            # the reference's published datasets unmodified: per-batch
+            # NetCDF files (v15 per-source tree or legacy flat files)
+            from predict_pv_yield_tpu.data.netcdf_reader import NetCDFBatchDataset
+
+            return NetCDFBatchDataset(
+                n_batches=n_batches,
+                src_path=src_path,
+                tmp_path=os.path.join(self.temp_path, split),
+                configuration=self.configuration,
+            )
         from predict_pv_yield_tpu.data.shards import ShardDataset
 
         return ShardDataset(
             n_batches=n_batches,
-            src_path=os.path.join(self.data_path, split),
+            src_path=src_path,
             configuration=self.configuration,
         )
+
+    @staticmethod
+    def _is_netcdf(src_path: str) -> bool:
+        """Detect the reference's NetCDF layouts (local paths only; remote
+        stores are assumed to be npz shards unless a source dir exists)."""
+        if "://" in src_path or not os.path.isdir(src_path):
+            return False
+        from predict_pv_yield_tpu.data.netcdf_reader import _V15_SOURCES
+
+        if any(os.path.isdir(os.path.join(src_path, s)) for s in _V15_SOURCES):
+            return True
+        try:
+            return any(name.endswith(".nc") for name in os.listdir(src_path))
+        except OSError:
+            return False
 
     def _loader(self, dataset, shuffle: bool) -> PrefetchingLoader:
         return PrefetchingLoader(

@@ -1,0 +1,420 @@
+"""Reader for the reference's prepared-batch NetCDF files.
+
+The reference trains from pre-prepared batch files: one ``{batch_idx:06d}.nc``
+per batch, fetched per ``__getitem__`` by the external
+``nowcasting_dataloader.datasets.NetCDFDataset`` (reference
+``data/dataloader.py:97-115``). Two on-disk layouts existed:
+
+* **v15 per-source directories** — ``<path>/train/<source>/000123.nc`` with
+  one file per batch per data source (satellite, hrvsatellite, nwp, pv, gsp,
+  sun, topographic, metadata), each an xarray Dataset written through
+  h5netcdf (i.e. HDF5 wire format);
+* **legacy single files** — ``<path>/train/000123.nc`` holding the v2/v6-era
+  flat keys (``sat_data``, ``nwp``, ``pv_yield``, ``pv_system_row_number``,
+  coordinate arrays, datetime features), documented by the reference's own
+  ``netcdf_dataset.py:84-90``.
+
+Both are handled here, first-party:
+
+* netCDF4 files are HDF5 — read with ``h5py`` (present in this image), with
+  dimension names recovered from HDF5 dimension scales so arrays can be
+  transposed into the framework's canonical (B, C, T, H, W) layout
+  regardless of the on-disk dim order (nowcasting_dataset writes satellite
+  channel-last);
+* netCDF3 "classic" files (magic ``CDF\\x01``/``CDF\\x02``) are parsed by a
+  first-party decoder of the classic binary format — no netCDF library
+  exists in this image.
+
+int16 satellite payloads are left undecoded: the fused XLA preprocessing
+stage inside the train step does the −1→NaN decode + normalisation on device
+(``data/preprocess.py``; reference ``netcdf_dataset.py:96-101``).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from predict_pv_yield_tpu.data.batch import Batch
+
+Variable = Tuple[Tuple[str, ...], np.ndarray]  # (dim names, values)
+
+
+# ---------------------------------------------------------------------------
+# file decoding
+# ---------------------------------------------------------------------------
+
+
+def read_netcdf_variables(path: str) -> Dict[str, Variable]:
+    """All variables of a NetCDF file as {name: (dims, array)}."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic[:3] == b"CDF":
+        return _read_classic(path)
+    if magic == b"\x89HDF":
+        return _read_hdf5(path)
+    raise ValueError(f"{path}: not a NetCDF file (magic {magic!r})")
+
+
+def _read_hdf5(path: str) -> Dict[str, Variable]:
+    import h5py
+
+    out: Dict[str, Variable] = {}
+    with h5py.File(path, "r") as fh:
+        for name, dataset in fh.items():
+            if not isinstance(dataset, h5py.Dataset):
+                continue
+            dims: List[str] = []
+            for axis in range(dataset.ndim):
+                label = ""
+                try:
+                    label = dataset.dims[axis].label
+                    if not label and len(dataset.dims[axis]) > 0:
+                        label = dataset.dims[axis][0].name.rsplit("/", 1)[-1]
+                except Exception:
+                    pass
+                dims.append(label or f"phony_{axis}")
+            values = dataset[...]
+            if values.dtype.kind == "S":  # char arrays → str objects
+                values = values.astype("U")
+            out[name] = (tuple(dims), values)
+    return out
+
+
+# netCDF3 classic constants
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+_NC_TYPES = {
+    1: np.dtype(">i1"), 2: np.dtype("S1"), 3: np.dtype(">i2"),
+    4: np.dtype(">i4"), 5: np.dtype(">f4"), 6: np.dtype(">f8"),
+}
+
+
+def _read_classic(path: str) -> Dict[str, Variable]:
+    """First-party netCDF3 classic-format parser (CDF-1 and CDF-2)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:3] != b"CDF" or data[3] not in (1, 2):
+        raise ValueError(f"{path}: not a classic NetCDF file")
+    offset_fmt = ">I" if data[3] == 1 else ">Q"
+    pos = 4
+
+    def u32() -> int:
+        nonlocal pos
+        (value,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        return value
+
+    def name() -> str:
+        nonlocal pos
+        n = u32()
+        value = data[pos : pos + n].decode()
+        pos += (n + 3) & ~3  # pad to 4
+        return value
+
+    def skip_attributes() -> None:
+        nonlocal pos
+        tag, nelems = u32(), u32()
+        if tag == 0:  # ABSENT
+            return
+        for _ in range(nelems):
+            name()
+            nc_type, n = u32(), u32()
+            size = n * _NC_TYPES[nc_type].itemsize
+            pos += (size + 3) & ~3
+
+    numrecs = u32()
+    dim_tag, n_dims = u32(), u32()
+    dims: List[Tuple[str, int]] = []
+    if dim_tag == _NC_DIMENSION:
+        for _ in range(n_dims):
+            dims.append((name(), u32()))
+    skip_attributes()  # global attributes
+
+    var_tag, n_vars = u32(), u32()
+    out: Dict[str, Variable] = {}
+    record_vars = []
+    if var_tag == _NC_VARIABLE:
+        headers = []
+        for _ in range(n_vars):
+            var_name = name()
+            ndims = u32()
+            dimids = [u32() for _ in range(ndims)]
+            skip_attributes()
+            nc_type = u32()
+            u32()  # vsize (includes padding; recomputed below)
+            (begin,) = struct.unpack_from(offset_fmt, data, pos)
+            pos += struct.calcsize(offset_fmt)
+            headers.append((var_name, dimids, nc_type, begin))
+        for var_name, dimids, nc_type, begin in headers:
+            dtype = _NC_TYPES[nc_type]
+            dim_names = tuple(dims[i][0] for i in dimids)
+            shape = tuple(dims[i][1] for i in dimids)
+            if shape and shape[0] == 0:  # record variable
+                record_vars.append((var_name, dim_names, shape, dtype, begin))
+            else:
+                count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                values = np.frombuffer(
+                    data, dtype, count=count, offset=begin
+                ).reshape(shape)
+                out[var_name] = (dim_names, _native_order(values))
+
+    if record_vars:
+        slab_sizes = []
+        for _, _, shape, dtype, _ in record_vars:
+            per_record = int(np.prod(shape[1:], dtype=np.int64)) * dtype.itemsize
+            if len(record_vars) > 1:
+                per_record = (per_record + 3) & ~3
+            slab_sizes.append(per_record)
+        record_size = sum(slab_sizes)
+        for (var_name, dim_names, shape, dtype, begin), slab in zip(
+            record_vars, slab_sizes
+        ):
+            count = int(np.prod(shape[1:], dtype=np.int64))
+            records = [
+                np.frombuffer(
+                    data, dtype, count=count, offset=begin + rec * record_size
+                )
+                for rec in range(numrecs)
+            ]
+            values = np.stack(records).reshape((numrecs, *shape[1:])) if numrecs \
+                else np.empty((0, *shape[1:]), dtype)
+            out[var_name] = (dim_names, _native_order(values))
+    return out
+
+
+def _native_order(values: np.ndarray) -> np.ndarray:
+    if values.dtype.byteorder == ">":
+        return values.astype(values.dtype.newbyteorder("="))
+    return values
+
+
+# ---------------------------------------------------------------------------
+# dim-name-driven layout normalisation
+# ---------------------------------------------------------------------------
+
+
+def _classify_dim(dim: str, axis: int, ndim: int) -> str:
+    d = dim.lower()
+    if "example" in d or d == "batch":
+        return "b"
+    if "channel" in d or "variable" in d:
+        return "c"
+    if "time" in d or d.startswith("t_") or d == "t":
+        return "t"
+    if d == "y" or d.startswith("y_") or "_y_" in d or d.endswith("_y"):
+        return "y"
+    if d == "x" or d.startswith("x_") or "_x_" in d or d.endswith("_x"):
+        return "x"
+    if "id" in d or "system" in d or "gsp" in d:
+        return "n"
+    # positional fallback: axis 0 is the batch dim in every prepared file
+    return "b" if axis == 0 else "?"
+
+
+def to_canonical_image(dims: Tuple[str, ...], values: np.ndarray) -> np.ndarray:
+    """Reorder an image-like variable to (B, C, T, H, W) — the framework
+    layout — from whatever dim order the file used (nowcasting_dataset
+    writes satellite as (example, time, y, x, channel))."""
+    if values.ndim < 4:
+        return values
+    kinds = [_classify_dim(d, i, values.ndim) for i, d in enumerate(dims)]
+    order = "bctyx" if values.ndim == 5 else "btyx"
+    if sorted(kinds) != sorted(order):
+        return values  # unknown dims: trust the on-disk order
+    perm = [kinds.index(k) for k in order]
+    out = values.transpose(perm)
+    if values.ndim == 4:
+        out = out[:, None]  # add a singleton channel axis
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch assembly
+# ---------------------------------------------------------------------------
+
+#: v15 per-source directory names → (Batch group, {file variable: field})
+_V15_SOURCES: Dict[str, Tuple[str, Dict[str, str]]] = {
+    "satellite": ("satellite", {"data": "data", "x": "x", "y": "y",
+                                "x_osgb": "x", "y_osgb": "y",
+                                "x_geostationary": "x", "y_geostationary": "y",
+                                "time": "datetime_index"}),
+    "hrvsatellite": ("hrvsatellite", {"data": "data", "x": "x", "y": "y",
+                                      "x_osgb": "x", "y_osgb": "y"}),
+    "nwp": ("nwp", {"data": "data", "time": "target_time",
+                    "target_time": "target_time"}),
+    "pv": ("pv", {"power_mw": "pv_yield", "pv_yield": "pv_yield", "data": "pv_yield",
+                  "pv_system_row_number": "pv_system_row_number",
+                  "pv_system_id": "pv_system_id", "id": "pv_system_id"}),
+    "gsp": ("gsp", {"power_mw": "gsp_yield", "gsp_yield": "gsp_yield", "data": "gsp_yield",
+                    "gsp_id": "gsp_id", "id": "gsp_id",
+                    "capacity_mwp": "gsp_capacity", "gsp_capacity": "gsp_capacity",
+                    "time": "gsp_datetime_index",
+                    "gsp_datetime_index": "gsp_datetime_index"}),
+    "sun": ("sun", {"sun_elevation_angle": "sun_elevation_angle",
+                    "elevation": "sun_elevation_angle",
+                    "sun_azimuth_angle": "sun_azimuth_angle",
+                    "azimuth": "sun_azimuth_angle"}),
+    "topographic": ("topographic", {"data": "topo_data", "topo_data": "topo_data"}),
+    "metadata": ("metadata", {"t0_datetime_utc": "t0_datetime_utc",
+                              "t0_dt": "t0_datetime_utc"}),
+}
+
+#: legacy flat keys (reference netcdf_dataset.py:84-90) → (group, field)
+_LEGACY_KEYS: Dict[str, Tuple[str, str]] = {
+    "sat_data": ("satellite", "data"),
+    "sat_x_coords": ("satellite", "x"),
+    "sat_y_coords": ("satellite", "y"),
+    "sat_datetime_index": ("satellite", "datetime_index"),
+    "sat_time_coords": ("satellite", "datetime_index"),
+    "nwp": ("nwp", "data"),
+    "nwp_target_time": ("nwp", "target_time"),
+    "nwp_time_coords": ("nwp", "target_time"),
+    "pv_yield": ("pv", "pv_yield"),
+    "pv_system_id": ("pv", "pv_system_id"),
+    "pv_system_row_number": ("pv", "pv_system_row_number"),
+    "hour_of_day_sin": ("datetime", "hour_of_day_sin"),
+    "hour_of_day_cos": ("datetime", "hour_of_day_cos"),
+    "day_of_year_sin": ("datetime", "day_of_year_sin"),
+    "day_of_year_cos": ("datetime", "day_of_year_cos"),
+}
+
+_IMAGE_FIELDS = {("satellite", "data"), ("hrvsatellite", "data"), ("nwp", "data")}
+
+
+def _datetime_to_int64(values: np.ndarray) -> np.ndarray:
+    if values.dtype.kind == "M":
+        return values.astype("datetime64[ns]").astype(np.int64)
+    return values
+
+
+def batch_from_source_files(root: str, batch_idx: int) -> Batch:
+    """Assemble a Batch from a v15 per-source directory tree."""
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    filename = netcdf_filename(batch_idx)
+    for source, (group, field_map) in _V15_SOURCES.items():
+        path = os.path.join(root, source, filename)
+        if not os.path.exists(path):
+            continue
+        variables = read_netcdf_variables(path)
+        fields: Dict[str, np.ndarray] = {}
+        for var_name, (dims, values) in variables.items():
+            field = field_map.get(var_name)
+            if field is None:
+                continue
+            if (group, field) in _IMAGE_FIELDS:
+                values = to_canonical_image(dims, values)
+            fields[field] = _datetime_to_int64(values)
+        if fields:
+            groups[group] = fields
+    if not groups:
+        raise FileNotFoundError(
+            f"no per-source NetCDF files for batch {batch_idx} under {root}"
+        )
+    return Batch.from_dict(groups)
+
+
+def batch_from_legacy_file(path: str) -> Batch:
+    """Assemble a Batch from a legacy single-file batch (v2/v6 keys)."""
+    variables = read_netcdf_variables(path)
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for var_name, (dims, values) in variables.items():
+        mapped = _LEGACY_KEYS.get(var_name)
+        if mapped is None:
+            continue
+        group, field = mapped
+        if (group, field) in _IMAGE_FIELDS:
+            values = to_canonical_image(dims, values)
+        groups.setdefault(group, {})[field] = _datetime_to_int64(values)
+    if not groups:
+        raise ValueError(f"{path}: no recognised batch keys")
+    return Batch.from_dict(groups)
+
+
+def netcdf_filename(batch_idx: int) -> str:
+    """nowcasting_dataset's get_netcdf_filename: zero-padded 6 digits."""
+    return f"{batch_idx:06d}.nc"
+
+
+class NetCDFBatchDataset:
+    """Map-style dataset over prepared-batch NetCDF files — the native
+    equivalent of the external ``NetCDFDataset`` the reference wraps
+    (reference ``data/dataloader.py:97-115``): one ``__getitem__`` = one
+    whole pre-prepared batch. Remote (``gs://``) paths are fetched through
+    fsspec into ``tmp_path`` per item, as the reference does.
+
+    Layout is auto-detected: a ``satellite``/``gsp``/... subdirectory means
+    the v15 per-source tree; otherwise single legacy files are expected.
+    """
+
+    def __init__(
+        self,
+        n_batches: int,
+        src_path: str,
+        tmp_path: Optional[str] = None,
+        configuration=None,
+    ):
+        self.n_batches = int(n_batches)
+        self.src_path = src_path
+        self.tmp_path = tmp_path
+        self.configuration = configuration
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def _local_root(self) -> str:
+        if "://" not in self.src_path:
+            return self.src_path
+        if not self.tmp_path:
+            raise ValueError("remote src_path needs tmp_path")
+        return self.tmp_path
+
+    def _ensure_local(self, relative: str) -> str:
+        if "://" not in self.src_path:
+            return os.path.join(self.src_path, relative)
+        import fsspec  # same gate as data/shards.py
+
+        local = os.path.join(self.tmp_path, relative)
+        if not os.path.exists(local):
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            with fsspec.open(os.path.join(self.src_path, relative), "rb") as src:
+                with open(local, "wb") as dst:
+                    dst.write(src.read())
+        return local
+
+    def _is_per_source(self) -> bool:
+        if "://" in self.src_path:
+            import fsspec
+
+            fs, base = fsspec.core.url_to_fs(self.src_path)
+            return any(
+                fs.exists(os.path.join(base, source)) for source in _V15_SOURCES
+            )
+        return any(
+            os.path.isdir(os.path.join(self.src_path, source))
+            for source in _V15_SOURCES
+        )
+
+    def __getitem__(self, batch_idx: int) -> Batch:
+        if not 0 <= batch_idx < self.n_batches:
+            raise IndexError(batch_idx)
+        filename = netcdf_filename(batch_idx)
+        if self._is_per_source():
+            for source in _V15_SOURCES:
+                relative = os.path.join(source, filename)
+                if "://" in self.src_path:
+                    import fsspec
+
+                    fs, base = fsspec.core.url_to_fs(self.src_path)
+                    if fs.exists(os.path.join(base, relative)):
+                        self._ensure_local(relative)
+                else:
+                    pass  # local files read in place
+            return batch_from_source_files(self._local_root(), batch_idx)
+        return batch_from_legacy_file(self._ensure_local(filename))
+
+    def __iter__(self):
+        for i in range(self.n_batches):
+            yield self[i]
