@@ -7,9 +7,11 @@ Native equivalents of ``nowcasting_utils.visualization``:
   engine's upload path matches the reference's plotly usage
   (reference ``base_model.py:215-220`` writes ``temp_{i}.html`` and uploads
   for batch_idx 0–4).
-* :func:`plot_example` — satellite frame + yield time series for one example
-  (the reference's path is dead code behind ``if 0:``,
-  ``base_model.py:174-192``; provided for completeness).
+* :func:`plot_example` — satellite frame at its OSGB National Grid extent
+  with a coastline basemap (``geo.py``), a GB context panel locating the
+  crop, and the yield time series (the reference's path is dead code behind
+  ``if 0:``, ``base_model.py:174-192``, and used tilemapbase OSM tiles;
+  the geo layer here is first-party and offline).
 
 Implemented with matplotlib (plotly is not in this image) rendered into a
 self-contained HTML document, logger-agnostic.
@@ -119,14 +121,58 @@ def plot_example(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, (ax_img, ax_ts) = plt.subplots(1, 2, figsize=(9, 3.5))
+    from predict_pv_yield_tpu.geo import gb_coastline_osgb
+
+    fig, (ax_img, ax_map, ax_ts) = plt.subplots(1, 3, figsize=(12.5, 3.5))
 
     sat = batch.satellite.data
+    sat_x = batch.satellite.x
+    sat_y = batch.satellite.y
+    extent = None
     if sat is not None:
-        frame = np.asarray(sat[example_i, 0, -1])
-        ax_img.imshow(frame, cmap="viridis")
-        ax_img.set_title("satellite (last frame, ch 0)", fontsize=8)
-    ax_img.axis("off")
+        frame = np.asarray(sat[example_i, 0, -1], np.float32)
+        if sat_x is not None and sat_y is not None:
+            xs = np.asarray(sat_x[example_i], np.float64)
+            ys = np.asarray(sat_y[example_i], np.float64)
+            extent = (xs.min(), xs.max(), ys.min(), ys.max())
+            ax_img.imshow(frame, cmap="viridis", extent=extent, origin="upper")
+            coast_x, coast_y = gb_coastline_osgb()
+            ax_img.plot(coast_x, coast_y, color="white", linewidth=0.8, alpha=0.9)
+            ax_img.set_xlim(extent[0], extent[1])
+            ax_img.set_ylim(extent[2], extent[3])
+            ax_img.set_xlabel("OSGB easting (m)", fontsize=7)
+            ax_img.set_ylabel("OSGB northing (m)", fontsize=7)
+            ax_img.tick_params(labelsize=6)
+            ax_img.set_title("satellite (last frame, ch 0)", fontsize=8)
+        else:
+            ax_img.imshow(frame, cmap="viridis")
+            ax_img.set_title("satellite (last frame, ch 0)", fontsize=8)
+            ax_img.axis("off")
+    else:
+        ax_img.axis("off")
+
+    # context panel: where in Great Britain the crop sits (the reference
+    # draws this on a tilemapbase OSM basemap; offline coastline here)
+    coast_x, coast_y = gb_coastline_osgb()
+    ax_map.plot(coast_x, coast_y, color="#444444", linewidth=0.9)
+    ax_map.set_aspect("equal")
+    if extent is not None:
+        from matplotlib.patches import Rectangle
+
+        ax_map.add_patch(
+            Rectangle(
+                (extent[0], extent[2]),
+                extent[1] - extent[0],
+                extent[3] - extent[2],
+                edgecolor="#d62728", facecolor="none", linewidth=1.2,
+            )
+        )
+        ax_map.plot(
+            [(extent[0] + extent[1]) / 2], [(extent[2] + extent[3]) / 2],
+            marker="x", color="#d62728", markersize=4,
+        )
+    ax_map.set_title("crop location", fontsize=8)
+    ax_map.tick_params(labelsize=6)
 
     if output_variable == "gsp_yield":
         series = np.asarray(batch.gsp.gsp_yield[example_i, :, 0])

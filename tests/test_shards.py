@@ -29,3 +29,27 @@ def test_shard_dataset(configuration, tmp_path):
     np.testing.assert_array_equal(batch.pv.pv_yield, ds_fake[1].pv.pv_yield)
     with pytest.raises(IndexError):
         ds[3]
+
+
+def test_raw_shard_roundtrip(tmp_path, configuration):
+    """The flat raw format (fmt='raw'): magic + JSON index + aligned
+    payloads, read back as zero-copy mmap views."""
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.data.shards import ShardDataset, read_shard, write_shard
+
+    batch = fake_batch(configuration, np.random.default_rng(3))
+    raw = np.random.default_rng(3).integers(
+        -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
+    )
+    batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+    path = write_shard(str(tmp_path), 0, batch, fmt="raw")
+    assert path.endswith(".shard")
+
+    loaded = read_shard(path)
+    np.testing.assert_array_equal(loaded.satellite.data, raw)
+    assert loaded.satellite.data.dtype == np.int16
+    np.testing.assert_allclose(loaded.pv.pv_yield, batch.pv.pv_yield)
+
+    # dataset auto-detects the raw extension
+    ds = ShardDataset(n_batches=1, src_path=str(tmp_path))
+    np.testing.assert_array_equal(ds[0].satellite.data, raw)
