@@ -24,6 +24,13 @@ Two configurations are reported:
   estimate (step FLOPs from XLA cost analysis / v5e bf16 peak).
 * the b32 single-dispatch rate (round-1 continuity metric).
 
+Why MFU ≈ 0.30 is close to this architecture's ceiling: the FLOPs live in
+Conv3d layers with 32 output channels, which lower to implicit GEMMs whose N
+dimension is 32 — a quarter of the 128-wide MXU — capping those layers near
+25% utilisation no matter the schedule; the K dimension (Cin·k³ ≈ 864) and
+the wider FC layers pull the blend up to ~30%. Raising MFU further would
+mean changing the model (more channels), not the compiler schedule.
+
 Baseline ``B``: the reference's lab notes record "about 4 minutes to run the
 validation epoch" for its conv3d runs on a GCP GPU with 1000 validation
 batches of 32 (reference ``experiments/2021-09/2021-09-27/experiments.txt``,

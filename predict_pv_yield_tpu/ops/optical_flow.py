@@ -21,9 +21,10 @@ polynomial expansion", SCIA 2003):
 2.  **Displacement update**: with expansions (A₁,b₁), (A₂,b₂) and a current
     flow d₀, warp (A₂,b₂) by d₀, form Ā = (A₁+Ã₂)/2 and
     Δb = -½(b̃₂-b₁) + Ā d₀, Gaussian-average ``ĀᵀĀ`` and ``ĀᵀΔb`` over the
-    ``winsize`` window — a fused Pallas kernel on TPU (``ops/pallas_blur``):
-    both separable passes as banded-matrix MXU matmuls with the intermediate
-    resident in VMEM — and solve the per-pixel 2×2 system on the VPU.
+    ``winsize`` window as batched grouped XLA convolutions (a Pallas
+    banded-matmul kernel for this stage was measured slower and is kept as
+    a documented negative result — ``ops/pallas_blur.py``), then solve the
+    per-pixel 2×2 system on the VPU.
 3.  **Pyramid**: coarse-to-fine over levels+1 images (OpenCV semantics:
     ``levels`` counts downscale steps), each a Gaussian-smoothed
     INTER_LINEAR resize of the original frame, flow upsampled bilinearly
@@ -331,10 +332,9 @@ def _update_flow(
     else:
         kernel = np.full(2 * radius + 1, 1.0 / (2 * radius + 1), dtype=np.float32)
 
-    # smooth the 5 accumulator fields of every pair in ONE fused pass: batch
-    # folds into the Pallas kernel's channel dimension (ops/pallas_blur keeps
-    # the x-pass intermediate in VMEM and runs both banded-matmul passes on
-    # the MXU); grouped XLA convs off-TPU.
+    # smooth the 5 accumulator fields of every pair in one batched pass —
+    # grouped XLA convs (a Pallas banded-matmul kernel was built, measured,
+    # and rejected with numbers: ops/pallas_blur.py module docstring).
     from predict_pv_yield_tpu.ops.pallas_blur import sep_blur
 
     fields = jnp.stack(

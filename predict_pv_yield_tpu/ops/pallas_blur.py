@@ -22,19 +22,29 @@ input passed twice with block index maps ``i`` and ``i+1``; requires
 memref slicing rejects for 3-D refs. Border handling is edge-replication
 applied by the caller's pad.
 
-Measured verdict (v5e, 48-pair 256x256 flow pipeline): the XLA grouped-conv
-path with the pair batch on the convolution *batch* dimension reaches 75.2
-frame-pairs/s vs 47.4 for this kernel — XLA's native conv emitter beats the
-banded-matmul formulation at these tile sizes (the double-block halo also
-reads the input twice from HBM). The Pallas path is therefore opt-in
-(``PREDICT_PV_YIELD_TPU_PALLAS_BLUR=1``) and kept as the tuning vehicle;
-both paths are cross-tested (tests/test_pallas_blur.py).
+Measured verdict — NEGATIVE RESULT, kept with its numbers (SURVEY phase-6
+"Pallas kernel" goal evaluated honestly):
+
+* round 1 (v5e, 48-pair 256² flow pipeline, 2-level pyramid): XLA
+  grouped-conv path 75.2 frame-pairs/s vs 47.4 for this kernel. XLA's conv
+  emitter wins: the banded-matmul formulation spends W/(2r+1) ≈ 6× the
+  useful FLOPs multiplying the band's structural zeros, and the
+  double-block halo reads the input twice from HBM.
+* round 2 (cv2-exact pyramid adds a 64²-wide level): Mosaic rejects the
+  kernel's (C, tile, W)→(C·W) relayout at W=64 ("infer-vector-layout:
+  unsupported shape cast"), so the kernel no longer compiles for the
+  production pyramid at all.
+
+The production flow path therefore uses the XLA convs unconditionally;
+``sep_blur_pallas`` remains callable for tile-size experiments and the
+kernel body stays interpreter-tested (tests/test_pallas_blur.py).
 """
 
 from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,35 +86,43 @@ def _blur_kernel(cur_ref, nxt_ref, band_x_ref, band_y_ref, out_ref, *, tile, rad
     out_ref[:] = jnp.transpose(acc, (1, 0, 2))
 
 
-def sep_blur(
-    fields: jnp.ndarray, kernel: np.ndarray, tile: int = 128, channel_tile: int = 8
-) -> jnp.ndarray:
+def sep_blur(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """Edge-replicated separable correlation with a 1-D kernel applied along
-    W then H. Accepts (C, H, W) or batched (N, C, H, W). Pallas on TPU, XLA
-    convs elsewhere.
+    W then H. Accepts (C, H, W) or batched (N, C, H, W).
 
-    On the XLA path a leading batch dim stays the convolution batch (large
-    ``feature_group_count`` lowers poorly); the Pallas path folds batch into
-    its channel grid, which tiles both channels and rows so any size streams
-    through a bounded VMEM footprint.
+    Always the XLA grouped-conv path — measured faster than the Pallas
+    banded-matmul kernel (module docstring); a leading batch dim stays the
+    convolution batch (large ``feature_group_count`` lowers poorly).
     """
     kernel = np.asarray(kernel, dtype=np.float32)
+    if fields.ndim == 4:
+        return _sep_blur_xla_batched(fields, kernel)
+    return _sep_blur_xla(fields, kernel)
+
+
+def sep_blur_pallas(
+    fields: jnp.ndarray,
+    kernel: np.ndarray,
+    tile: Optional[int] = None,
+    channel_tile: Optional[int] = None,
+) -> jnp.ndarray:
+    """The Pallas banded-matmul kernel — tuning vehicle only (see module
+    docstring for the measured negative result). Folds a leading batch dim
+    into the channel grid, tiling channels and rows so any size streams
+    through a bounded VMEM footprint."""
+    if tile is None:
+        tile = int(os.environ.get("PREDICT_PV_YIELD_TPU_PALLAS_TILE", "128"))
+    if channel_tile is None:
+        channel_tile = int(os.environ.get("PREDICT_PV_YIELD_TPU_PALLAS_CTILE", "8"))
+    kernel = np.asarray(kernel, dtype=np.float32)
     radius = len(kernel) // 2
+    if tile < 2 * radius:
+        raise ValueError(f"tile {tile} must be >= 2*radius ({2 * radius})")
     batched = fields.ndim == 4
     if batched:
         n, c, height, width = fields.shape
     else:
         c, height, width = fields.shape
-
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and tile >= 2 * radius
-        and os.environ.get("PREDICT_PV_YIELD_TPU_PALLAS_BLUR") == "1"
-    )
-    if not use_pallas:
-        if batched:
-            return _sep_blur_xla_batched(fields, kernel)
-        return _sep_blur_xla(fields, kernel)
     if batched:
         fields = fields.reshape(n * c, height, width)
     channels = fields.shape[0]

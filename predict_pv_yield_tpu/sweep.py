@@ -66,7 +66,12 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
 
     try:
         import optuna
+    except ImportError:
+        optuna = None
 
+    if optuna is not None:
+        # ImportError from inside a trial must surface, not silently switch
+        # samplers — hence the import is resolved before any trial runs.
         def objective(trial):
             assignment = {
                 key: trial.suggest_categorical(key, values) for key, values in choices
@@ -81,7 +86,7 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
         study = optuna.create_study(direction=direction, sampler=sampler)
         study.optimize(objective, n_trials=n_trials)
         best = study.best_params, study.best_value
-    except ImportError:
+    else:
         # First-party sampler: exhaustive if small, else seeded random.
         rng = random.Random(seed)
         combos = list(itertools.product(*(values for _, values in choices)))

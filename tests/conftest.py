@@ -29,48 +29,73 @@ from predict_pv_yield_tpu.config.dataset import Configuration
 from predict_pv_yield_tpu.utils import load_config
 
 
+def build_dataset_configuration(
+    batch_size: int = 2,
+    history_minutes: int = 30,
+    forecast_minutes: int = 60,
+    nwp_image_size: int = 16,
+    sat_image_size: int | None = None,
+    nwp_channel_count: int | None = None,
+    sat_window_override: bool = False,
+    defaults_reach_sources: bool = False,
+):
+    """One builder behind every dataset-shape fixture. The three shapes below
+    gate the same contracts as the reference's fixtures
+    (reference ``tests/conftest.py:7-49``): a generic 30/60-min config, a
+    conv3d config mirroring the test model YAML, and a perceiver config.
+
+    ``defaults_reach_sources``: whether the history/forecast minutes are set
+    before ``set_all_to_defaults`` (so every data source inherits them) or
+    after (sources keep their own defaults — the perceiver fixture's 120-min
+    forecast applies to the target series only, like the reference's)."""
+    cfg = Configuration()
+    cfg.process.batch_size = batch_size
+    if defaults_reach_sources:
+        cfg.input_data.default_history_minutes = history_minutes
+        cfg.input_data.default_forecast_minutes = forecast_minutes
+    cfg.input_data = cfg.input_data.set_all_to_defaults()
+    if not defaults_reach_sources:
+        cfg.input_data.default_history_minutes = history_minutes
+        cfg.input_data.default_forecast_minutes = forecast_minutes
+    cfg.input_data.nwp.nwp_image_size_pixels = nwp_image_size
+    if sat_image_size is not None:
+        cfg.input_data.satellite.satellite_image_size_pixels = sat_image_size
+    if nwp_channel_count is not None:
+        cfg.input_data.nwp.nwp_channels = cfg.input_data.nwp.nwp_channels[
+            :nwp_channel_count
+        ]
+    if sat_window_override:
+        cfg.input_data.satellite.history_minutes = history_minutes
+        cfg.input_data.satellite.forecast_minutes = forecast_minutes
+    return cfg
+
+
 @pytest.fixture()
 def configuration():
-    configuration = Configuration()
-    configuration.input_data = configuration.input_data.set_all_to_defaults()
-    configuration.process.batch_size = 2
-    configuration.input_data.default_history_minutes = 30
-    configuration.input_data.default_forecast_minutes = 60
-    configuration.input_data.nwp.nwp_image_size_pixels = 16
-    return configuration
+    return build_dataset_configuration()
 
 
 @pytest.fixture()
 def configuration_conv3d():
-    config = load_config("tests/configs/model/conv3d.yaml")
-
-    dataset_configuration = Configuration()
-    dataset_configuration.process.batch_size = 2
-    dataset_configuration.input_data.default_history_minutes = config["history_minutes"]
-    dataset_configuration.input_data.default_forecast_minutes = config["forecast_minutes"]
-    dataset_configuration.input_data = dataset_configuration.input_data.set_all_to_defaults()
-    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 2
-    dataset_configuration.input_data.satellite.satellite_image_size_pixels = config[
-        "image_size_pixels"
-    ]
-    dataset_configuration.input_data.satellite.forecast_minutes = config["forecast_minutes"]
-    dataset_configuration.input_data.satellite.history_minutes = config["history_minutes"]
-    return dataset_configuration
+    model_cfg = load_config("tests/configs/model/conv3d.yaml")
+    return build_dataset_configuration(
+        history_minutes=model_cfg["history_minutes"],
+        forecast_minutes=model_cfg["forecast_minutes"],
+        nwp_image_size=2,
+        sat_image_size=model_cfg["image_size_pixels"],
+        sat_window_override=True,
+        defaults_reach_sources=True,
+    )
 
 
 @pytest.fixture()
 def configuration_perceiver():
-    dataset_configuration = Configuration()
-    dataset_configuration.input_data = dataset_configuration.input_data.set_all_to_defaults()
-    dataset_configuration.process.batch_size = 2
-    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 16
-    dataset_configuration.input_data.satellite.satellite_image_size_pixels = 16
-    dataset_configuration.input_data.default_history_minutes = 30
-    dataset_configuration.input_data.default_forecast_minutes = 120
-    dataset_configuration.input_data.nwp.nwp_channels = (
-        dataset_configuration.input_data.nwp.nwp_channels[0:10]
+    return build_dataset_configuration(
+        history_minutes=30,
+        forecast_minutes=120,
+        sat_image_size=16,
+        nwp_channel_count=10,
     )
-    return dataset_configuration
 
 
 @pytest.fixture()

@@ -1,8 +1,8 @@
 """Pallas blur kernel vs XLA reference path.
 
-On the CPU test mesh the TPU kernel is exercised through the pallas
-interpreter; the real-hardware cross-check runs in the TPU smoke script
-(tools/flow_bench.py) and was validated on a v5e chip.
+The production flow path uses the XLA convs unconditionally (the Pallas
+kernel is a documented negative result — ops/pallas_blur.py docstring);
+the kernel body itself stays correct under the pallas interpreter here.
 """
 
 import jax
@@ -31,8 +31,6 @@ def test_sep_blur_matches_xla_path():
     rng = np.random.default_rng(0)
     fields = rng.standard_normal((5, 96, 96)).astype(np.float32)
     kernel = _gaussian_kernel(20, 6.0)
-    # off-TPU sep_blur dispatches to the XLA path; run the pallas kernel in
-    # interpreter mode explicitly to check the kernel body itself.
     reference = np.asarray(_sep_blur_xla(fields, kernel))
     out = np.asarray(sep_blur(fields, kernel))
     np.testing.assert_allclose(out, reference, atol=1e-4)

@@ -77,3 +77,87 @@ def test_failed_trials_never_win(monkeypatch):
     best_value, best_params, trials = run_sweep(lambda overrides: {"model": {}}, [], config)
     if best_value is not None:  # optuna path returns sentinel -inf
         assert best_value == float("-inf")
+
+
+def test_optuna_branch_with_mock(monkeypatch):
+    """Exercise the TPE/optuna integration surface (create_study, TPESampler,
+    study.optimize, best_params/best_value) with a mock optuna module —
+    optuna itself is not installed in this image, but the branch must stay
+    correct for environments that have it."""
+    import sys
+    import types
+
+    class FakeTrial:
+        def __init__(self, index):
+            self.index = index
+            self.params = {}
+
+        def suggest_categorical(self, name, choices):
+            value = choices[(self.index + hash(name)) % len(choices)]
+            self.params[name] = value
+            return value
+
+    class FakeStudy:
+        def __init__(self, direction):
+            self.direction = direction
+            self.best_params = None
+            self.best_value = None
+
+        def optimize(self, objective, n_trials):
+            for i in range(n_trials):
+                trial = FakeTrial(i)
+                value = objective(trial)
+                better = self.best_value is None or (
+                    value < self.best_value
+                    if self.direction == "minimize"
+                    else value > self.best_value
+                )
+                if better:
+                    self.best_value = value
+                    self.best_params = dict(trial.params)
+
+    fake = types.ModuleType("optuna")
+    fake.samplers = types.SimpleNamespace(TPESampler=lambda seed: ("tpe", seed))
+    created = {}
+
+    def create_study(direction, sampler):
+        created["direction"] = direction
+        created["sampler"] = sampler
+        study = FakeStudy(direction)
+        created["study"] = study
+        return study
+
+    fake.create_study = create_study
+    monkeypatch.setitem(sys.modules, "optuna", fake)
+
+    def fake_train(config):
+        return 0.1 if config["model"]["a"] else 0.9
+
+    monkeypatch.setattr(
+        "predict_pv_yield_tpu.training.pipeline.train", fake_train
+    )
+
+    def compose_fn(overrides):
+        config = {"model": {"a": False}}
+        for override in overrides:
+            key, _, raw = override.partition("=")
+            config["model"][key.split(".")[-1]] = raw == "True"
+        return config
+
+    config = {
+        "optimized_metric": "MSE/Validation_epoch",
+        "sweep": {
+            "direction": "minimize",
+            "n_trials": 6,
+            "seed": 7,
+            "search_space": {
+                "model.a": {"type": "categorical", "choices": [True, False]},
+            },
+        },
+    }
+    best_value, best_params, trials = run_sweep(compose_fn, [], config)
+    assert created["direction"] == "minimize"
+    assert created["sampler"] == ("tpe", 7)
+    assert best_value == 0.1
+    assert best_params == {"model.a": True}
+    assert len(trials) == 6
