@@ -23,20 +23,22 @@ import jax
 import jax.numpy as jnp
 
 
-def remap_image(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp ``image`` (H, W) forward by ``flow`` (H, W, 2) in (dx, dy) order.
+def remap_batched(images: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``images`` (N, H, W) forward by ``flows`` (N, H, W, 2), (dx, dy).
 
     Out-of-bounds samples become NaN (the notebook's BORDER_CONSTANT=NaN),
-    so downstream crop sampling can reject smeared borders.
+    so downstream crop sampling can reject smeared borders. The sampling is
+    four flat 1-D gathers — the TPU-fast lowering (see
+    ``optical_flow.bilinear_gather_batched``).
     """
-    height, width = image.shape
+    n, height, width = images.shape
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32),
         jnp.arange(width, dtype=jnp.float32),
         indexing="ij",
     )
-    sample_y = grid_y - flow[..., 1]
-    sample_x = grid_x - flow[..., 0]
+    sample_y = grid_y[None] - flows[..., 1]
+    sample_x = grid_x[None] - flows[..., 0]
 
     in_bounds = (
         (sample_y >= 0.0)
@@ -45,18 +47,15 @@ def remap_image(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         & (sample_x <= width - 1.0)
     )
 
-    ys = jnp.clip(sample_y, 0.0, height - 1.0)
-    xs = jnp.clip(sample_x, 0.0, width - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, height - 1)
-    x1 = jnp.minimum(x0 + 1, width - 1)
-    wy = ys - y0
-    wx = xs - x0
-    top = image[y0, x0] * (1 - wx) + image[y0, x1] * wx
-    bottom = image[y1, x0] * (1 - wx) + image[y1, x1] * wx
-    warped = top * (1 - wy) + bottom * wy
+    from predict_pv_yield_tpu.ops.optical_flow import bilinear_gather_batched
+
+    warped = bilinear_gather_batched(images[..., None], sample_y, sample_x)[..., 0]
     return jnp.where(in_bounds, warped, jnp.nan)
+
+
+def remap_image(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Single-image convenience wrapper over :func:`remap_batched`."""
+    return remap_batched(image[None], flow[None])[0]
 
 
 @jax.jit
@@ -75,12 +74,18 @@ def flow_predictions(sat_data: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
         triangle ``s < T - 1 - i``.
     """
     num_flows = flows.shape[0]
+    height, width = sat_data.shape[1:]
     steps = jnp.arange(1, num_flows + 1, dtype=jnp.float32)
 
-    def predictions_for_source(source, flow):
-        return jax.vmap(lambda s: remap_image(source, flow * s))(steps)
-
-    return jax.vmap(predictions_for_source)(sat_data[:-1], flows)
+    # one flat batch of (source, step) pairs → one batched gather
+    sources = jnp.broadcast_to(
+        sat_data[:-1, None], (num_flows, num_flows, height, width)
+    ).reshape(num_flows * num_flows, height, width)
+    scaled_flows = (
+        flows[:, None] * steps[None, :, None, None, None]
+    ).reshape(num_flows * num_flows, height, width, 2)
+    warped = remap_batched(sources, scaled_flows)
+    return warped.reshape(num_flows, num_flows, height, width)
 
 
 def prediction_valid_mask(num_source_timesteps: int) -> jnp.ndarray:
