@@ -443,6 +443,29 @@ def farneback_flow(im1: jnp.ndarray, im2: jnp.ndarray, **kwargs) -> jnp.ndarray:
     return farneback_flow_batched(im1[None], im2[None], **kwargs)[0]
 
 
+def flow_sequence_sharded(frames: jnp.ndarray, mesh=None, **kwargs) -> jnp.ndarray:
+    """Multi-chip ``flow_sequence``: the (T-1) frame-pair batch is sharded
+    over the mesh's ``data`` axis and the whole pipeline runs SPMD — each
+    chip computes its pairs with zero collectives (the pairs are
+    independent, exactly like the reference's one-process-per-pair farm,
+    notebook 13 cell 7, but scaled across a TPU slice instead of CPU
+    workers). Results gather back only if the caller fetches them."""
+    from predict_pv_yield_tpu.parallel.mesh import batch_sharding, mesh_for_batch
+
+    pairs = frames.shape[0] - 1
+    if mesh is None:
+        mesh = mesh_for_batch(pairs)
+    sharding = batch_sharding(mesh)
+    im1 = jax.device_put(frames[:-1], sharding)
+    im2 = jax.device_put(frames[1:], sharding)
+    flow_fn = jax.jit(
+        functools.partial(farneback_flow_batched, **kwargs),
+        in_shardings=(sharding, sharding),
+        out_shardings=sharding,
+    )
+    return flow_fn(im1, im2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("winsize", "levels", "iterations", "poly_n", "gaussian")
 )

@@ -123,3 +123,19 @@ def test_ssim():
     # translation hurts SSIM more than identity
     shifted = _translate(im, 5.0, 0.0)
     assert float(ssim(im, shifted)) < 0.95
+
+
+def test_flow_sequence_sharded_matches_unsharded():
+    """The SPMD pair-parallel path (8-device mesh) equals the single-device
+    result — the multi-chip form of the reference's per-pair process farm."""
+    from predict_pv_yield_tpu.ops.optical_flow import flow_sequence_sharded
+
+    im = _smooth_image(size=64, seed=7)
+    frames = jnp.stack([_translate(im, 0.5 * t, -0.3 * t) for t in range(9)])
+    sharded = flow_sequence_sharded(frames, winsize=15)
+    assert sharded.shape == (8, 64, 64, 2)
+    assert len(sharded.sharding.device_set) == 8
+    unsharded = flow_sequence(frames, winsize=15)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(unsharded), atol=1e-5
+    )
