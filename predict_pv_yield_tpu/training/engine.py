@@ -121,6 +121,10 @@ class Trainer:
         profiler: Optional[str] = "simple",
         resume_from_checkpoint: Optional[str] = None,
         accumulate_grad_batches: int = 1,
+        gradient_clip_val: float = 0.0,
+        max_steps: Optional[int] = None,
+        check_val_every_n_epoch: int = 1,
+        num_sanity_val_steps: int = 0,
         limit_train_batches: Optional[int] = None,
         limit_val_batches: Optional[int] = None,
         learning_rate: float = 5e-4,
@@ -151,6 +155,13 @@ class Trainer:
         self.jax_trace = profiler == "jax"
         self.resume_from_checkpoint = resume_from_checkpoint
         self.accumulate_grad_batches = accumulate_grad_batches
+        #: Lightning-parity knobs with real semantics here (the rest of the
+        #: Lightning Trainer surface is accepted and ignored for config
+        #: portability — see ``lightning_compat``).
+        self.gradient_clip_val = float(gradient_clip_val)
+        self.max_steps = max_steps if max_steps and max_steps > 0 else None
+        self.check_val_every_n_epoch = max(1, int(check_val_every_n_epoch))
+        self.num_sanity_val_steps = max(0, int(num_sanity_val_steps))
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.learning_rate = learning_rate
@@ -257,6 +268,12 @@ class Trainer:
         )
 
         tx = optax.adam(self.learning_rate)  # reference base_model.py:255-257
+        if self.gradient_clip_val > 0:
+            # Lightning clips the (accumulated) gradients by global norm
+            # before the optimiser step; same order here.
+            tx = optax.chain(
+                optax.clip_by_global_norm(self.gradient_clip_val), tx
+            )
         if self.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
         self.state = TrainState.create(apply_fn=model.apply, params=variables, tx=tx)
@@ -494,6 +511,13 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_fit_start(self, model)
 
+        if (
+            self.num_sanity_val_steps
+            and val_loader is not None
+            and not self.fast_dev_run
+        ):
+            self._sanity_check(val_loader)
+
         max_epochs = 1 if self.fast_dev_run else self.max_epochs
         try:
             for epoch in range(max_epochs):
@@ -502,7 +526,11 @@ class Trainer:
                 for cb in self.callbacks:
                     cb.on_train_epoch_end(self, model, train_metrics)
 
-                if val_loader is not None:
+                run_val = (
+                    val_loader is not None
+                    and (epoch + 1) % self.check_val_every_n_epoch == 0
+                )
+                if run_val:
                     val_metrics = self._eval_epoch(model, val_loader, tag="Validation")
                     for cb in self.callbacks:
                         cb.on_validation_epoch_end(self, model, val_metrics)
@@ -511,6 +539,9 @@ class Trainer:
                     train_metrics.get("NMAE/Train_epoch", 0.0)
                 ):
                     log.error("non-finite training loss; stopping")
+                    break
+                if self.max_steps and self.global_step >= self.max_steps:
+                    log.info("max_steps %d reached", self.max_steps)
                     break
                 if self.should_stop and epoch + 1 >= self.min_epochs:
                     break
@@ -525,11 +556,35 @@ class Trainer:
             log.info("%s", self.profiler.summary())
         return self.callback_metrics
 
+    def _sanity_check(self, loader) -> None:
+        """Run ``num_sanity_val_steps`` eval steps before training starts —
+        shape/NaN problems surface in seconds instead of after the first
+        train epoch (Lightning's sanity check; metrics are discarded)."""
+        self.sanity_checking = True
+        try:
+            step_fn = self._compiled["eval"]
+            metrics = None
+            for _, device_batch in self._iter_batches(
+                loader, self.num_sanity_val_steps
+            ):
+                metrics, *_ = step_fn(self.state, device_batch)
+            if metrics is not None:
+                jax.device_get(metrics)
+        finally:
+            self.sanity_checking = False
+
     def _train_epoch(self, loader) -> Dict[str, float]:
         step_fn = self._compiled["train"]
         device_metrics: List[Dict] = []
         profiler = self.profiler
         limit = self.limit_train_batches
+        if self.max_steps is not None:
+            remaining = self.max_steps - self.global_step
+            if remaining <= 0:
+                return {}
+            # exact in single-step mode; grouped mode may overshoot by < k
+            # (a fused dispatch always completes its scan)
+            limit = remaining if limit is None else min(limit, remaining)
 
         if self.steps_per_execution > 1 and not self.fast_dev_run:
             multi_fn = self._compiled["train_multi"]

@@ -127,3 +127,50 @@ def test_steps_per_execution_matches_single_step(sharded_configuration, tmp_cwd)
         # scanned vs unscanned programs fuse differently → f32 reduction
         # order differs; bound the drift rather than expect bit equality
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+
+
+def test_lightning_parity_knobs(sharded_configuration, tmp_cwd):
+    """max_steps, check_val_every_n_epoch, num_sanity_val_steps and
+    gradient_clip_val have real semantics (not Lightning-compat no-ops)."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=4)
+
+    # max_steps stops mid-epoch; sanity check doesn't advance global_step
+    trainer = Trainer(
+        max_epochs=5, profiler=None, max_steps=3, num_sanity_val_steps=1,
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    assert trainer.global_step == 3
+
+    # check_val_every_n_epoch=2 over 2 epochs -> exactly one val epoch
+    seen = []
+
+    class CountVal:
+        def on_fit_start(self, trainer, model): pass
+        def on_train_epoch_end(self, trainer, model, metrics): pass
+        def on_validation_epoch_end(self, trainer, model, metrics):
+            seen.append(trainer.current_epoch)
+        def on_fit_end(self, trainer, model): pass
+
+    trainer = Trainer(
+        max_epochs=2, profiler=None, check_val_every_n_epoch=2,
+        callbacks=[CountVal()],
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    assert seen == [1]
+
+    # gradient clipping changes the step taken for identical data/seed
+    def one_step(clip):
+        trainer = Trainer(
+            max_epochs=1, profiler=None, limit_train_batches=1,
+            gradient_clip_val=clip,
+        )
+        trainer.fit(Conv3d(**config), train_dataloaders=ds)
+        return np.concatenate([
+            np.asarray(leaf).ravel()
+            for leaf in jax.tree_util.tree_leaves(trainer.state.params)
+        ])
+
+    unclipped = one_step(0.0)
+    clipped = one_step(1e-6)
+    assert not np.allclose(unclipped, clipped)
