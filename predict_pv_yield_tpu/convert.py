@@ -177,3 +177,58 @@ def load_lightning_checkpoint(path: str) -> Dict:
     checkpoint = torch.load(path, map_location="cpu")
     state_dict = checkpoint.get("state_dict", checkpoint)
     return strip_lightning_prefix(state_dict)
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: native flax params → reference torch state_dict
+# ---------------------------------------------------------------------------
+
+
+def _export_conv3d_kernel(kernel) -> np.ndarray:
+    """(D, H, W, I, O) → (O, I, D, H, W)."""
+    return np.asarray(kernel, np.float32).transpose(4, 3, 0, 1, 2)
+
+
+def _export_dense(params: Mapping, out: Dict, torch_name: str) -> None:
+    out[f"{torch_name}.weight"] = np.asarray(params["kernel"], np.float32).T
+    out[f"{torch_name}.bias"] = np.asarray(params["bias"], np.float32)
+
+
+def _export_dense_after_flatten(
+    params: Mapping, out: Dict, torch_name: str,
+    channels: int, time: int, height: int, width: int,
+) -> None:
+    """Inverse of ``dense_kernel_after_flatten``: reorder the kernel rows
+    back from the native (T,H,W,C) to the torch (C,T,H,W) flatten order."""
+    perm = flatten_permutation(channels, time, height, width)
+    native_kernel = np.asarray(params["kernel"], np.float32)  # (in, out)
+    torch_rows = native_kernel[np.argsort(perm)]
+    out[f"{torch_name}.weight"] = torch_rows.T
+    out[f"{torch_name}.bias"] = np.asarray(params["bias"], np.float32)
+
+
+def export_conv3d(variables: Mapping, model) -> Dict[str, np.ndarray]:
+    """Native conv3d params → a torch-layout state_dict (numpy values; wrap
+    with ``torch.from_numpy`` to ``load_state_dict`` into the reference
+    architecture). Exact inverse of :func:`convert_conv3d`, so trained
+    checkpoints flow back to reference users."""
+    params = variables["params"]
+    n = model.number_of_conv3d_layers
+    out: Dict[str, np.ndarray] = {}
+    for i in range(n):
+        torch_name = "sat_conv0" if i == 0 else f"conv3d_{i}"
+        conv = params["sat_tower"][f"conv{i}"]
+        out[f"{torch_name}.weight"] = _export_conv3d_kernel(conv["kernel"])
+        out[f"{torch_name}.bias"] = np.asarray(conv["bias"], np.float32)
+
+    size = model.image_size_pixels - 2 * n
+    time = model.seq_lens.seq_len_5 - 2 * n
+    _export_dense_after_flatten(
+        params["fc1"], out, "fc1", model.conv3d_channels, time, size, size
+    )
+    _export_dense(params["fc2"], out, "fc2")
+    if "fc_nwp" in params:
+        _export_dense(params["fc_nwp"], out, "fc_nwp")
+    _export_dense(params["fc3"], out, "fc3")
+    _export_dense(params["fc4"], out, "fc4")
+    return out

@@ -177,3 +177,51 @@ def test_conv3d_one_training_step_parity():
             np.asarray(leaf), np.asarray(flat_torch[path]),
             rtol=0, atol=5e-5, err_msg=str(path),
         )
+
+
+def test_export_conv3d_roundtrip_and_torch_parity():
+    """Native→torch export is the exact inverse of the import AND the torch
+    model loaded with exported weights matches the native forward."""
+    from predict_pv_yield_tpu.convert import export_conv3d
+
+    model = Model(
+        include_pv_yield=False,
+        include_nwp=False,
+        forecast_minutes=30,
+        history_minutes=60,
+        number_of_conv3d_layers=3,
+        conv3d_channels=8,
+        image_size_pixels=16,
+        number_sat_channels=4,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=16,
+        output_variable="pv_yield",
+    )
+    rng = np.random.default_rng(2)
+    seq = model.seq_lens.seq_len_5
+    sat = rng.standard_normal((2, 4, seq, 16, 16)).astype(np.float32)
+    batch = Batch(satellite=SatelliteBatch(data=jnp.asarray(sat)))
+
+    variables = model.init(jax.random.key(3), batch)
+    y_native = np.asarray(model.apply(variables, batch))
+
+    state_dict = export_conv3d(variables, model)
+
+    # exact import/export inverse
+    reimported = convert_conv3d(state_dict, model)
+    for (path1, leaf1), (path2, leaf2) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(reimported),
+    ):
+        assert path1 == path2
+        np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+    # torch forward parity with the exported weights
+    torch_model = TorchConv3d(model)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    )
+    with torch.no_grad():
+        y_torch = torch_model.eval()(torch.from_numpy(sat)).numpy()
+    np.testing.assert_allclose(y_native, y_torch, rtol=1e-4, atol=1e-4)

@@ -6,8 +6,11 @@ pipeline; consumed at reference ``dataloader.py:78-102``). This tool writes a
 dataset in the native shard format (``data/shards.py``):
 
     <out>/configuration.yaml
-    <out>/train/000000.npz ...
-    <out>/test/000000.npz ...
+    <out>/train/000000.shard ...   (flat raw format, mmap-read hot path)
+    <out>/test/000000.shard ...
+
+``--format npz`` writes numpy archives instead (smaller over a network;
+the raw format is 4-5x faster to read from local disk).
 
 Sources: ``--fake`` synthesises batches (for demos/CI and for driving the
 full non-fake loader path), or ``--satellite-zarr`` samples windows from a
@@ -40,6 +43,7 @@ def main() -> None:
     parser.add_argument("--satellite-pixels", type=int, default=24)
     parser.add_argument("--nwp-pixels", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--format", choices=("raw", "npz"), default="raw")
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
@@ -82,7 +86,7 @@ def main() -> None:
         directory = os.path.join(args.out, split)
         for i in range(count):
             rng = np.random.default_rng((args.seed, split == "test", i))
-            write_shard(directory, i, fake_batch(configuration, rng))
+            write_shard(directory, i, fake_batch(configuration, rng), fmt=args.format)
         print(f"wrote {count} shards to {directory}")
 
 
