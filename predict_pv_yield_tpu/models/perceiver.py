@@ -55,6 +55,8 @@ class PerceiverModel(BaseModel):
     num_latents: int = 128
     latent_dim: int = 64
     embedding_dem: int = 16
+    #: shard attention/FF weights over the mesh 'model' axis (TP)
+    partition_attention: bool = False
     output_variable: str = "pv_yield"
 
     @property
@@ -82,6 +84,7 @@ class PerceiverModel(BaseModel):
             latent_dim=self.latent_dim,
             num_classes=PERCEIVER_OUTPUT_SIZE,
             weight_tie_layers=True,
+            partition_attention=self.partition_attention,
             dtype=self.dtype,
             name="perceiver",
         )(sat_data)

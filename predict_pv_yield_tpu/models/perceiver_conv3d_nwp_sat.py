@@ -37,6 +37,8 @@ class Model(BaseModel):
     num_latents: int = 128
     latent_dim: int = 64
     embedding_dem: int = 16
+    #: shard attention/FF weights over the mesh 'model' axis (TP)
+    partition_attention: bool = False
     output_variable: str = "pv_yield"
     conv3d_channels: int = 16
     use_future_satellite_images: bool = True
@@ -94,6 +96,7 @@ class Model(BaseModel):
             latent_dim=self.latent_dim,
             num_classes=PERCEIVER_OUTPUT_SIZE,
             weight_tie_layers=True,
+            partition_attention=self.partition_attention,
             dtype=self.dtype,
             name="perceiver",
         )(data)

@@ -33,6 +33,24 @@ from flax import linen as nn
 
 Dtype = Any
 
+#: the mesh axis attention weights shard over under tensor parallelism
+MODEL_AXIS = "model"
+
+
+def _maybe_partitioned(partition: bool, axes: Tuple[Optional[str], ...]):
+    """Kernel initialiser, optionally boxed with mesh-axis names.
+
+    Megatron-style TP for the attention/FF blocks: input projections are
+    column-sharded (P(None, "model")), output projections row-sharded
+    (P("model", None)); GSPMD inserts the single psum after each output
+    projection. With ``partition=False`` (the default) the param is a plain
+    array and everything stays replicated — identical to the original model.
+    """
+    init = nn.initializers.lecun_normal()
+    if not partition:
+        return init
+    return nn.with_partitioning(init, axes)
+
 
 def fourier_encode(shape: Tuple[int, ...], num_freq_bands: int, max_freq: float) -> np.ndarray:
     """Position features for a spatial grid, shape (*shape, n_axes*(2*bands+1)).
@@ -53,15 +71,22 @@ def fourier_encode(shape: Tuple[int, ...], num_freq_bands: int, max_freq: float)
 class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
+    partition: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        projected = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="in")(x)
+        projected = nn.Dense(
+            self.dim * self.mult * 2, dtype=self.dtype, name="in",
+            kernel_init=_maybe_partitioned(self.partition, (None, MODEL_AXIS)),
+        )(x)
         value, gate = jnp.split(projected, 2, axis=-1)
         # exact (erf) GELU — perceiver_pytorch's F.gelu, not the tanh approx
         gated = value * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(gated)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, name="out",
+            kernel_init=_maybe_partitioned(self.partition, (MODEL_AXIS, None)),
+        )(gated)
 
 
 class Attention(nn.Module):
@@ -70,15 +95,17 @@ class Attention(nn.Module):
     query_dim: int
     heads: int = 8
     dim_head: int = 64
+    partition: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        qkv_init = _maybe_partitioned(self.partition, (None, MODEL_AXIS))
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q", kernel_init=qkv_init)(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k", kernel_init=qkv_init)(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v", kernel_init=qkv_init)(context)
 
         def split_heads(t):
             return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
@@ -89,7 +116,10 @@ class Attention(nn.Module):
         weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*out.shape[:-2], inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(
+            self.query_dim, dtype=self.dtype, name="to_out",
+            kernel_init=_maybe_partitioned(self.partition, (MODEL_AXIS, None)),
+        )(out)
 
 
 class PerceiverBlock(nn.Module):
@@ -101,6 +131,7 @@ class PerceiverBlock(nn.Module):
     cross_dim_head: int = 64
     latent_dim_head: int = 64
     self_per_cross_attn: int = 1
+    partition: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -112,10 +143,14 @@ class PerceiverBlock(nn.Module):
             query_dim=self.latent_dim,
             heads=self.cross_heads,
             dim_head=self.cross_dim_head,
+            partition=self.partition,
             dtype=self.dtype,
             name="cross_attn",
         )(normed, data_normed)
-        x = x + GEGLUFeedForward(self.latent_dim, dtype=self.dtype, name="cross_ff")(
+        x = x + GEGLUFeedForward(
+            self.latent_dim, partition=self.partition, dtype=self.dtype,
+            name="cross_ff",
+        )(
             nn.LayerNorm(dtype=self.dtype, name="cross_ff_norm")(x)
         )
         for i in range(self.self_per_cross_attn):
@@ -123,10 +158,14 @@ class PerceiverBlock(nn.Module):
                 query_dim=self.latent_dim,
                 heads=self.latent_heads,
                 dim_head=self.latent_dim_head,
+                partition=self.partition,
                 dtype=self.dtype,
                 name=f"self_attn{i}",
             )(nn.LayerNorm(dtype=self.dtype, name=f"self_norm{i}")(x))
-            x = x + GEGLUFeedForward(self.latent_dim, dtype=self.dtype, name=f"self_ff{i}")(
+            x = x + GEGLUFeedForward(
+                self.latent_dim, partition=self.partition, dtype=self.dtype,
+                name=f"self_ff{i}",
+            )(
                 nn.LayerNorm(dtype=self.dtype, name=f"self_ff_norm{i}")(x)
             )
         return x
@@ -154,6 +193,10 @@ class Perceiver(nn.Module):
     #: for activation memory (jax.checkpoint; useful when depth × latents
     #: outgrows HBM, SURVEY §7 "rematerialisation" note).
     remat: bool = False
+    #: Tensor parallelism: box attention/FF kernels with mesh-axis names so
+    #: the engine shards them over the mesh's ``model`` axis
+    #: (Megatron-style column/row split; GSPMD inserts the psums).
+    partition_attention: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -187,6 +230,7 @@ class Perceiver(nn.Module):
             cross_dim_head=self.cross_dim_head,
             latent_dim_head=self.latent_dim_head,
             self_per_cross_attn=self.self_per_cross_attn,
+            partition=self.partition_attention,
             dtype=self.dtype,
         )
         if self.weight_tie_layers:
@@ -221,6 +265,7 @@ class _ScanBlock(nn.Module):
     cross_dim_head: int = 64
     latent_dim_head: int = 64
     self_per_cross_attn: int = 1
+    partition: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -232,6 +277,7 @@ class _ScanBlock(nn.Module):
             cross_dim_head=self.cross_dim_head,
             latent_dim_head=self.latent_dim_head,
             self_per_cross_attn=self.self_per_cross_attn,
+            partition=self.partition,
             dtype=self.dtype,
             name="inner",
         )(latents, data)

@@ -37,6 +37,8 @@ class Model(BaseModel):
     num_latents: int = 128
     latent_dim: int = 64
     embedding_dem: int = 16
+    #: shard attention/FF weights over the mesh 'model' axis (TP)
+    partition_attention: bool = False
     output_variable: str = "pv_yield"
 
     @property
@@ -78,6 +80,7 @@ class Model(BaseModel):
             latent_dim=self.latent_dim,
             num_classes=PERCEIVER_OUTPUT_SIZE,
             weight_tie_layers=True,
+            partition_attention=self.partition_attention,
             dtype=self.dtype,
             name="perceiver",
         )(data)

@@ -47,18 +47,24 @@ def build_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None) -> Mesh:
-    """Largest data-parallel mesh whose size divides ``batch_size``.
+def mesh_for_batch(
+    batch_size: int,
+    devices: Optional[Sequence] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Largest (data, model) mesh whose data axis divides ``batch_size``.
 
     Keeps sharding exact (no padding) for any batch size — e.g. the test
     suite's batch-2 fake batches on an 8-device CPU mesh use 2 devices.
+    ``model_parallel`` reserves that many devices per data-parallel replica
+    for tensor-parallel parameter shards.
     """
     if devices is None:
         devices = jax.devices()
-    n = len(devices)
+    n = len(devices) // model_parallel
     while n > 1 and batch_size % n != 0:
         n -= 1
-    return build_mesh(devices, data_parallel=n)
+    return build_mesh(devices, data_parallel=n, model_parallel=model_parallel)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

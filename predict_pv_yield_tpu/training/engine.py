@@ -133,6 +133,7 @@ class Trainer:
         debug_nans: bool = False,
         prefetch_depth: int = 2,
         steps_per_execution: int = 1,
+        model_parallel: int = 1,
         seed: int = 0,
         save_validation_plots: bool = True,
         wire_float16: bool = False,
@@ -171,6 +172,9 @@ class Trainer:
         #: Train steps fused into one device dispatch via lax.scan —
         #: amortises host dispatch latency when single steps are tiny.
         self.steps_per_execution = max(1, int(steps_per_execution))
+        #: Devices per replica on the mesh's ``model`` axis; >1 enables the
+        #: tensor-parallel layout for modules with partitioned params.
+        self.model_parallel = max(1, int(model_parallel))
         if lightning_compat:
             log.debug("ignoring Lightning-compat trainer args: %s", sorted(lightning_compat))
         if debug_nans:
@@ -242,6 +246,32 @@ class Trainer:
             if close is not None:
                 close()
 
+    def _init_params(self, model, example):
+        """Initialise parameters directly into their mesh shardings.
+
+        Modules may box parameters with mesh-axis names
+        (``nn.with_partitioning`` — e.g. the Perceiver's
+        ``partition_attention`` tensor-parallel kernels); those shard over
+        the mesh's ``model`` axis, everything else replicates. The returned
+        tree is unboxed (plain arrays) — the partition metadata's only job
+        is done once the arrays carry their NamedSharding."""
+        from flax import linen as nn
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        init = lambda: model.init(jax.random.key(self.seed), example)  # noqa: E731
+        abstract = jax.eval_shape(init)
+        specs = nn.get_partition_spec(abstract)
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(
+                self.mesh, spec if isinstance(spec, PartitionSpec) else PartitionSpec()
+            ),
+            specs,
+            is_leaf=lambda x: x is None or isinstance(x, PartitionSpec),
+        )
+        return jax.jit(
+            lambda: nn.meta.unbox(init()), out_shardings=shardings
+        )()
+
     def setup(self, model, example_batch: Batch) -> None:
         """Build mesh, init or restore parameters, construct the optimiser."""
         model = self._prepare_model(model)
@@ -250,14 +280,13 @@ class Trainer:
         # Loaders yield host-local batches; the mesh spans the global batch
         # (local × processes) so the data axis divides it exactly.
         global_batch_size = example.batch_size * jax.process_count()
-        self.mesh = mesh_for_batch(global_batch_size, self.devices)
+        self.mesh = mesh_for_batch(
+            global_batch_size, self.devices, model_parallel=self.model_parallel
+        )
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
 
-        variables = jax.jit(
-            lambda: model.init(jax.random.key(self.seed), example),
-            out_shardings=self._replicated,
-        )()
+        variables = self._init_params(model, example)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
         self.logger.log_hyperparams(
             {
