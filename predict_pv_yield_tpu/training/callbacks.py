@@ -65,12 +65,16 @@ def load_state(path: str, abstract_state):
     import jax
     import orbax.checkpoint as ocp
 
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape")
-        else x,
-        abstract_state,
-    )
+    def as_abstract(x):
+        if isinstance(x, jax.Array):
+            # restore straight into the target's sharding (replicated params
+            # AND tensor-parallel shards land where they belong)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if hasattr(x, "shape"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+
+    abstract = jax.tree.map(as_abstract, abstract_state)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, abstract)
 

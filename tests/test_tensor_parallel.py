@@ -72,3 +72,22 @@ def test_partitioning_off_by_default(dataset, tmp_cwd):
     assert np.isfinite(metrics["NMAE/Train_epoch"])
     for leaf in jtu.tree_leaves(trainer.state.params):
         assert all(axis is None for axis in leaf.sharding.spec)
+
+
+def test_tensor_parallel_checkpoint_roundtrip(dataset, tmp_cwd):
+    """Sharded (TP) parameters checkpoint and restore into their shards."""
+    from predict_pv_yield_tpu.training.callbacks import ModelCheckpoint, load_state
+
+    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ckpt"))
+    trainer = Trainer(
+        max_epochs=1, profiler=None, model_parallel=2, callbacks=[ckpt],
+    )
+    trainer.fit(_model(True), train_dataloaders=dataset, val_dataloaders=dataset)
+    assert ckpt.best_model_path
+
+    restored = load_state(ckpt.best_model_path, trainer.state)
+    for before, after in zip(
+        jtu.tree_leaves(trainer.state.params), jtu.tree_leaves(restored.params)
+    ):
+        assert after.sharding == before.sharding
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
