@@ -127,6 +127,8 @@ def decompress(data: bytes) -> bytes:
     if flags & _BITSHUFFLE:
         raise ValueError("blosc bit-shuffle is not supported")
     if flags & _MEMCPYED:
+        if len(data) < 16 + nbytes:
+            raise ValueError("truncated blosc memcpy frame")
         return bytes(data[16 : 16 + nbytes])
 
     codec = (flags >> 5) & 0x7

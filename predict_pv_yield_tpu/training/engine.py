@@ -423,12 +423,18 @@ class Trainer:
         queue: deque = deque()
         iterator: Optional[Iterable] = iter(loader)
         pending: List[Batch] = []
+        planned = 0  # batches pulled from the loader (respects ``limit`` exactly)
         count = 0
         while True:
             while iterator is not None and len(queue) < max(self.prefetch_depth, 1):
-                try:
-                    pending.append(as_batch(next(iterator)))
-                except StopIteration:
+                exhausted = limit is not None and planned >= limit
+                if not exhausted:
+                    try:
+                        pending.append(as_batch(next(iterator)))
+                        planned += 1
+                    except StopIteration:
+                        exhausted = True
+                if exhausted:
                     iterator = None
                     for host in pending:  # leftover short group: single steps
                         queue.append(([host], self._to_device(host), False))

@@ -174,3 +174,16 @@ def test_lightning_parity_knobs(sharded_configuration, tmp_cwd):
     unclipped = one_step(0.0)
     clipped = one_step(1e-6)
     assert not np.allclose(unclipped, clipped)
+
+
+def test_steps_per_execution_respects_limit(sharded_configuration, tmp_cwd):
+    """limit_train_batches is exact in fused-dispatch mode: a limit that is
+    not a multiple of k runs the remainder as single steps."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    trainer = Trainer(
+        max_epochs=1, profiler=None, steps_per_execution=2,
+        limit_train_batches=3,
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds)
+    assert trainer.global_step == 3
