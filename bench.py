@@ -57,13 +57,18 @@ WARMUP_DISPATCHES = 3
 MEASURE_DISPATCHES = 25
 B32_MEASURE_STEPS = 200
 
-# bf16 peak FLOP/s per chip by device kind (dense MXU).
+# bf16 peak FLOP/s per chip by device kind (dense MXU). Keys are matched
+# against the normalised (lowercased, space-stripped) jax device_kind —
+# e.g. "TPU v5 lite" -> "tpuv5lite", "TPU v4" -> "tpuv4".
 _PEAK_FLOPS = {
-    "v4": 275e12,
-    "v5e": 197e12,
     "v5litepod": 197e12,
-    "v5p": 459e12,
+    "v5lite": 197e12,   # v5e reports device_kind "TPU v5 lite"
+    "v5e": 197e12,
+    "v6lite": 918e12,   # v6e / Trillium
     "v6e": 918e12,
+    "v5p": 459e12,
+    "v5": 459e12,       # after the lite forms: bare "v5" is v5p
+    "v4": 275e12,
 }
 _DEFAULT_PEAK = 197e12  # this rig is a v5e
 
@@ -154,8 +159,8 @@ def _flops_main(batch_size: int) -> None:
 
 
 def _peak_flops() -> float:
-    kind = str(jax.devices()[0].device_kind).lower()
-    for key, value in _PEAK_FLOPS.items():
+    kind = str(jax.devices()[0].device_kind).lower().replace(" ", "").replace("-", "")
+    for key, value in _PEAK_FLOPS.items():  # ordered: lite forms first
         if key in kind:
             return value
     return _DEFAULT_PEAK

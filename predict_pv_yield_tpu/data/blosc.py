@@ -24,10 +24,12 @@ the c-blosc1 container format:
 
 Inner codecs: LZ4 via the first-party native kernel (``native/lz4.cpp``),
 zlib via the stdlib, zstd via the ``zstandard`` package (present in this
-image). blosclz/snappy raise a clear error. The decoder self-validates the
-split layout (every stream boundary must land exactly at the block end) and
-falls back to the unsplit layout, so a different writer's split decision
-still decodes correctly.
+image). blosclz/snappy raise a clear error. The decoder attempts the split
+layout first and falls back to unsplit when the stream headers are
+inconsistent (sizes out of frame bounds or payloads failing to decompress
+to their expected lengths) — a different writer's split decision still
+decodes; a maliciously ambiguous frame is out of scope (archives here are
+trusted data).
 """
 
 from __future__ import annotations

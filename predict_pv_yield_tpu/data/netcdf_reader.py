@@ -360,6 +360,7 @@ class NetCDFBatchDataset:
         self.src_path = src_path
         self.tmp_path = tmp_path
         self.configuration = configuration
+        self._per_source: Optional[bool] = None  # layout cached on first access
 
     def __len__(self) -> int:
         return self.n_batches
@@ -374,17 +375,44 @@ class NetCDFBatchDataset:
     def _ensure_local(self, relative: str) -> str:
         if "://" not in self.src_path:
             return os.path.join(self.src_path, relative)
+        import time
+
         import fsspec  # same gate as data/shards.py
 
         local = os.path.join(self.tmp_path, relative)
         if not os.path.exists(local):
             os.makedirs(os.path.dirname(local), exist_ok=True)
-            with fsspec.open(os.path.join(self.src_path, relative), "rb") as src:
-                with open(local, "wb") as dst:
-                    dst.write(src.read())
+            # atomic + retried, matching the shard fetcher's posture
+            # (data/shards.py; the reference patched gcsfs the same way,
+            # SURVEY §5.3): a killed download never leaves a truncated file
+            # that later epochs would trust.
+            last_error: Optional[Exception] = None
+            for attempt in range(5):
+                try:
+                    with fsspec.open(
+                        os.path.join(self.src_path, relative), "rb"
+                    ) as src:
+                        with open(local + ".tmp", "wb") as dst:
+                            dst.write(src.read())
+                    os.replace(local + ".tmp", local)
+                    break
+                except Exception as exc:  # transient cloud-FS errors
+                    last_error = exc
+                    time.sleep(min(2**attempt, 8))
+            else:
+                raise RuntimeError(
+                    f"failed to fetch {relative} after 5 attempts"
+                ) from last_error
         return local
 
     def _is_per_source(self) -> bool:
+        # the layout is a property of the store, not the item: detect once
+        if self._per_source is not None:
+            return self._per_source
+        self._per_source = self._detect_per_source()
+        return self._per_source
+
+    def _detect_per_source(self) -> bool:
         if "://" in self.src_path:
             import fsspec
 

@@ -76,11 +76,26 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        projected = nn.Dense(
-            self.dim * self.mult * 2, dtype=self.dtype, name="in",
-            kernel_init=_maybe_partitioned(self.partition, (None, MODEL_AXIS)),
-        )(x)
-        value, gate = jnp.split(projected, 2, axis=-1)
+        if self.partition:
+            # Separate value/gate projections so each model-axis shard holds
+            # MATCHING value/gate columns and the gating multiply is local.
+            # A single fused projection split with jnp.split would cut
+            # exactly on the shard boundary (shard 0 = all value, shard 1 =
+            # all gate) and force a reshard inside every feed-forward.
+            column = _maybe_partitioned(True, (None, MODEL_AXIS))
+            value = nn.Dense(
+                self.dim * self.mult, dtype=self.dtype, name="in_value",
+                kernel_init=column,
+            )(x)
+            gate = nn.Dense(
+                self.dim * self.mult, dtype=self.dtype, name="in_gate",
+                kernel_init=column,
+            )(x)
+        else:
+            projected = nn.Dense(
+                self.dim * self.mult * 2, dtype=self.dtype, name="in"
+            )(x)
+            value, gate = jnp.split(projected, 2, axis=-1)
         # exact (erf) GELU — perceiver_pytorch's F.gelu, not the tanh approx
         gated = value * nn.gelu(gate, approximate=False)
         return nn.Dense(

@@ -41,12 +41,23 @@ def load_library() -> ctypes.CDLL:
         return _lib
     if os.environ.get("PREDICT_PV_YIELD_TPU_NO_NATIVE"):
         raise NativeUnavailable("native kernels disabled via environment")
-    if not os.path.exists(_LIB_PATH):
-        try:
-            _build()
-        except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+    # Always invoke make: it is a no-op when the library is fresh, and it
+    # rebuilds stale binaries when sources gained new symbols (a library
+    # from before lz4.cpp existed would otherwise AttributeError below).
+    try:
+        _build()
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        if not os.path.exists(_LIB_PATH):
             raise NativeUnavailable(f"could not build native library: {exc}") from exc
+        log.warning("native rebuild failed (%s); using the existing library", exc)
     lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+    for symbol in ("farneback_flow", "remap_image", "lz4_decompress_block",
+                   "blosc_unshuffle"):
+        if not hasattr(lib, symbol):
+            raise NativeUnavailable(
+                f"stale native library: missing symbol {symbol} (run "
+                f"`make -C native clean` and retry)"
+            )
 
     float_ptr = ctypes.POINTER(ctypes.c_float)
     lib.farneback_flow.argtypes = [

@@ -61,6 +61,11 @@ def mesh_for_batch(
     """
     if devices is None:
         devices = jax.devices()
+    if model_parallel < 1 or model_parallel > len(devices):
+        raise ValueError(
+            f"model_parallel={model_parallel} does not fit on "
+            f"{len(devices)} devices"
+        )
     n = len(devices) // model_parallel
     while n > 1 and batch_size % n != 0:
         n -= 1

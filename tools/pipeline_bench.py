@@ -147,7 +147,7 @@ def main() -> None:
         )
         return
 
-    model = flagship_model()
+    model = flagship_model(args.batch_size)
     trainer = Trainer(max_epochs=1, profiler=None, precision=16, wire_float16=True)
     trainer.setup(model, dataset[0])
     step = trainer._compiled["train"]
