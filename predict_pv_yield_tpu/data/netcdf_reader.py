@@ -361,6 +361,8 @@ class NetCDFBatchDataset:
         self.tmp_path = tmp_path
         self.configuration = configuration
         self._per_source: Optional[bool] = None  # layout cached on first access
+        self._present_sources: Optional[tuple] = None  # store property, cached
+        self._fs = None  # one fsspec filesystem, reused for every fetch
 
     def __len__(self) -> int:
         return self.n_batches
@@ -377,8 +379,6 @@ class NetCDFBatchDataset:
             return os.path.join(self.src_path, relative)
         import time
 
-        import fsspec  # same gate as data/shards.py
-
         local = os.path.join(self.tmp_path, relative)
         if not os.path.exists(local):
             os.makedirs(os.path.dirname(local), exist_ok=True)
@@ -387,11 +387,10 @@ class NetCDFBatchDataset:
             # SURVEY §5.3): a killed download never leaves a truncated file
             # that later epochs would trust.
             last_error: Optional[Exception] = None
+            fs, base = self._remote_fs()  # fsspec-gated, as data/shards.py
             for attempt in range(5):
                 try:
-                    with fsspec.open(
-                        os.path.join(self.src_path, relative), "rb"
-                    ) as src:
+                    with fs.open(os.path.join(base, relative), "rb") as src:
                         with open(local + ".tmp", "wb") as dst:
                             dst.write(src.read())
                     os.replace(local + ".tmp", local)
@@ -412,34 +411,50 @@ class NetCDFBatchDataset:
         self._per_source = self._detect_per_source()
         return self._per_source
 
-    def _detect_per_source(self) -> bool:
-        if "://" in self.src_path:
+    def _remote_fs(self):
+        """One fsspec filesystem per dataset, built lazily and reused —
+        reconstructing it per batch costs an auth/session setup each time."""
+        if self._fs is None:
             import fsspec
 
-            fs, base = fsspec.core.url_to_fs(self.src_path)
-            return any(
-                fs.exists(os.path.join(base, source)) for source in _V15_SOURCES
+            self._fs = fsspec.core.url_to_fs(self.src_path)
+        return self._fs
+
+    def _detect_per_source(self) -> bool:
+        return bool(self._sources_present())
+
+    def _sources_present(self) -> tuple:
+        """Which v15 per-source directories exist — a property of the STORE,
+        not of any batch index, so it is probed exactly once (the remote
+        ``exists`` round-trips would otherwise repeat for all 8 sources on
+        every ``__getitem__``)."""
+        if self._present_sources is not None:
+            return self._present_sources
+        if "://" in self.src_path:
+            fs, base = self._remote_fs()
+            self._present_sources = tuple(
+                source
+                for source in _V15_SOURCES
+                if fs.exists(os.path.join(base, source))
             )
-        return any(
-            os.path.isdir(os.path.join(self.src_path, source))
-            for source in _V15_SOURCES
-        )
+        else:
+            self._present_sources = tuple(
+                source
+                for source in _V15_SOURCES
+                if os.path.isdir(os.path.join(self.src_path, source))
+            )
+        return self._present_sources
 
     def __getitem__(self, batch_idx: int) -> Batch:
         if not 0 <= batch_idx < self.n_batches:
             raise IndexError(batch_idx)
         filename = netcdf_filename(batch_idx)
         if self._is_per_source():
-            for source in _V15_SOURCES:
-                relative = os.path.join(source, filename)
-                if "://" in self.src_path:
-                    import fsspec
-
-                    fs, base = fsspec.core.url_to_fs(self.src_path)
-                    if fs.exists(os.path.join(base, relative)):
-                        self._ensure_local(relative)
-                else:
-                    pass  # local files read in place
+            if "://" in self.src_path:
+                # local files are read in place; remote stores fetch one file
+                # per present source (presence cached store-wide above)
+                for source in self._sources_present():
+                    self._ensure_local(os.path.join(source, filename))
             return batch_from_source_files(self._local_root(), batch_idx)
         return batch_from_legacy_file(self._ensure_local(filename))
 

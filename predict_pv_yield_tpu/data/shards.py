@@ -75,6 +75,12 @@ def write_shard(
             }
             offset += value.nbytes
         header = json.dumps(index_entries).encode()
+        # Pad the header (JSON ignores trailing spaces) so payload_start
+        # itself sits on a 64-byte boundary — offsets are relative to it, so
+        # without this the per-array alignment above would be vacuous and the
+        # mmap'd frombuffer views unaligned for int16/f32 consumers.
+        preamble = len(_RAW_MAGIC) + 4
+        header += b" " * (-(preamble + len(header)) % 64)
         with open(tmp, "wb") as fh:
             fh.write(_RAW_MAGIC + struct.pack("<I", len(header)) + header)
             payload_start = fh.tell()

@@ -11,6 +11,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -20,6 +21,12 @@ log = logging.getLogger(__name__)
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfarneback.so")
 _lib: Optional[ctypes.CDLL] = None
+#: Serialises first-use build+load across threads (the prefetching loader's
+#: worker threads can all hit the blosc decode path at once). Cross-process
+#: safety comes from the Makefile: the link writes a PID-unique temp file
+#: and atomically renames it onto the target, so a concurrent dlopen never
+#: sees a partial library.
+_load_lock = threading.Lock()
 
 
 class NativeUnavailable(RuntimeError):
@@ -41,6 +48,14 @@ def load_library() -> ctypes.CDLL:
         return _lib
     if os.environ.get("PREDICT_PV_YIELD_TPU_NO_NATIVE"):
         raise NativeUnavailable("native kernels disabled via environment")
+    with _load_lock:
+        if _lib is not None:  # built by the thread that held the lock first
+            return _lib
+        return _load_library_locked()
+
+
+def _load_library_locked() -> ctypes.CDLL:
+    global _lib
     # Always invoke make: it is a no-op when the library is fresh, and it
     # rebuilds stale binaries when sources gained new symbols (a library
     # from before lz4.cpp existed would otherwise AttributeError below).

@@ -458,12 +458,20 @@ def flow_sequence_sharded(frames: jnp.ndarray, mesh=None, **kwargs) -> jnp.ndarr
     sharding = batch_sharding(mesh)
     im1 = jax.device_put(frames[:-1], sharding)
     im2 = jax.device_put(frames[1:], sharding)
-    flow_fn = jax.jit(
-        functools.partial(farneback_flow_batched, **kwargs),
+    flow_fn = _sharded_flow_fn(sharding, tuple(sorted(kwargs.items())))
+    return flow_fn(im1, im2)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_flow_fn(sharding, kwargs_items):
+    """jit cache keyed on (sharding, kwargs): jax.jit caches on callable
+    identity, so building a fresh ``functools.partial`` per call would
+    re-trace and re-compile the whole Farnebäck program every super-batch."""
+    return jax.jit(
+        functools.partial(farneback_flow_batched, **dict(kwargs_items)),
         in_shardings=(sharding, sharding),
         out_shardings=sharding,
     )
-    return flow_fn(im1, im2)
 
 
 @functools.partial(

@@ -414,19 +414,23 @@ class Trainer:
     def _iter_batch_groups(self, loader, limit: Optional[int]):
         """Like ``_iter_batches`` but yields stacked groups of
         ``steps_per_execution`` host batches transferred as one (k, B, ...)
-        device pytree, prefetched one group deep. A final short group (or a
-        ``limit`` that is not a multiple of k) falls back to per-batch
-        transfer and is yielded as (hosts, device, is_group=False) items."""
+        device pytree. ``prefetch_depth`` stays denominated in BATCHES: the
+        in-flight group count is ceil(depth / k), so turning on fused
+        dispatch does not multiply resident host+HBM batch memory by k. A
+        final short group (or a ``limit`` that is not a multiple of k) falls
+        back to per-batch transfer and is yielded as
+        (hosts, device, is_group=False) items."""
         from collections import deque
 
         k = self.steps_per_execution
+        group_depth = max(1, -(-self.prefetch_depth // k))
         queue: deque = deque()
         iterator: Optional[Iterable] = iter(loader)
         pending: List[Batch] = []
         planned = 0  # batches pulled from the loader (respects ``limit`` exactly)
         count = 0
         while True:
-            while iterator is not None and len(queue) < max(self.prefetch_depth, 1):
+            while iterator is not None and len(queue) < group_depth:
                 exhausted = limit is not None and planned >= limit
                 if not exhausted:
                     try:
@@ -617,8 +621,8 @@ class Trainer:
             remaining = self.max_steps - self.global_step
             if remaining <= 0:
                 return {}
-            # exact in single-step mode; grouped mode may overshoot by < k
-            # (a fused dispatch always completes its scan)
+            # exact in both modes: _iter_batch_groups pulls at most `limit`
+            # batches from the loader and yields the remainder ungrouped
             limit = remaining if limit is None else min(limit, remaining)
 
         if self.steps_per_execution > 1 and not self.fast_dev_run:

@@ -134,12 +134,16 @@ def plot_example(
         if sat_x is not None and sat_y is not None:
             xs = np.asarray(sat_x[example_i], np.float64)
             ys = np.asarray(sat_y[example_i], np.float64)
-            extent = (xs.min(), xs.max(), ys.min(), ys.max())
+            # Respect the stored orientation: column 0 sits at xs[0] and row 0
+            # at ys[0] whatever their sort order (imshow flips the raster when
+            # an extent edge pair is reversed). The axes limits are then set
+            # min→max so the display is always north-up/east-right.
+            extent = (xs[0], xs[-1], ys[-1], ys[0])
             ax_img.imshow(frame, cmap="viridis", extent=extent, origin="upper")
             coast_x, coast_y = gb_coastline_osgb()
             ax_img.plot(coast_x, coast_y, color="white", linewidth=0.8, alpha=0.9)
-            ax_img.set_xlim(extent[0], extent[1])
-            ax_img.set_ylim(extent[2], extent[3])
+            ax_img.set_xlim(xs.min(), xs.max())
+            ax_img.set_ylim(ys.min(), ys.max())
             ax_img.set_xlabel("OSGB easting (m)", fontsize=7)
             ax_img.set_ylabel("OSGB northing (m)", fontsize=7)
             ax_img.tick_params(labelsize=6)
@@ -159,16 +163,16 @@ def plot_example(
     if extent is not None:
         from matplotlib.patches import Rectangle
 
+        x_lo, x_hi = min(extent[0], extent[1]), max(extent[0], extent[1])
+        y_lo, y_hi = min(extent[2], extent[3]), max(extent[2], extent[3])
         ax_map.add_patch(
             Rectangle(
-                (extent[0], extent[2]),
-                extent[1] - extent[0],
-                extent[3] - extent[2],
+                (x_lo, y_lo), x_hi - x_lo, y_hi - y_lo,
                 edgecolor="#d62728", facecolor="none", linewidth=1.2,
             )
         )
         ax_map.plot(
-            [(extent[0] + extent[1]) / 2], [(extent[2] + extent[3]) / 2],
+            [(x_lo + x_hi) / 2], [(y_lo + y_hi) / 2],
             marker="x", color="#d62728", markersize=4,
         )
     ax_map.set_title("crop location", fontsize=8)

@@ -49,6 +49,13 @@ def test_raw_shard_roundtrip(tmp_path, configuration):
     np.testing.assert_array_equal(loaded.satellite.data, raw)
     assert loaded.satellite.data.dtype == np.int16
     np.testing.assert_allclose(loaded.pv.pv_yield, batch.pv.pv_yield)
+    # payload_start is padded to 64 bytes, so the documented per-array
+    # alignment holds in FILE offsets and the mmap views are aligned
+    for group in ("satellite", "pv", "gsp", "nwp"):
+        for field, value in vars(getattr(loaded, group)).items():
+            if isinstance(value, np.ndarray):
+                assert value.ctypes.data % 64 == 0, (group, field)
+                assert value.flags.aligned, (group, field)
 
     # dataset auto-detects the raw extension
     ds = ShardDataset(n_batches=1, src_path=str(tmp_path))
