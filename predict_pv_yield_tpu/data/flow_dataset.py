@@ -242,10 +242,18 @@ def super_batch_to_example(
     (cells 19-21)."""
     n_frames = len(super_batch.sat_images)
     total_hist = n_historical_images * history_stride
+    # largest start for which at least one forecast frame remains after t0
+    # (t0 = hist_start + total_hist - 1 must leave index t0+1 in range);
+    # rng.integers is exclusive-high, hence the +1 below
     max_hist_start = n_frames - total_hist - 1
+    if max_hist_start < 0:
+        raise ValueError(
+            f"super batch of {n_frames} frames too short for "
+            f"{n_historical_images}x{history_stride} history + 1 forecast frame"
+        )
 
     for _ in range(MAX_RETRIES):
-        hist_start = int(rng.integers(0, max_hist_start))
+        hist_start = int(rng.integers(0, max_hist_start + 1))
         hist_end = hist_start + total_hist
         t0_idx = hist_end - 1
 

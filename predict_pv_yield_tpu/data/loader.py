@@ -190,6 +190,7 @@ class NetCDFDataModule:
             n_batches=n_batches,
             src_path=src_path,
             configuration=self.configuration,
+            tmp_path=os.path.join(self.temp_path, split),
         )
 
     @staticmethod

@@ -290,6 +290,33 @@ def _datetime_to_int64(values: np.ndarray) -> np.ndarray:
     return values
 
 
+def _normalise_power(group: str, fields: Dict[str, np.ndarray],
+                     variables: Dict) -> Dict[str, np.ndarray]:
+    """v15 pv/gsp files store RAW megawatts (``power_mw``) next to
+    ``capacity_mwp``; the Batch contract is the dataloader's normalised
+    [0, 1] yield (reference ``base_model.py:222-234`` multiplies
+    ``gsp_yield`` by ``gsp_capacity`` to recover MW). Divide at load when —
+    and only when — the file carried raw power and no pre-normalised key."""
+    yield_field = f"{group}_yield"
+    has_normalised_key = yield_field in variables or "data" in variables
+    if "power_mw" not in variables or has_normalised_key:
+        return fields
+    power = fields.get(yield_field)
+    capacity = None
+    for cap_name in ("capacity_mwp", "capacity_wp", "capacity"):
+        if cap_name in variables:
+            capacity = np.asarray(variables[cap_name][1], np.float32)
+            break
+    if power is None or capacity is None:
+        return fields
+    if capacity.ndim == power.ndim - 1:  # (B, n) capacity vs (B, T, n) power
+        capacity = capacity[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        normalised = np.where(capacity > 0, power / capacity, 0.0)
+    fields[yield_field] = normalised.astype(np.float32)
+    return fields
+
+
 def batch_from_source_files(root: str, batch_idx: int) -> Batch:
     """Assemble a Batch from a v15 per-source directory tree."""
     groups: Dict[str, Dict[str, np.ndarray]] = {}
@@ -307,6 +334,8 @@ def batch_from_source_files(root: str, batch_idx: int) -> Batch:
             if (group, field) in _IMAGE_FIELDS:
                 values = to_canonical_image(dims, values)
             fields[field] = _datetime_to_int64(values)
+        if group in ("pv", "gsp"):
+            fields = _normalise_power(group, fields, variables)
         if fields:
             groups[group] = fields
     if not groups:

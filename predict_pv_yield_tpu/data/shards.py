@@ -186,6 +186,10 @@ class ShardDataset:
             import time
 
             local = os.path.join(self.tmp_path or ".", name)
+            # fsspec's get_file opens the local target without creating
+            # parents — a missing temp dir would otherwise masquerade as 5
+            # retried "transient" fetch failures
+            os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
             last_error: Exception | None = None
             for attempt in range(5):
                 try:

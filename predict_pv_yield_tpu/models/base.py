@@ -40,8 +40,13 @@ class BaseModel(nn.Module):
     history_minutes: int = 60
     forecast_minutes: int = 30
     output_variable: str = "pv_yield"
-    #: Examples per batch the model consumes; all inputs/targets are sliced to
-    #: ``[0:batch_size]`` (reference class default 32, ``base_model.py:30``).
+    #: Examples per batch the model consumes (reference class default 32,
+    #: ``base_model.py:30``). Slicing mirrors the reference exactly: targets
+    #: and embedding IDs are sliced to ``[0:batch_size]`` everywhere; the
+    #: perceiver family also slices its image inputs (``perceiver.py:119``)
+    #: while the conv3d family consumes the full file batch
+    #: (``model_sat_nwp.py:181``) — so conv3d models require the prepared
+    #: batch size to equal ``batch_size``, as the reference does.
     batch_size: int = 32
     #: Stem of the per-epoch validation-results CSV (reference base_model.py:33).
     results_file_name: str = "results_epoch"

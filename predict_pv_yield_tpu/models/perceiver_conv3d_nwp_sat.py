@@ -105,6 +105,8 @@ class Model(BaseModel):
         out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
         if self.embedding_dem:
+            # Reference quirk kept: always pv_system_row_number, no gsp_id
+            # branch (reference perceiver_conv3d_nwp_sat.py:189).
             ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
             ids = jnp.repeat(ids.astype(jnp.int32), self.total_seq_length)
             embedding = nn.Embed(

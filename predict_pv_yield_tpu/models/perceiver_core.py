@@ -16,10 +16,14 @@ that library's architecture and defaults:
 
 TPU-first design: with ``weight_tie_layers=True`` (the only mode the
 reference uses) the depth loop is an ``nn.scan`` with broadcast parameters —
-the compiled program contains ONE block regardless of depth, so compile time
-and code size are O(1) in depth (the reference's depth equals the sequence
-length, up to 31). Attention is einsum-based and runs on the MXU in the
-module dtype (bf16 under mixed precision).
+the compiled program contains ONE scanned block regardless of depth, so
+compile time and code size are O(1) in depth (the reference's depth equals
+the sequence length, up to 31). Tying follows perceiver_pytorch's
+``cache_fn`` exactly: ``should_cache = i > 0 and weight_tie_layers``, i.e.
+the FIRST depth step keeps its own parameters (``block0``) and steps
+1..depth-1 share a second set (``block``) — two parameter sets total, same
+as the library. Attention is einsum-based and runs on the MXU in the module
+dtype (bf16 under mixed precision).
 """
 
 from __future__ import annotations
@@ -229,9 +233,12 @@ class Perceiver(nn.Module):
 
         data = data.reshape(batch, -1, data.shape[-1])  # flatten spatial -> N tokens
 
+        # perceiver_pytorch: nn.Parameter(torch.randn(...)) — unit-normal,
+        # not a small-stddev init; matching it keeps early-training
+        # cross-attention dynamics comparable to the reference.
         latents = self.param(
             "latents",
-            nn.initializers.truncated_normal(stddev=0.02),
+            nn.initializers.normal(stddev=1.0),
             (self.num_latents, self.latent_dim),
         )
         x = jnp.broadcast_to(latents, (batch, *latents.shape)).astype(
@@ -249,17 +256,23 @@ class Perceiver(nn.Module):
             dtype=self.dtype,
         )
         if self.weight_tie_layers:
-            # One block scanned over depth with broadcast (shared) params:
-            # O(1) program size however deep the encoder is.
-            block_cls = nn.remat(_ScanBlock, prevent_cse=False) if self.remat else _ScanBlock
-            ScannedBlock = nn.scan(
-                block_cls,
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=nn.broadcast,
-                length=self.depth,
-            )
-            x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
+            # perceiver_pytorch ties layers 1..depth-1 but leaves layer 0
+            # untied (cache_fn: should_cache = i > 0). Same here: an
+            # unshared first block, then ONE block scanned over the
+            # remaining depth-1 steps with broadcast params — O(1) program
+            # size however deep the encoder is.
+            first_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock
+            x = first_cls(name="block0", **block_kwargs)(x, data)
+            if self.depth > 1:
+                block_cls = nn.remat(_ScanBlock, prevent_cse=False) if self.remat else _ScanBlock
+                ScannedBlock = nn.scan(
+                    block_cls,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=nn.broadcast,
+                    length=self.depth - 1,
+                )
+                x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
         else:
             for i in range(self.depth):
                 block_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock

@@ -89,6 +89,10 @@ class Model(BaseModel):
         out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
         if self.embedding_dem:
+            # Reference quirk kept: unlike the sibling perceiver model, this
+            # model ALWAYS embeds pv_system_row_number — no gsp_id branch for
+            # gsp_yield targets (reference perceiver_nwp_sat.py:155; needs pv
+            # data present even when training on GSP).
             ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
             ids = jnp.repeat(ids.astype(jnp.int32), self.total_seq_length)
             embedding = nn.Embed(

@@ -69,7 +69,14 @@ class SeqLens:
 
     def target_lens(self, output_variable: str) -> tuple[int, int, int]:
         """(history_len, forecast_len, samples_per_batch) for a target variable
-        (reference ``base_model.py:66-74``)."""
+        (reference ``base_model.py:66-74``). Unknown variables raise — the
+        reference's if/else would silently give a typo'd config 30-minute
+        lens while its target selection fell through to 5-minute pv data."""
         if output_variable == "pv_yield":
             return self.history_len_5, self.forecast_len_5, 128
-        return self.history_len_30, self.forecast_len_30, 32
+        if output_variable == "gsp_yield":
+            return self.history_len_30, self.forecast_len_30, 32
+        raise ValueError(
+            f"output_variable must be 'pv_yield' or 'gsp_yield', not "
+            f"{output_variable!r}"
+        )

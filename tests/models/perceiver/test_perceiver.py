@@ -32,3 +32,32 @@ def test_model_forward(configuration_perceiver):
     assert len(y.shape) == 2
     assert y.shape[0] == dataset_configuration.process.batch_size
     assert y.shape[1] == 60 // 5
+
+
+def test_weight_tying_first_layer_untied():
+    """perceiver_pytorch's cache_fn ties layers 1..depth-1 but constructs
+    layer 0 fresh (should_cache = i > 0). The flax encoder mirrors that: a
+    ``block0`` parameter set plus ONE scanned ``block`` set — two blocks
+    total, independent of depth."""
+    import jax.numpy as jnp
+
+    from predict_pv_yield_tpu.models.perceiver_core import Perceiver
+
+    data = jnp.zeros((1, 8, 8, 3))
+
+    def build(depth):
+        model = Perceiver(
+            input_channels=3, depth=depth, num_latents=4, latent_dim=16,
+            num_classes=5, weight_tie_layers=True,
+        )
+        return model.init(jax.random.key(0), data)
+
+    shallow, deep = build(2), build(6)
+    for variables, depth in ((shallow, 2), (deep, 6)):
+        names = set(variables["params"])
+        assert "block0" in names and "block" in names, names
+    n = lambda v: sum(x.size for x in jax.tree_util.tree_leaves(v))  # noqa: E731
+    assert n(shallow) == n(deep)  # O(1) parameters in depth
+
+    # depth=1 has no tied remainder at all
+    assert "block" not in build(1)["params"]

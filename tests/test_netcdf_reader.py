@@ -86,7 +86,10 @@ def test_v15_per_source_layout(tmp_path):
     np.testing.assert_array_equal(
         batch.satellite.data, sat.transpose(0, 4, 1, 2, 3)
     )
-    np.testing.assert_array_equal(batch.gsp.gsp_yield, gsp)
+    # power_mw files carry raw MW; the Batch contract is the dataloader's
+    # capacity-normalised [0,1] yield (de-normalised back to MW at
+    # validation time via gsp_capacity, reference base_model.py:222-234)
+    np.testing.assert_allclose(batch.gsp.gsp_yield, gsp / 50.0, rtol=1e-6)
     assert batch.gsp.gsp_id.shape == (B, 3)
     assert batch.gsp.gsp_capacity[0, 0, 0] == 50
     assert batch.metadata.t0_datetime_utc.shape == (B,)
