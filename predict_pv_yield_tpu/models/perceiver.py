@@ -45,6 +45,65 @@ params = dict(
 )
 
 
+def fc_head_with_embedding(model, out, ids) -> jnp.ndarray:
+    """fc1 → optional system-ID embedding concat → fc2..fc5, per folded
+    (B·T) frame — the head block the reference duplicates across its three
+    perceiver files (``perceiver.py:128-155`` and siblings). Runs inside the
+    calling model's ``@nn.compact`` scope, so parameter names are identical
+    to defining the layers inline (fc1…fc5, pv_system_id_embedding).
+
+    ``ids`` is the per-example ID vector the caller selected — the selection
+    rule is the one place the three models legitimately differ (perceiver
+    branches on output_variable; the nwp_sat variants always use
+    pv_system_row_number, a kept reference quirk)."""
+    out = nn.relu(nn.Dense(256, dtype=model.dtype, name="fc1")(out))
+    if model.embedding_dem:
+        ids = jnp.repeat(ids.astype(jnp.int32), model.total_seq_length)
+        embedding = nn.Embed(
+            num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
+            features=model.embedding_dem,
+            name="pv_system_id_embedding",
+        )(ids)
+        out = jnp.concatenate([out, embedding.astype(out.dtype)], axis=1)
+    out = nn.relu(nn.Dense(128, dtype=model.dtype, name="fc2")(out))
+    out = nn.relu(nn.Dense(64, dtype=model.dtype, name="fc3")(out))
+    out = nn.relu(nn.Dense(32, dtype=model.dtype, name="fc4")(out))
+    return nn.relu(nn.Dense(FC_OUTPUT_SIZE, dtype=model.dtype, name="fc5")(out))
+
+
+def rnn_seq2seq(model, x, rnn_input) -> jnp.ndarray:
+    """GRU encoder over the history window (+ yield-history channel) →
+    decoder over the last ``forecast_len`` steps seeded with the encoder
+    state → FC head → per-step scalar (reference ``perceiver.py:176-200``,
+    duplicated in both siblings). Shares the calling model's compact scope
+    (param names encoder_rnn/decoder_rnn/decoder_fc1/decoder_fc2)."""
+    if model.output_variable == "pv_yield":
+        history_len = model.history_len_5
+        series = x.pv.pv_yield
+    else:
+        history_len = model.history_len_30
+        series = x.gsp.gsp_yield
+    yield_history = series[0 : model.batch_size][:, : history_len + 1, 0][
+        ..., None
+    ].astype(rnn_input.dtype)
+    encoder_input = jnp.concatenate(
+        [rnn_input[:, : history_len + 1], yield_history], axis=2
+    )
+
+    _, encoder_hidden = StackedGRU(
+        hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=model.dtype, name="encoder_rnn"
+    )(encoder_input)
+    decoder_output, _ = StackedGRU(
+        hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=model.dtype, name="decoder_rnn"
+    )(rnn_input[:, -model.forecast_len :], initial_carry=encoder_hidden)
+
+    decoder_output = nn.relu(
+        nn.Dense(8, dtype=model.dtype, name="decoder_fc1")(decoder_output)
+    )
+    decoder_output = nn.Dense(1, dtype=model.dtype, name="decoder_fc2")(decoder_output)
+    return decoder_output.squeeze(-1)
+
+
 class PerceiverModel(BaseModel):
     model_name: ClassVar[str] = "perceiver"
 
@@ -90,26 +149,16 @@ class PerceiverModel(BaseModel):
         )(sat_data)
 
         out = out.reshape(new_batch_size, PERCEIVER_OUTPUT_SIZE)
-        out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
-        # System-ID embedding, repeated per timestep (reference :135-145).
+        # System-ID embedding, repeated per timestep (reference :135-145) —
+        # this model branches the ID source on the target variable.
+        ids = None
         if self.embedding_dem:
             if self.output_variable == "pv_yield":
                 ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
             else:
                 ids = x.gsp.gsp_id[0 : self.batch_size, 0]
-            ids = jnp.repeat(ids.astype(jnp.int32), self.total_seq_length)
-            embedding = nn.Embed(
-                num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
-                features=self.embedding_dem,
-                name="pv_system_id_embedding",
-            )(ids)
-            out = jnp.concatenate([out, embedding.astype(out.dtype)], axis=1)
-
-        out = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2")(out))
-        out = nn.relu(nn.Dense(64, dtype=self.dtype, name="fc3")(out))
-        out = nn.relu(nn.Dense(32, dtype=self.dtype, name="fc4")(out))
-        out = nn.relu(nn.Dense(FC_OUTPUT_SIZE, dtype=self.dtype, name="fc5")(out))
+        out = fc_head_with_embedding(self, out, ids)
 
         out = out.reshape(batch_size, self.total_seq_length, FC_OUTPUT_SIZE)
 
@@ -126,30 +175,4 @@ class PerceiverModel(BaseModel):
 
         # Encoder over the history (+ yield-history channel), decoder over the
         # forecast window seeded with the encoder state (reference :184-194).
-        if self.output_variable == "pv_yield":
-            yield_history = x.pv.pv_yield[0 : self.batch_size][
-                :, : self.history_len_5 + 1, 0
-            ][..., None].astype(out.dtype)
-            encoder_input = jnp.concatenate(
-                [rnn_input[:, : self.history_len_5 + 1], yield_history], axis=2
-            )
-        else:
-            yield_history = x.gsp.gsp_yield[0 : self.batch_size][
-                :, : self.history_len_30 + 1, 0
-            ][..., None].astype(out.dtype)
-            encoder_input = jnp.concatenate(
-                [rnn_input[:, : self.history_len_30 + 1], yield_history], axis=2
-            )
-
-        _, encoder_hidden = StackedGRU(
-            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="encoder_rnn"
-        )(encoder_input)
-        decoder_output, _ = StackedGRU(
-            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="decoder_rnn"
-        )(rnn_input[:, -self.forecast_len :], initial_carry=encoder_hidden)
-
-        decoder_output = nn.relu(
-            nn.Dense(8, dtype=self.dtype, name="decoder_fc1")(decoder_output)
-        )
-        decoder_output = nn.Dense(1, dtype=self.dtype, name="decoder_fc2")(decoder_output)
-        return decoder_output.squeeze(-1)
+        return rnn_seq2seq(self, x, rnn_input)

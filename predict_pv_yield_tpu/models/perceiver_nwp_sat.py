@@ -14,15 +14,14 @@ from typing import ClassVar, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from predict_pv_yield_tpu.consts import N_PERCEIVER_EMBEDDING_IDS
 from predict_pv_yield_tpu.data.batch import as_batch
 from predict_pv_yield_tpu.models.base import BaseModel
-from predict_pv_yield_tpu.models.layers import StackedGRU
 from predict_pv_yield_tpu.models.perceiver import (
     FC_OUTPUT_SIZE,
     PERCEIVER_OUTPUT_SIZE,
-    RNN_HIDDEN_SIZE,
+    fc_head_with_embedding,
     params,
+    rnn_seq2seq,
 )
 from predict_pv_yield_tpu.models.perceiver_core import Perceiver
 
@@ -86,53 +85,18 @@ class Model(BaseModel):
         )(data)
 
         out = out.reshape(new_batch_size, PERCEIVER_OUTPUT_SIZE)
-        out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
-        if self.embedding_dem:
-            # Reference quirk kept: unlike the sibling perceiver model, this
-            # model ALWAYS embeds pv_system_row_number — no gsp_id branch for
-            # gsp_yield targets (reference perceiver_nwp_sat.py:155; needs pv
-            # data present even when training on GSP).
-            ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
-            ids = jnp.repeat(ids.astype(jnp.int32), self.total_seq_length)
-            embedding = nn.Embed(
-                num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
-                features=self.embedding_dem,
-                name="pv_system_id_embedding",
-            )(ids)
-            out = jnp.concatenate([out, embedding.astype(out.dtype)], axis=1)
-
-        out = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2")(out))
-        out = nn.relu(nn.Dense(64, dtype=self.dtype, name="fc3")(out))
-        out = nn.relu(nn.Dense(32, dtype=self.dtype, name="fc4")(out))
-        out = nn.relu(nn.Dense(FC_OUTPUT_SIZE, dtype=self.dtype, name="fc5")(out))
-
-        rnn_input = out.reshape(batch_size, self.total_seq_length, FC_OUTPUT_SIZE)
-
-        if self.output_variable == "pv_yield":
-            yield_history = x.pv.pv_yield[0 : self.batch_size][
-                :, : self.history_len_5 + 1, 0
-            ][..., None].astype(out.dtype)
-            encoder_input = jnp.concatenate(
-                [rnn_input[:, : self.history_len_5 + 1], yield_history], axis=2
-            )
-        else:
-            yield_history = x.gsp.gsp_yield[0 : self.batch_size][
-                :, : self.history_len_30 + 1, 0
-            ][..., None].astype(out.dtype)
-            encoder_input = jnp.concatenate(
-                [rnn_input[:, : self.history_len_30 + 1], yield_history], axis=2
-            )
-
-        _, encoder_hidden = StackedGRU(
-            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="encoder_rnn"
-        )(encoder_input)
-        decoder_output, _ = StackedGRU(
-            hidden_size=RNN_HIDDEN_SIZE, num_layers=2, dtype=self.dtype, name="decoder_rnn"
-        )(rnn_input[:, -self.forecast_len :], initial_carry=encoder_hidden)
-
-        decoder_output = nn.relu(
-            nn.Dense(8, dtype=self.dtype, name="decoder_fc1")(decoder_output)
+        # Reference quirk kept: unlike the sibling perceiver model, this
+        # model ALWAYS embeds pv_system_row_number — no gsp_id branch for
+        # gsp_yield targets (reference perceiver_nwp_sat.py:155; needs pv
+        # data present even when training on GSP).
+        ids = (
+            x.pv.pv_system_row_number[0 : self.batch_size, 0]
+            if self.embedding_dem
+            else None
         )
-        decoder_output = nn.Dense(1, dtype=self.dtype, name="decoder_fc2")(decoder_output)
-        return decoder_output.squeeze(-1)
+        out = fc_head_with_embedding(self, out, ids)
+
+        # RNN input is the Perceiver features only (reference :180-185).
+        rnn_input = out.reshape(batch_size, self.total_seq_length, FC_OUTPUT_SIZE)
+        return rnn_seq2seq(self, x, rnn_input)
