@@ -218,21 +218,17 @@ def compose(
         if is_global:
             overlay_defaults = _parse_defaults(data.pop("defaults", []))
             for o_group, o_name, _ in overlay_defaults:
+                if o_group in selections:
+                    # hydra priority: an explicit command-line group
+                    # selection beats the experiment file's `override
+                    # /group` re-selection (CLI overrides compose last)
+                    continue
                 o_data = _load_group(config_dir, o_group, o_name)
                 if o_data is not None:
                     cfg[o_group] = o_data
             global_overlays.append(data)
         else:
-            sub_defaults = data.pop("defaults", None)
-            if sub_defaults:
-                merged: Dict[str, Any] = {}
-                for _, sub_name, _ in _parse_defaults(sub_defaults):
-                    sub = _load_group(config_dir, group, sub_name)
-                    if sub:
-                        deep_merge(merged, sub)
-                deep_merge(merged, data)
-                data = merged
-            cfg[group] = data
+            cfg[group] = _load_group(config_dir, group, name)
 
     # root-level plain keys
     deep_merge(cfg, root_raw)

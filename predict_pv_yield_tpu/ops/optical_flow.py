@@ -386,7 +386,12 @@ def _update_flow(
     g11, g12, g22, h1, h2 = (smoothed[:, i] for i in range(5))
 
     det = g11 * g22 - g12 * g12
-    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    # sign-preserving clamp, identical to the native twin
+    # (farneback.cpp:249) so near-singular windows can't flip sign between
+    # the two cross-validating implementations
+    det = jnp.where(
+        jnp.abs(det) < 1e-9, jnp.where(det < 0, -1e-9, 1e-9), det
+    )
     new_x = (g22 * h1 - g12 * h2) / det
     new_y = (g11 * h2 - g12 * h1) / det
     return jnp.stack([new_x, new_y], axis=-1)
@@ -475,7 +480,10 @@ def _sharded_flow_fn(sharding, kwargs_items):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("winsize", "levels", "iterations", "poly_n", "gaussian")
+    jax.jit,
+    static_argnames=(
+        "winsize", "levels", "iterations", "poly_n", "poly_sigma", "gaussian",
+    ),
 )
 def flow_sequence(
     frames: jnp.ndarray,

@@ -72,18 +72,24 @@ def host_local_batch_slice(global_batch_size: int) -> slice:
     return slice(start, start + per_host)
 
 
-def global_batch_from_host_local(batch, sharding):
+def global_batch_from_host_local(batch, sharding, batch_axis: int = 0):
     """Assemble a globally-sharded Batch from each host's local examples.
 
     ``batch`` holds only this host's examples; the result is a global array
     sharded over the mesh's data axis whose addressable shards are this
-    host's data — no cross-host transfer happens.
+    host's data — no cross-host transfer happens. ``batch_axis`` selects
+    which axis is the per-host batch dimension (the engine's fused-dispatch
+    path stacks ``steps_per_execution`` batches ahead of it, giving
+    (k, B, ...) leaves with ``batch_axis=1``).
     """
     import numpy as np
 
     def assemble(leaf):
         local = np.asarray(leaf)
-        global_shape = (local.shape[0] * jax.process_count(), *local.shape[1:])
-        return jax.make_array_from_process_local_data(sharding, local, global_shape)
+        global_shape = list(local.shape)
+        global_shape[batch_axis] *= jax.process_count()
+        return jax.make_array_from_process_local_data(
+            sharding, local, tuple(global_shape)
+        )
 
     return jax.tree.map(assemble, batch)

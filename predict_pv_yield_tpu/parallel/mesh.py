@@ -67,6 +67,29 @@ def mesh_for_batch(
             f"{len(devices)} devices"
         )
     n = len(devices) // model_parallel
+    n_procs = jax.process_count()
+    if n_procs > 1:
+        # Multi-host: every process must own the same number of data-axis
+        # shards (``make_array_from_process_local_data`` assembles each
+        # host's local rows into its addressable shards), so the data axis
+        # must stay a multiple of the process count and the devices must be
+        # drawn evenly from every process.
+        n -= n % n_procs
+        while n > n_procs and batch_size % n != 0:
+            n -= n_procs
+        if n < n_procs or batch_size % n != 0:
+            raise ValueError(
+                f"global batch {batch_size} cannot be sharded evenly over "
+                f"{n_procs} processes (data axis candidates exhausted)"
+            )
+        per_process = (n // n_procs) * model_parallel
+        by_process: dict = {}
+        for device in devices:
+            by_process.setdefault(device.process_index, []).append(device)
+        chosen = []
+        for pid in sorted(by_process):
+            chosen.extend(by_process[pid][:per_process])
+        return build_mesh(chosen, data_parallel=n, model_parallel=model_parallel)
     while n > 1 and batch_size % n != 0:
         n -= 1
     return build_mesh(devices, data_parallel=n, model_parallel=model_parallel)

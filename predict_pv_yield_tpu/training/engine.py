@@ -393,22 +393,27 @@ class Trainer:
 
         queue: deque = deque()
         iterator: Optional[Iterable] = iter(loader)
+        effective_limit = 1 if self.fast_dev_run else limit
+        planned = 0  # batches pulled from the loader — never exceeds the
+        # limit, so no batch is decoded + transferred only to be discarded
         count = 0
         while True:
             while iterator is not None and len(queue) < self.prefetch_depth:
+                if effective_limit is not None and planned >= effective_limit:
+                    iterator = None
+                    break
                 try:
                     host = as_batch(next(iterator))
                 except StopIteration:
                     iterator = None
                     break
+                planned += 1
                 queue.append((host, self._to_device(host)))
             if not queue:
                 return
             yield queue.popleft()
             count += 1
-            if limit is not None and count >= limit:
-                return
-            if self.fast_dev_run and count >= 1:
+            if effective_limit is not None and count >= effective_limit:
                 return
 
     def _iter_batch_groups(self, loader, limit: Optional[int]):
@@ -457,37 +462,34 @@ class Trainer:
             if self.fast_dev_run and count >= 1:
                 return
 
+    def _wire_cast(self, numeric):
+        """Optional f32→f16 narrowing of host leaves before transfer
+        (``wire_float16``); models upcast on device."""
+        if not self.wire_float16:
+            return numeric
+        return jax.tree.map(
+            lambda x: x.astype(np.float16)
+            if isinstance(x, np.ndarray) and x.dtype == np.float32
+            else x,
+            numeric,
+        )
+
     def _to_device_stacked(self, hosts: List[Batch]):
         """k host batches → one (k, B, ...) device pytree, batch axis sharded
         over ``data`` and the scan axis replicated (P(None, 'data'))."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        numeric = [self._maybe_cast(h.numeric()) for h in hosts]
-        if self.wire_float16:
-            numeric = [
-                jax.tree.map(
-                    lambda x: x.astype(np.float16)
-                    if isinstance(x, np.ndarray) and x.dtype == np.float32
-                    else x,
-                    n,
-                )
-                for n in numeric
-            ]
+        numeric = [
+            self._wire_cast(self._maybe_cast(h.numeric())) for h in hosts
+        ]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *numeric)
         sharding = NamedSharding(self.mesh, P(None, "data"))
         if jax.process_count() > 1:
-            k = len(hosts)
+            from predict_pv_yield_tpu.parallel.distributed import (
+                global_batch_from_host_local,
+            )
 
-            def assemble(leaf):
-                local = np.asarray(leaf)
-                global_shape = (
-                    k, local.shape[1] * jax.process_count(), *local.shape[2:]
-                )
-                return jax.make_array_from_process_local_data(
-                    sharding, local, global_shape
-                )
-
-            return jax.tree.map(assemble, stacked)
+            return global_batch_from_host_local(stacked, sharding, batch_axis=1)
         return jax.device_put(stacked, sharding)
 
     def _to_device(self, host: Batch):
@@ -497,14 +499,7 @@ class Trainer:
         process holds its local slice of the global batch and the global
         sharded arrays are assembled without cross-host transfer
         (``parallel/distributed.py``, SURVEY §5.8)."""
-        numeric = self._maybe_cast(host.numeric())
-        if self.wire_float16:
-            numeric = jax.tree.map(
-                lambda x: x.astype(np.float16)
-                if isinstance(x, np.ndarray) and x.dtype == np.float32
-                else x,
-                numeric,
-            )
+        numeric = self._wire_cast(self._maybe_cast(host.numeric()))
         if jax.process_count() > 1:
             from predict_pv_yield_tpu.parallel.distributed import (
                 global_batch_from_host_local,

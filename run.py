@@ -50,19 +50,26 @@ def main(argv=None) -> None:
     from predict_pv_yield_tpu.utils import extras, print_config
 
     config = compose("config", overrides)
+    launch_dir = os.getcwd()
+
+    def _pin_data_paths(cfg) -> None:
+        """Resolve relative datamodule paths against the LAUNCH directory
+        (the hydra to_absolute_path idiom) — sweep trials re-compose from
+        YAML after the chdir into the run dir, so paths that came from the
+        datamodule config (not CLI) would otherwise resolve there."""
+        datamodule = cfg.get("datamodule") or {}
+        for key in ("data_path", "temp_path"):
+            value = datamodule.get(key)
+            if value and "://" not in value and not os.path.isabs(value):
+                datamodule[key] = os.path.join(launch_dir, value)
 
     # hydra-style run directory: compose resolved ${now:...} already
     run_dir = (config.get("hydra") or {}).get("run", {}).get("dir")
     if run_dir:
-        # Relative data paths are relative to the *launch* directory (the
-        # hydra to_absolute_path idiom); pin them before changing directory —
-        # both in the composed config and in the raw overrides (sweep trials
-        # re-compose from the overrides after the chdir).
-        datamodule = config.get("datamodule") or {}
-        for key in ("data_path", "temp_path"):
-            value = datamodule.get(key)
-            if value and "://" not in value and not os.path.isabs(value):
-                datamodule[key] = os.path.abspath(value)
+        # Pin relative data paths before changing directory — in the
+        # composed config and in the raw overrides (sweep trials re-compose
+        # from the overrides after the chdir).
+        _pin_data_paths(config)
         for i, override in enumerate(overrides):
             for key in ("datamodule.data_path=", "datamodule.temp_path="):
                 if override.startswith(key):
@@ -80,7 +87,9 @@ def main(argv=None) -> None:
         from predict_pv_yield_tpu.sweep import run_sweep
 
         def compose_fn(overrides):
-            return compose("config", overrides)
+            cfg = compose("config", overrides)
+            _pin_data_paths(cfg)
+            return cfg
 
         best_value, best_params, _ = run_sweep(compose_fn, overrides, config)
         print(f"sweep best value: {best_value} with {best_params}")

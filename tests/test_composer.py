@@ -38,6 +38,17 @@ def test_experiment_overlay():
     assert cfg["validate_only"] == "1"
 
 
+def test_cli_group_selection_beats_experiment_override():
+    """hydra priority: an explicit CLI group selection composes after (and
+    wins over) an experiment file's `override /group` defaults entry."""
+    cfg = _compose(["experiment=conv3d", "logger=jsonl"])
+    # the conv3d experiment pins its own logger via `override /logger`, but
+    # the command line asked for jsonl — the CLI must win
+    assert "jsonl" in cfg["logger"], list(cfg["logger"])
+    # groups the CLI did not touch still follow the experiment
+    assert cfg["model"]["_target_"].endswith("conv3d.Model")
+
+
 def test_value_overrides_and_types():
     cfg = _compose(
         ["trainer.max_epochs=7", "datamodule.fake_data=true", "+new_key=1.5", "~debug"]

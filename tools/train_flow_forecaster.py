@@ -147,9 +147,20 @@ def main() -> None:
         flow_pred = batch[OPTICAL_FLOW_PREDICTIONS][centre]
         persistence = batch[HISTORICAL_SAT_IMAGES][:, -1][centre]
         for i in range(len(target)):
-            scores["model"].append(float(ssim(prediction[i], target[i])))
-            scores["flow"].append(float(ssim(flow_pred[i], target[i])))
-            scores["persistence"].append(float(ssim(persistence[i], target[i])))
+            # One data_range per example, from the TARGET, shared by all
+            # three methods — inferring it per call would give each method
+            # different C1/C2 stabilisers (a method with wider-ranged
+            # predictions would score an inflated SSIM).
+            span = float(np.nanmax(target[i]) - np.nanmin(target[i])) or 1.0
+            scores["model"].append(
+                float(ssim(prediction[i], target[i], data_range=span))
+            )
+            scores["flow"].append(
+                float(ssim(flow_pred[i], target[i], data_range=span))
+            )
+            scores["persistence"].append(
+                float(ssim(persistence[i], target[i], data_range=span))
+            )
     for name, values in scores.items():
         print(f"SSIM {name}: {np.mean(values):.4f}")
 
