@@ -88,6 +88,20 @@ def main() -> None:
     nmae = float(jax.device_get(metrics["NMAE"]))
     assert np.isfinite(nmae), metrics
 
+    # Fused-dispatch path: two batches stacked into a (2, B, ...) pytree,
+    # scan axis replicated, batch axis assembled host-locally
+    # (global_batch_from_host_local with batch_axis=1).
+    trainer.state = state
+    trainer.steps_per_execution = 2
+    multi = trainer._build_multi_train_step(trainer._model)
+    stacked = trainer._to_device_stacked([local_batch, local_batch])
+    sat2 = stacked.satellite.data
+    assert sat2.shape[:2] == (2, global_batch_size), sat2.shape
+    assert len(sat2.sharding.device_set) == 8, sat2.sharding
+    state, stacked_metrics = multi(trainer.state, stacked)
+    scan_nmae = np.asarray(jax.device_get(stacked_metrics["NMAE"]))
+    assert scan_nmae.shape == (2,) and np.isfinite(scan_nmae).all()
+
     # Params are replicated → addressable everywhere; digest must agree.
     leaves = jax.tree_util.tree_leaves(state.params)
     flat = np.concatenate([np.asarray(leaf, np.float32).ravel() for leaf in leaves])
