@@ -29,7 +29,9 @@ Conv3d layers with 32 output channels, which lower to implicit GEMMs whose N
 dimension is 32 — a quarter of the 128-wide MXU — capping those layers near
 25% utilisation no matter the schedule; the K dimension (Cin·k³ ≈ 864) and
 the wider FC layers pull the blend up to ~30%. Raising MFU further would
-mean changing the model (more channels), not the compiler schedule.
+mean changing the model (more channels), not the compiler schedule —
+measured directly: the SAME training-step code with conv3d_channels=128
+reaches MFU 0.693 (PARITY.md perf table, framework-ceiling probe).
 
 Baseline ``B``: the reference's lab notes record "about 4 minutes to run the
 validation epoch" for its conv3d runs on a GCP GPU with 1000 validation
