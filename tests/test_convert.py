@@ -225,3 +225,126 @@ def test_export_conv3d_roundtrip_and_torch_parity():
     with torch.no_grad():
         y_torch = torch_model.eval()(torch.from_numpy(sat)).numpy()
     np.testing.assert_allclose(y_native, y_torch, rtol=1e-4, atol=1e-4)
+
+
+class TorchConv3dSatNwp(nn.Module):
+    """The reference flagship architecture (model_sat_nwp.py:60-268): two
+    (1,0,0)-padded conv towers, 30-min yield history, 5-min PV branch,
+    940-way ID embedding, fused FC head — as the parity target."""
+
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+        n = model.number_of_conv3d_layers
+        ch = model.conv3d_channels
+        self.sat_conv0 = nn.Conv3d(model.number_sat_channels, ch, 3, padding=(1, 0, 0))
+        self.nwp_conv0 = nn.Conv3d(model.number_nwp_channels, ch, 3, padding=(1, 0, 0))
+        for i in range(n - 1):
+            setattr(self, f"sat_conv{i + 1}", nn.Conv3d(ch, ch, 3, padding=(1, 0, 0)))
+            setattr(self, f"nwp_conv{i + 1}", nn.Conv3d(ch, ch, 3, padding=(1, 0, 0)))
+        self.fc1 = nn.Linear(model.cnn_output_size, model.fc1_output_features)
+        self.fc2 = nn.Linear(model.fc1_output_features, model.fc2_output_features)
+        self.nwp_fc1 = nn.Linear(model.nwp_cnn_output_size, model.fc1_output_features)
+        self.nwp_fc2 = nn.Linear(model.fc1_output_features, 128)
+        self.pv_fc1 = nn.Linear(128 * (model.history_len_5 + 1), 128)
+        self.pv_system_id_embedding = nn.Embedding(940, model.embedding_dem)
+        fc3_in = model.fc2_output_features
+        fc3_in += model.number_of_samples_per_batch * (model.history_len_30 + 1)
+        fc3_in += 128  # pv-history branch
+        fc3_in += 128  # nwp branch
+        fc3_in += model.embedding_dem
+        self.fc3 = nn.Linear(fc3_in, model.fc3_output_features)
+        self.fc4 = nn.Linear(model.fc3_output_features, model.forecast_len)
+
+    def _tower(self, prefix, data):
+        out = F.relu(getattr(self, f"{prefix}0")(data))
+        for i in range(self.model.number_of_conv3d_layers - 1):
+            out = F.relu(getattr(self, f"{prefix}{i + 1}")(out))
+        return out
+
+    def forward(self, sat, nwp, gsp_yield, pv_yield, gsp_id):
+        m = self.model
+        out = self._tower("sat_conv", sat).reshape(sat.shape[0], m.cnn_output_size)
+        out = F.relu(self.fc1(out))
+        out = F.relu(self.fc2(out))
+
+        history = gsp_yield[:, : m.history_len_30 + 1].nan_to_num(nan=0.0)
+        out = torch.cat((out, history.reshape(history.shape[0], -1)), dim=1)
+
+        pv_history = pv_yield[:, : m.history_len_5 + 1, :128].nan_to_num(nan=0.0)
+        pv_history = pv_history.reshape(pv_history.shape[0], -1)
+        out = torch.cat((out, F.relu(self.pv_fc1(pv_history))), dim=1)
+
+        out_nwp = self._tower("nwp_conv", nwp).reshape(nwp.shape[0], m.nwp_cnn_output_size)
+        out_nwp = F.relu(self.nwp_fc1(out_nwp))
+        out_nwp = F.relu(self.nwp_fc2(out_nwp))
+        out = torch.cat((out, out_nwp), dim=1)
+
+        ids = gsp_id[0 : m.batch_size, 0].type(torch.IntTensor)
+        out = torch.cat((out, self.pv_system_id_embedding(ids)), dim=1)
+
+        out = F.relu(self.fc3(out))
+        return self.fc4(out).reshape(sat.shape[0], m.forecast_len)
+
+
+def test_conv3d_sat_nwp_torch_parity():
+    """Flagship parity: the full model_sat_nwp architecture (both towers +
+    all branches + embedding) rebuilt in torch, weights converted with
+    convert_conv3d_sat_nwp, outputs matching to 1e-4."""
+    from predict_pv_yield_tpu.convert import convert_conv3d_sat_nwp
+    from predict_pv_yield_tpu.data.batch import GSPBatch, NWPBatch
+    from predict_pv_yield_tpu.models.conv3d_sat_nwp import Model as SatNwpModel
+
+    model = SatNwpModel(
+        batch_size=2,
+        include_pv_or_gsp_yield_history=True,
+        include_nwp=True,
+        forecast_minutes=60,
+        history_minutes=30,
+        number_of_conv3d_layers=2,
+        conv3d_channels=4,
+        image_size_pixels=12,
+        nwp_image_size_pixels=12,
+        number_sat_channels=3,
+        number_nwp_channels=2,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=8,
+        output_variable="gsp_yield",
+        embedding_dem=4,
+        include_pv_yield_history=True,
+        include_future_satellite=True,
+    )
+    torch.manual_seed(0)
+    torch_model = TorchConv3dSatNwp(model).eval()
+
+    rng = np.random.default_rng(0)
+    seq5 = model.seq_lens.seq_len_5
+    seq60 = model.seq_lens.seq_len_60
+    n_gsp = model.number_of_samples_per_batch  # 32 for gsp targets
+    sat = rng.standard_normal((2, 3, seq5, 12, 12)).astype(np.float32)
+    nwp = rng.standard_normal((2, 2, seq60, 12, 12)).astype(np.float32)
+    gsp_yield = rng.uniform(size=(2, model.seq_lens.seq_len_30, n_gsp)).astype(np.float32)
+    pv_yield = rng.uniform(size=(2, seq5, 128)).astype(np.float32)
+    gsp_id = rng.integers(0, 900, size=(2, n_gsp)).astype(np.int32)
+
+    with torch.no_grad():
+        y_torch = torch_model(
+            torch.from_numpy(sat), torch.from_numpy(nwp),
+            torch.from_numpy(gsp_yield), torch.from_numpy(pv_yield),
+            torch.from_numpy(gsp_id),
+        ).numpy()
+
+    variables = convert_conv3d_sat_nwp(torch_model.state_dict(), model)
+    batch = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(sat)),
+        nwp=NWPBatch(data=jnp.asarray(nwp)),
+        gsp=GSPBatch(gsp_yield=jnp.asarray(gsp_yield), gsp_id=jnp.asarray(gsp_id)),
+        pv=PVBatch(pv_yield=jnp.asarray(pv_yield)),
+    )
+    y_flax = np.asarray(model.apply(variables, batch))
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-4)
+
+    # the converted tree matches the model's own init structure exactly
+    expected = jax.tree_util.tree_structure(model.init(jax.random.key(0), batch))
+    assert jax.tree_util.tree_structure(variables) == expected
