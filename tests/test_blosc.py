@@ -102,3 +102,69 @@ def test_zarr_blosc_store(tmp_path):
     np.testing.assert_array_equal(arr[:], data)
     np.testing.assert_array_equal(arr[3:6, 10:90, 5:], data[3:6, 10:90, 5:])
     np.testing.assert_array_equal(arr[4], data[4])
+
+
+def test_lz4_fuzz_roundtrip_and_corruption():
+    """Randomised hardening: (a) compress→decompress is identity across
+    sizes/entropy mixes; (b) truncated and bit-flipped streams, and pure
+    garbage, always fail CLEANLY (ValueError from the length check or the
+    decoder's -1) — never a crash or out-of-bounds write."""
+    rng = np.random.default_rng(42)
+    for size in (0, 1, 7, 64, 1000, 65536):
+        for pattern in ("random", "runs", "mixed"):
+            if pattern == "random":
+                data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            elif pattern == "runs":
+                data = (b"\x00" * (size // 2)) + (b"ab" * (size - size // 2))[: size - size // 2]
+            else:
+                half = rng.integers(0, 4, size // 2, dtype=np.uint8).tobytes()
+                data = half + rng.integers(0, 256, size - len(half), dtype=np.uint8).tobytes()
+            compressed = native.lz4_compress(data)
+            assert native.lz4_decompress(compressed, len(data)) == data
+
+    # corruption: truncate a valid stream at every prefix of a small block,
+    # and flip bytes in a larger one
+    data = b"0123456789" * 20 + bytes(rng.integers(0, 256, 50, dtype=np.uint8))
+    compressed = native.lz4_compress(data)
+    for cut in range(len(compressed)):
+        try:
+            native.lz4_decompress(compressed[:cut], len(data))
+        except ValueError:
+            pass  # clean rejection is the contract
+    for _ in range(200):
+        corrupted = bytearray(compressed)
+        corrupted[rng.integers(0, len(corrupted))] ^= 1 << rng.integers(0, 8)
+        try:
+            native.lz4_decompress(bytes(corrupted), len(data))
+        except ValueError:
+            pass
+    # pure garbage at several lengths
+    for n in (1, 2, 16, 300):
+        try:
+            native.lz4_decompress(bytes(rng.integers(0, 256, n, dtype=np.uint8)), 4096)
+        except ValueError:
+            pass
+
+
+def test_blosc_frame_fuzz_rejects_garbage():
+    """Random and truncated frames must raise (ValueError/struct.error),
+    never crash, and valid frames survive a full corruption sweep of clean
+    failures or correct output."""
+    rng = np.random.default_rng(7)
+    payload = np.arange(4096, dtype=np.int16).tobytes()
+    frame = blosc.compress(payload, typesize=2, cname="lz4", shuffle=1)
+    assert blosc.decompress(frame) == payload
+
+    for cut in range(0, len(frame), 7):
+        try:
+            blosc.decompress(frame[:cut])
+        except Exception as exc:  # noqa: BLE001 — any *clean* python error
+            assert not isinstance(exc, (SystemError, MemoryError)), exc
+    for _ in range(100):
+        corrupted = bytearray(frame)
+        corrupted[rng.integers(0, len(corrupted))] ^= 0xFF
+        try:
+            out = blosc.decompress(bytes(corrupted))
+            assert isinstance(out, bytes)
+        except Exception as exc:  # noqa: BLE001
+            assert not isinstance(exc, (SystemError, MemoryError)), exc
