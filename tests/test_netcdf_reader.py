@@ -273,3 +273,28 @@ def test_datamodule_autodetects_netcdf(tmp_path):
     batch = next(iter(dm.train_dataloader()))
     assert batch.satellite.data.shape == (B, C, T, H, W)
     assert batch.satellite.data.dtype == np.int16
+
+
+def test_netcdf_dataset_remote_fetch(tmp_path):
+    """Remote v15 store via fsspec (file://): source presence is probed once
+    store-wide, every present source's file is fetched into tmp_path with
+    parent creation, and the assembled batch matches the local read."""
+    pytest.importorskip("fsspec")
+    root, sat, gsp = _v15_tree(tmp_path)
+
+    scratch = tmp_path / "cache"
+    dataset = NetCDFBatchDataset(
+        1, f"file://{root}", tmp_path=str(scratch)
+    )
+    batch = dataset[0]
+    np.testing.assert_array_equal(
+        batch.satellite.data, sat.transpose(0, 4, 1, 2, 3)
+    )
+    np.testing.assert_allclose(batch.gsp.gsp_yield, gsp / 50.0, rtol=1e-6)
+    # presence cache: the probed sources are exactly the ones on disk
+    assert set(dataset._sources_present()) == {"satellite", "gsp", "metadata"}
+    # fetched copies live under tmp_path per source
+    assert (scratch / "satellite" / netcdf_filename(0)).exists()
+    # a second access reuses the cached local files (no error, same data)
+    again = dataset[0]
+    np.testing.assert_array_equal(again.satellite.data, batch.satellite.data)

@@ -60,3 +60,28 @@ def test_raw_shard_roundtrip(tmp_path, configuration):
     # dataset auto-detects the raw extension
     ds = ShardDataset(n_batches=1, src_path=str(tmp_path))
     np.testing.assert_array_equal(ds[0].satellite.data, raw)
+
+
+def test_shard_dataset_remote_fetch(configuration, tmp_path):
+    """Remote (fsspec) path: shards are fetched into tmp_path — which is
+    created on demand — read, and cleaned up. Uses file:// so the real
+    fetch/retry machinery runs (fsspec is present in this image)."""
+    pytest.importorskip("fsspec")
+    src = tmp_path / "store"
+    src.mkdir()
+    ds_fake = FakeDataset(configuration=configuration, length=2)
+    for i in range(2):
+        write_shard(str(src), i, ds_fake[i])
+
+    scratch = tmp_path / "scratch" / "nested"  # intentionally nonexistent
+    ds = ShardDataset(
+        n_batches=2,
+        src_path=f"file://{src}",
+        configuration=configuration,
+        tmp_path=str(scratch),
+    )
+    batch = ds[1]
+    np.testing.assert_array_equal(batch.pv.pv_yield, ds_fake[1].pv.pv_yield)
+    # the fetched copy is removed after reading; the scratch dir was created
+    assert scratch.exists()
+    assert not list(scratch.iterdir())
