@@ -114,6 +114,12 @@ class CNNConcatTimesteps(BaseModel):
         out = nn.relu(nn.Conv(self.channels, (3, 3), padding="VALID", dtype=self.dtype, name="sat_conv2")(out))
         out = nn.max_pool(out, (3, 3), strides=(3, 3))
         out = nn.relu(nn.Conv(self.channels, (3, 3), padding="VALID", dtype=self.dtype, name="sat_conv3")(out))
+        if 0 in out.shape[1:3]:
+            raise ValueError(
+                f"satellite images of {height}x{width} px collapse to zero "
+                "through the 3x(conv3+pool3) stack — this architecture needs "
+                "at least 35 px (reference experiment 001 used large crops)"
+            )
         out = out.reshape(batch_size, -1)
         out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
