@@ -88,6 +88,18 @@ def flow_predictions(sat_data: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
     return warped.reshape(num_flows, num_flows, height, width)
 
 
+def weighted_average_flow(flows: jnp.ndarray) -> jnp.ndarray:
+    """Recency-weighted average of warm-up flows (reference
+    ``optical_flow_1.ipynb`` cell 22): ``np.average(flows, axis=0,
+    weights=range(1, n+1))`` — the most recent frame pair counts most.
+    ``flows`` is (N, H, W, 2); returns (H, W, 2) to extrapolate with
+    (``remap_image(image_t0, flow * i)``, cell 35)."""
+    n = flows.shape[0]
+    weights = jnp.arange(1, n + 1, dtype=jnp.float32)
+    weighted = (flows * weights[:, None, None, None]).sum(axis=0)
+    return weighted / weights.sum()
+
+
 def prediction_valid_mask(num_source_timesteps: int) -> jnp.ndarray:
     """(T-1, T-1) bool: which (source i, step s) pairs have ground truth."""
     num_flows = num_source_timesteps - 1

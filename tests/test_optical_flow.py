@@ -139,3 +139,16 @@ def test_flow_sequence_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(unsharded), atol=1e-5
     )
+
+
+def test_weighted_average_flow_matches_numpy():
+    """Reference optical_flow_1 cell 22: linear-ramp recency weighting of
+    warm-up flows."""
+    from predict_pv_yield_tpu.ops.remap import weighted_average_flow
+
+    rng = np.random.default_rng(0)
+    flows = rng.standard_normal((5, 8, 8, 2)).astype(np.float32)
+    expected = np.average(flows, axis=0, weights=range(1, 6)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(weighted_average_flow(jnp.asarray(flows))), expected, rtol=1e-5
+    )
