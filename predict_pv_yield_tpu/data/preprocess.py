@@ -98,7 +98,19 @@ def preprocess_batch(
         )
     mean, std = channel_stats(channel_names)
     decoded = decode_satellite(sat, mean, std, crop=crop)
-    return batch.replace(satellite=batch.satellite.replace(data=decoded))
+    batch = batch.replace(satellite=batch.satellite.replace(data=decoded))
+    return _decode_hrv(batch, crop)
+
+
+def _decode_hrv(batch: Batch, crop: Optional[int]) -> Batch:
+    """Same fused decode for the HRV group when it ships raw int16 (HRV is
+    its own batch group with its own grid; channel stats are the HRV row)."""
+    hrv = batch.hrvsatellite.data
+    if hrv is None or jnp.issubdtype(hrv.dtype, jnp.floating):
+        return batch
+    mean, std = channel_stats(["HRV"])
+    decoded = decode_satellite(hrv, mean, std, crop=crop)
+    return batch.replace(hrvsatellite=batch.hrvsatellite.replace(data=decoded))
 
 
 def stack_timesteps_as_channels(video: jnp.ndarray) -> jnp.ndarray:

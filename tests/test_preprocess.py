@@ -65,3 +65,27 @@ def test_plot_batch_results(tmp_path):
     with open(path) as fh:
         content = fh.read()
     assert "conv3d" in content and "base64" in content
+
+
+def test_hrv_group_decoded_too():
+    """A raw int16 hrvsatellite group is decoded with the HRV channel stats
+    in the same fused pass (HRV lives on its own grid as its own group)."""
+    import jax.numpy as jnp
+
+    from predict_pv_yield_tpu.consts import SAT_MEAN, SAT_STD, SAT_VARIABLE_NAMES
+    from predict_pv_yield_tpu.data.batch import Batch, HRVSatelliteBatch, SatelliteBatch
+    from predict_pv_yield_tpu.data.preprocess import preprocess_batch
+
+    rng = np.random.default_rng(0)
+    sat = rng.integers(-1, 1023, (2, 1, 3, 4, 4)).astype(np.int16)
+    hrv = rng.integers(-1, 1023, (2, 1, 3, 8, 8)).astype(np.int16)
+    batch = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(sat)),
+        hrvsatellite=HRVSatelliteBatch(data=jnp.asarray(hrv)),
+    )
+    out = preprocess_batch(batch, channel_names=["IR_016"])
+    assert out.hrvsatellite.data.dtype == jnp.float32
+    hrv_idx = SAT_VARIABLE_NAMES.index("HRV")
+    expected = (hrv.astype(np.float32) - SAT_MEAN[hrv_idx]) / SAT_STD[hrv_idx]
+    expected[hrv == -1] = 0.0
+    np.testing.assert_allclose(np.asarray(out.hrvsatellite.data), expected, rtol=1e-5)
