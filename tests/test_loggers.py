@@ -4,6 +4,8 @@ import csv
 import os
 import struct
 
+import pytest
+
 from predict_pv_yield_tpu.training.loggers import CSVLogger, JSONLLogger, TensorBoardLogger
 from predict_pv_yield_tpu.training.tfevents import _masked_crc
 
@@ -56,3 +58,35 @@ def test_tfevents_records_wellformed(tmp_path):
         records += 1
     assert records == 2  # file_version event + one scalar
     assert b"NMAE/Train" in data
+
+
+def test_tfevents_readable_by_tensorflow(tmp_path):
+    """Cross-validation against the real consumer: TensorFlow's event reader
+    (present in this image) must parse the first-party writer's file and
+    recover every scalar exactly — stronger than the self-validating CRC
+    framing check above."""
+    tf = pytest.importorskip("tensorflow")
+
+    from predict_pv_yield_tpu.training.loggers import TensorBoardLogger
+
+    logger = TensorBoardLogger(save_dir=str(tmp_path))
+    logger.log_metrics({"NMAE/Train": 0.125, "MSE/Train": 0.5}, step=3)
+    logger.log_metrics({"NMAE/Train": 0.0625}, step=4)
+    logger.finalize()
+
+    event_files = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(tmp_path)
+        for f in files
+        if f.startswith("events.out.tfevents")
+    ]
+    assert event_files, list(os.walk(tmp_path))
+
+    seen = {}
+    for path in event_files:
+        for record in tf.compat.v1.train.summary_iterator(path):
+            for value in record.summary.value:
+                seen[(value.tag, record.step)] = value.simple_value
+    assert seen[("NMAE/Train", 3)] == 0.125
+    assert seen[("MSE/Train", 3)] == 0.5
+    assert seen[("NMAE/Train", 4)] == 0.0625
