@@ -152,3 +152,37 @@ def test_weighted_average_flow_matches_numpy():
     np.testing.assert_allclose(
         np.asarray(weighted_average_flow(jnp.asarray(flows))), expected, rtol=1e-5
     )
+
+
+def test_ssim_matches_independent_scipy_formula():
+    """Cross-validation of the SSIM port: an independent implementation of
+    Wang et al. 2004 with skimage's defaults (uniform window, sample
+    covariance, interior mean) built on scipy.ndimage must agree to float
+    noise."""
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+
+    from predict_pv_yield_tpu.ops.ssim import ssim
+
+    def ssim_scipy(im1, im2, data_range, win_size=7, k1=0.01, k2=0.03):
+        im1 = im1.astype(np.float64)
+        im2 = im2.astype(np.float64)
+        n = win_size**2
+        cov_norm = n / (n - 1)
+        filt = lambda a: scipy_ndimage.uniform_filter(a, win_size)  # noqa: E731
+        ux, uy = filt(im1), filt(im2)
+        vx = cov_norm * (filt(im1 * im1) - ux * ux)
+        vy = cov_norm * (filt(im2 * im2) - uy * uy)
+        vxy = cov_norm * (filt(im1 * im2) - ux * uy)
+        c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux**2 + uy**2 + c1) * (vx + vy + c2)
+        )
+        pad = win_size // 2
+        return s[pad:-pad, pad:-pad].mean()
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(48, 48)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    theirs = float(ssim_scipy(a, b, data_range=1.0))
+    assert abs(ours - theirs) < 1e-5, (ours, theirs)
