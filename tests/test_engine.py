@@ -196,14 +196,19 @@ def test_training_converges_on_fixed_batch(sharded_configuration):
     config = load_config("tests/configs/model/conv3d.yaml")
     batch = fake_batch(sharded_configuration, np.random.default_rng(0))
     trainer = Trainer(max_epochs=1, profiler=None)
-    trainer.setup(Conv3d(**config), batch)
+    model = Conv3d(**config)
+    trainer.setup(model, batch)
     device_batch = trainer._to_device(batch)
 
+    # dispatch-per-step reuses the engine's already-built train program and
+    # syncs per step (a lax.scan variant compiles 3x slower on the CPU
+    # backend than these dispatches cost, and an unsynced dispatch queue
+    # aborts it)
     step = trainer._compiled["train"]
     state = trainer.state
     losses = []
     for _ in range(80):
         state, metrics = step(state, device_batch)
         losses.append(float(jax.device_get(metrics["NMAE"])))
-    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
     assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
