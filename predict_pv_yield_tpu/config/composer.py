@@ -78,11 +78,20 @@ def _parse_defaults(defaults: List) -> List[Tuple[str, Any, bool]]:
     return entries
 
 
-def _load_group(config_dir: str, group: str, name: Any) -> Optional[Dict[str, Any]]:
-    """Load one group selection, following intra-group defaults lists."""
+def _load_group(
+    config_dir: str,
+    group: str,
+    name: Any,
+    data: Optional[Dict[str, Any]] = None,
+) -> Optional[Dict[str, Any]]:
+    """Load one group selection, following intra-group defaults lists.
+
+    ``data`` short-circuits the file read when the caller already parsed the
+    YAML (compose() reads each group file once to check its package marker)."""
     if name in (None, "null", "None"):
         return None
-    data, _ = _load_yaml(_group_file(config_dir, group, name))
+    if data is None:
+        data, _ = _load_yaml(_group_file(config_dir, group, name))
     sub_defaults = data.pop("defaults", None)
     if sub_defaults:
         merged: Dict[str, Any] = {}
@@ -228,7 +237,7 @@ def compose(
                     cfg[o_group] = o_data
             global_overlays.append(data)
         else:
-            cfg[group] = _load_group(config_dir, group, name)
+            cfg[group] = _load_group(config_dir, group, name, data=data)
 
     # root-level plain keys
     deep_merge(cfg, root_raw)

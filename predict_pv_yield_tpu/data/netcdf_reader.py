@@ -302,8 +302,11 @@ def _normalise_power(group: str, fields: Dict[str, np.ndarray],
     if "power_mw" not in variables or has_normalised_key:
         return fields
     power = fields.get(yield_field)
+    # Only megawatt-peak capacity names: dividing MW power by a capacity in
+    # other units (e.g. a watts-peak field) would silently produce
+    # near-zero "fractions", which is worse than not normalising.
     capacity = None
-    for cap_name in ("capacity_mwp", "capacity_wp", "capacity"):
+    for cap_name in ("capacity_mwp", "gsp_capacity"):
         if cap_name in variables:
             capacity = np.asarray(variables[cap_name][1], np.float32)
             break
@@ -326,8 +329,19 @@ def batch_from_source_files(root: str, batch_idx: int) -> Batch:
         if not os.path.exists(path):
             continue
         variables = read_netcdf_variables(path)
+        # When a pv/gsp file carries BOTH raw power and a pre-normalised key
+        # ('data' / '*_yield'), the normalised one wins deterministically —
+        # otherwise HDF5 iteration order decides which value lands in the
+        # yield field and _normalise_power's skip guard could leave raw MW.
+        skip_vars = set()
+        if group in ("pv", "gsp") and (
+            "data" in variables or f"{group}_yield" in variables
+        ):
+            skip_vars.add("power_mw")
         fields: Dict[str, np.ndarray] = {}
         for var_name, (dims, values) in variables.items():
+            if var_name in skip_vars:
+                continue
             field = field_map.get(var_name)
             if field is None:
                 continue
@@ -424,6 +438,10 @@ class NetCDFBatchDataset:
                             dst.write(src.read())
                     os.replace(local + ".tmp", local)
                     break
+                except FileNotFoundError:
+                    # genuinely absent — not transient; the caller decides
+                    # whether a missing per-source file is skippable
+                    raise
                 except Exception as exc:  # transient cloud-FS errors
                     last_error = exc
                     time.sleep(min(2**attempt, 8))
@@ -481,9 +499,15 @@ class NetCDFBatchDataset:
         if self._is_per_source():
             if "://" in self.src_path:
                 # local files are read in place; remote stores fetch one file
-                # per present source (presence cached store-wide above)
+                # per present source (presence cached store-wide above). A
+                # source directory may legitimately hold fewer batch files
+                # than others — skip it for this batch, like the local path's
+                # os.path.exists check in batch_from_source_files.
                 for source in self._sources_present():
-                    self._ensure_local(os.path.join(source, filename))
+                    try:
+                        self._ensure_local(os.path.join(source, filename))
+                    except FileNotFoundError:
+                        continue
             return batch_from_source_files(self._local_root(), batch_idx)
         return batch_from_legacy_file(self._ensure_local(filename))
 

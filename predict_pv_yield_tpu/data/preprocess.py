@@ -72,6 +72,9 @@ def preprocess_batch(
     No-op for already-float satellite data (prepared v15-style datasets ship
     normalised floats; raw zarr-sourced shards ship int16).
     """
+    batch = _decode_hrv(batch, crop)  # HRV group decodes independently of
+    # the main satellite group (it may be int16 while satellite is float
+    # or absent entirely in HRV-only configurations)
     sat = batch.satellite.data
     if sat is None or jnp.issubdtype(sat.dtype, jnp.floating):
         return batch
@@ -98,8 +101,7 @@ def preprocess_batch(
         )
     mean, std = channel_stats(channel_names)
     decoded = decode_satellite(sat, mean, std, crop=crop)
-    batch = batch.replace(satellite=batch.satellite.replace(data=decoded))
-    return _decode_hrv(batch, crop)
+    return batch.replace(satellite=batch.satellite.replace(data=decoded))
 
 
 def _decode_hrv(batch: Batch, crop: Optional[int]) -> Batch:

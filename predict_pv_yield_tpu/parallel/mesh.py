@@ -88,7 +88,14 @@ def mesh_for_batch(
             by_process.setdefault(device.process_index, []).append(device)
         chosen = []
         for pid in sorted(by_process):
-            chosen.extend(by_process[pid][:per_process])
+            local = by_process[pid]
+            if len(local) < per_process:
+                raise ValueError(
+                    f"process {pid} holds {len(local)} of the given devices "
+                    f"but an even {n}-way data axis over {n_procs} processes "
+                    f"needs {per_process} per process"
+                )
+            chosen.extend(local[:per_process])
         return build_mesh(chosen, data_parallel=n, model_parallel=model_parallel)
     while n > 1 and batch_size % n != 0:
         n -= 1

@@ -298,3 +298,42 @@ def test_netcdf_dataset_remote_fetch(tmp_path):
     # a second access reuses the cached local files (no error, same data)
     again = dataset[0]
     np.testing.assert_array_equal(again.satellite.data, batch.satellite.data)
+
+
+def test_remote_missing_source_file_is_skipped(tmp_path):
+    """A present source directory with no file for this batch (shorter
+    source) is skipped — FileNotFoundError is not retried as transient."""
+    pytest.importorskip("fsspec")
+    root, _, _ = _v15_tree(tmp_path)
+    (root / "topographic").mkdir()  # present source, but no 000000.nc
+
+    import time
+
+    t0 = time.perf_counter()
+    dataset = NetCDFBatchDataset(1, f"file://{root}", tmp_path=str(tmp_path / "c2"))
+    batch = dataset[0]
+    elapsed = time.perf_counter() - t0
+    assert batch.satellite.data is not None
+    assert batch.topographic.topo_data is None
+    assert elapsed < 10, f"missing file was retried as transient ({elapsed:.1f}s)"
+
+
+def test_normalised_key_beats_power_mw(tmp_path):
+    """A gsp file carrying BOTH a pre-normalised yield and raw power_mw
+    keeps the normalised values (no iteration-order dependence, no double
+    normalisation)."""
+    root = tmp_path / "train"
+    (root / "gsp").mkdir(parents=True)
+    normalised = np.full((B, 4, 3), 0.25, np.float32)
+    _write_h5(
+        root / "gsp" / netcdf_filename(0),
+        {
+            "gsp_yield": (("example", "time_index", "id_index"), normalised),
+            "power_mw": (("example", "time_index", "id_index"),
+                         np.full((B, 4, 3), 500.0, np.float32)),
+            "capacity_mwp": (("example", "time_index", "id_index"),
+                             np.full((B, 4, 3), 1000.0, np.float32)),
+        },
+    )
+    batch = batch_from_source_files(str(root), 0)
+    np.testing.assert_allclose(batch.gsp.gsp_yield, normalised)

@@ -89,3 +89,19 @@ def test_hrv_group_decoded_too():
     expected = (hrv.astype(np.float32) - SAT_MEAN[hrv_idx]) / SAT_STD[hrv_idx]
     expected[hrv == -1] = 0.0
     np.testing.assert_allclose(np.asarray(out.hrvsatellite.data), expected, rtol=1e-5)
+
+
+def test_hrv_decoded_without_satellite_group():
+    """HRV-only batches (satellite group absent or already float) still get
+    the fused int16 decode."""
+    import jax.numpy as jnp
+
+    from predict_pv_yield_tpu.data.batch import Batch, HRVSatelliteBatch
+    from predict_pv_yield_tpu.data.preprocess import preprocess_batch
+
+    rng = np.random.default_rng(1)
+    hrv = rng.integers(-1, 1023, (2, 1, 3, 8, 8)).astype(np.int16)
+    batch = Batch(hrvsatellite=HRVSatelliteBatch(data=jnp.asarray(hrv)))
+    out = preprocess_batch(batch)
+    assert out.hrvsatellite.data.dtype == jnp.float32
+    assert float(jnp.abs(out.hrvsatellite.data).max()) < 50  # normalised scale
