@@ -6,15 +6,19 @@ composes the run config with trial overrides, runs the full training
 pipeline, and the sweeper optimises ``optimized_metric``.
 
 Optuna (TPE) is used when importable; otherwise a first-party sampler covers
-the same config surface: exhaustive enumeration when the categorical product
-is within ``n_trials``, else seeded random search. Either way the sweep is a
-plain Python loop — each trial is its own XLA program, compiled and discarded.
+the same config surface: exhaustive enumeration when the discretised product
+is within ``n_trials``, else a first-party tree-structured Parzen estimator
+(:func:`_tpe_choose`) over the discretised space — the same good/bad
+quantile-split density-ratio rule as optuna's sampler, restricted to
+categorical dimensions. Either way the sweep is a plain Python loop — each
+trial is its own XLA program, compiled and discarded.
 """
 
 from __future__ import annotations
 
 import itertools
 import logging
+import math
 import random
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -37,6 +41,53 @@ def _space_choices(search_space: Dict[str, Any]) -> List[Tuple[str, List[Any]]]:
         else:
             raise ValueError(f"unsupported search-space spec for {key}: {spec}")
     return choices
+
+
+def _tpe_choose(
+    choices: List[Tuple[str, List[Any]]],
+    trials: List[Tuple[Dict[str, Any], Optional[float]]],
+    rng: random.Random,
+    minimize: bool,
+    n_startup: int = 5,
+    n_candidates: int = 24,
+    gamma: float = 0.25,
+) -> Dict[str, Any]:
+    """One TPE step over a discretised space.
+
+    Observed trials are split at the ``gamma`` quantile into good/bad sets;
+    per dimension, Laplace-smoothed categorical densities l(x) (good) and
+    g(x) (bad) are built; candidates are sampled from l and the one with the
+    highest Σ log l/g wins — the expected-improvement-proportional rule of
+    Bergstra et al. 2011, which is what optuna's TPESampler reduces to on
+    categorical dimensions."""
+    scored = [(a, v) for a, v in trials if v is not None]
+    if len(scored) < n_startup:
+        return {key: rng.choice(values) for key, values in choices}
+    ranked = sorted(scored, key=lambda av: av[1] if minimize else -av[1])
+    n_good = max(1, int(math.ceil(len(ranked) * gamma)))
+    good, bad = ranked[:n_good], ranked[n_good:] or ranked[:1]
+
+    def density(subset, key, values):
+        counts = {v: 1.0 for v in values}  # +1 Laplace smoothing
+        for assignment, _ in subset:
+            if assignment.get(key) in counts:
+                counts[assignment[key]] += 1.0
+        total = sum(counts.values())
+        return {v: c / total for v, c in counts.items()}
+
+    best_candidate, best_score = None, -math.inf
+    for _ in range(n_candidates):
+        candidate: Dict[str, Any] = {}
+        score = 0.0
+        for key, values in choices:
+            l_density = density(good, key, values)
+            g_density = density(bad, key, values)
+            value = rng.choices(values, weights=[l_density[v] for v in values])[0]
+            candidate[key] = value
+            score += math.log(l_density[value]) - math.log(g_density[value])
+        if score > best_score:
+            best_candidate, best_score = candidate, score
+    return best_candidate
 
 
 def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
@@ -87,14 +138,18 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
         study.optimize(objective, n_trials=n_trials)
         best = study.best_params, study.best_value
     else:
-        # First-party sampler: exhaustive if small, else seeded random.
+        # First-party sampler: exhaustive if small, else TPE (_tpe_choose).
         rng = random.Random(seed)
         combos = list(itertools.product(*(values for _, values in choices)))
-        if len(combos) > n_trials:
-            combos = rng.sample(combos, n_trials)
-        for combo in combos:
-            assignment = {key: value for (key, _), value in zip(choices, combo)}
-            trials.append((assignment, evaluate(assignment)))
+        if len(combos) <= n_trials:
+            for combo in combos:
+                assignment = {key: value for (key, _), value in zip(choices, combo)}
+                trials.append((assignment, evaluate(assignment)))
+        else:
+            minimize = direction == "minimize"
+            for _ in range(n_trials):
+                assignment = _tpe_choose(choices, trials, rng, minimize)
+                trials.append((assignment, evaluate(assignment)))
         scored = [(a, v) for a, v in trials if v is not None]
         if not scored:
             return None, None, trials

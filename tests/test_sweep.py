@@ -161,3 +161,54 @@ def test_optuna_branch_with_mock(monkeypatch):
     assert best_value == 0.1
     assert best_params == {"model.a": True}
     assert len(trials) == 6
+
+
+def test_tpe_sampler_beats_random_on_structured_objective():
+    """The first-party TPE (_tpe_choose) on a 16x16 discretised quadratic:
+    with the same 30-trial budget it must find better minima than seeded
+    random search, averaged over seeds — the density-ratio guidance works."""
+    import itertools
+    import random
+
+    from predict_pv_yield_tpu.sweep import _tpe_choose
+
+    choices = [
+        ("a", list(range(16))),
+        ("b", list(range(16))),
+    ]
+
+    def objective(assignment):
+        return (assignment["a"] - 11) ** 2 + (assignment["b"] - 3) ** 2
+
+    def run_tpe(seed, budget=30):
+        rng = random.Random(seed)
+        trials = []
+        for _ in range(budget):
+            assignment = _tpe_choose(choices, trials, rng, minimize=True)
+            trials.append((assignment, float(objective(assignment))))
+        return min(v for _, v in trials)
+
+    def run_random(seed, budget=30):
+        rng = random.Random(seed)
+        best = float("inf")
+        for _ in range(budget):
+            assignment = {k: rng.choice(v) for k, v in choices}
+            best = min(best, objective(assignment))
+        return best
+
+    seeds = range(8)
+    tpe_mean = np.mean([run_tpe(s) for s in seeds])
+    random_mean = np.mean([run_random(s) for s in seeds])
+    assert tpe_mean < random_mean, (tpe_mean, random_mean)
+    assert tpe_mean <= 4.0, tpe_mean  # lands near the optimum
+
+
+def test_tpe_startup_is_random_and_valid():
+    import random
+
+    from predict_pv_yield_tpu.sweep import _tpe_choose
+
+    choices = [("x", [1, 2, 3]), ("y", ["a", "b"])]
+    rng = random.Random(0)
+    assignment = _tpe_choose(choices, [], rng, minimize=True)
+    assert assignment["x"] in (1, 2, 3) and assignment["y"] in ("a", "b")
