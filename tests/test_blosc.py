@@ -123,27 +123,38 @@ def test_lz4_fuzz_roundtrip_and_corruption():
             assert native.lz4_decompress(compressed, len(data)) == data
 
     # corruption: truncate a valid stream at every prefix of a small block,
-    # and flip bytes in a larger one
+    # and flip bytes in a larger one. A no-exception outcome is only
+    # acceptable when the decoder produced EXACTLY the right bytes (the
+    # length check would otherwise have raised): strict truncations must
+    # never silently "succeed" with garbage — that is the out-of-bounds
+    # class this fuzz exists to gate.
     data = b"0123456789" * 20 + bytes(rng.integers(0, 256, 50, dtype=np.uint8))
     compressed = native.lz4_compress(data)
     for cut in range(len(compressed)):
         try:
-            native.lz4_decompress(compressed[:cut], len(data))
+            out = native.lz4_decompress(compressed[:cut], len(data))
         except ValueError:
-            pass  # clean rejection is the contract
+            continue  # clean rejection is the contract
+        assert cut == len(compressed) and out == data, cut
     for _ in range(200):
         corrupted = bytearray(compressed)
         corrupted[rng.integers(0, len(corrupted))] ^= 1 << rng.integers(0, 8)
         try:
-            native.lz4_decompress(bytes(corrupted), len(data))
+            out = native.lz4_decompress(bytes(corrupted), len(data))
         except ValueError:
-            pass
-    # pure garbage at several lengths
+            continue
+        # a flip may land in literal bytes (valid stream, different data):
+        # the decode must still be length-exact, never over/under-run
+        assert len(out) == len(data)
+    # pure garbage at several lengths: length-exact or clean rejection
     for n in (1, 2, 16, 300):
         try:
-            native.lz4_decompress(bytes(rng.integers(0, 256, n, dtype=np.uint8)), 4096)
+            out = native.lz4_decompress(
+                bytes(rng.integers(0, 256, n, dtype=np.uint8)), 4096
+            )
         except ValueError:
-            pass
+            continue
+        assert len(out) == 4096
 
 
 def test_blosc_frame_fuzz_rejects_garbage():
@@ -157,14 +168,20 @@ def test_blosc_frame_fuzz_rejects_garbage():
 
     for cut in range(0, len(frame), 7):
         try:
-            blosc.decompress(frame[:cut])
+            out = blosc.decompress(frame[:cut])
         except Exception as exc:  # noqa: BLE001 — any *clean* python error
             assert not isinstance(exc, (SystemError, MemoryError)), exc
+        else:
+            # only the complete frame may decode without error
+            assert cut == len(frame) and out == payload, cut
+    # flips past the 16-byte header leave the declared nbytes intact, so a
+    # no-exception decode must still be length-exact (blosc has no payload
+    # checksum — wrong BYTES are format-conformant, wrong LENGTH is not)
     for _ in range(100):
         corrupted = bytearray(frame)
-        corrupted[rng.integers(0, len(corrupted))] ^= 0xFF
+        corrupted[16 + rng.integers(0, len(corrupted) - 16)] ^= 0xFF
         try:
             out = blosc.decompress(bytes(corrupted))
-            assert isinstance(out, bytes)
+            assert len(out) == len(payload)
         except Exception as exc:  # noqa: BLE001
             assert not isinstance(exc, (SystemError, MemoryError)), exc

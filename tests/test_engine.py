@@ -73,12 +73,12 @@ def test_checkpoint_and_resume(configuration, tmp_cwd):
 def test_early_stopping(configuration, tmp_cwd):
     model = Baseline(forecast_minutes=60, history_minutes=30, output_variable="gsp_yield")
     ds = FakeDataset(configuration=configuration, length=2)
-    # baseline never improves -> patience 1 stops after epoch 2
+    # baseline never improves -> patience 1 stops by epoch 2 at the latest
     stopper = EarlyStopping(patience=1)
     trainer = Trainer(max_epochs=10, profiler=None, callbacks=[stopper])
     trainer.fit(model, train_dataloaders=ds, val_dataloaders=ds)
     assert trainer.should_stop
-    assert trainer.current_epoch < 9
+    assert trainer.current_epoch <= 2, trainer.current_epoch
 
 
 def test_bf16_precision(configuration_conv3d, tmp_cwd):

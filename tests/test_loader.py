@@ -28,7 +28,14 @@ def prepared_dataset(tmp_path_factory):
             "--nwp-pixels", "2",
         ],
         check=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # strip the axon gate so the sitecustomize skips TPU registration
+        # and JAX_PLATFORMS=cpu actually applies in the child (the round-1
+        # dryrun failure mode, __graft_entry__.py)
+        env={
+            k: v
+            for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        },
         capture_output=True,
     )
     return out

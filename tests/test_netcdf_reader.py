@@ -40,9 +40,9 @@ def _write_h5(path, variables):
 def _v15_tree(tmp_path, batch_idx=0):
     rng = np.random.default_rng(0)
     root = tmp_path / "train"
-    (root / "satellite").mkdir(parents=True)
-    (root / "gsp").mkdir()
-    (root / "metadata").mkdir()
+    (root / "satellite").mkdir(parents=True, exist_ok=True)
+    (root / "gsp").mkdir(exist_ok=True)
+    (root / "metadata").mkdir(exist_ok=True)
     filename = netcdf_filename(batch_idx)
 
     # nowcasting_dataset writes satellite CHANNEL-LAST (example, time, y, x, c)
@@ -97,13 +97,18 @@ def test_v15_per_source_layout(tmp_path):
 
 def test_netcdf_batch_dataset(tmp_path):
     root, sat, _ = _v15_tree(tmp_path)
-    _v15_tree_second = _v15_tree  # second batch file
+    _v15_tree(tmp_path, batch_idx=1)  # a second batch file really exists
     dataset = NetCDFBatchDataset(1, str(root))
     assert len(dataset) == 1
     batch = dataset[0]
     assert batch.satellite.data.shape == (B, C, T, H, W)
+    # the declared n_batches bounds the dataset even though 000001.nc is
+    # on disk — IndexError comes from the length contract, not absence
+    assert (root / "satellite" / netcdf_filename(1)).exists()
     with pytest.raises(IndexError):
         dataset[1]
+    # and a dataset declared over both batches can read the second
+    assert NetCDFBatchDataset(2, str(root))[1].satellite.data.shape == (B, C, T, H, W)
 
 
 def test_legacy_single_file(tmp_path):

@@ -61,6 +61,35 @@ def test_run_sweep_finds_best(monkeypatch):
 
 
 def test_failed_trials_never_win(monkeypatch):
+    """A failed (None-valued) trial must lose to ANY successful trial, even
+    under maximize where None might otherwise sort above real values."""
+
+    def fake_train(config):
+        # trial a=1 fails; a=2 succeeds with a modest value
+        return None if "model.a=1" in config["trial_overrides"] else 0.5
+
+    monkeypatch.setattr(
+        "predict_pv_yield_tpu.training.pipeline.train", fake_train
+    )
+    config = {
+        "optimized_metric": "x",
+        "sweep": {
+            "direction": "maximize",
+            "n_trials": 2,
+            "search_space": {
+                "model.a": {"type": "categorical", "choices": [1, 2]},
+            },
+        },
+    }
+    best_value, best_params, trials = run_sweep(
+        lambda overrides: {"model": {}, "trial_overrides": overrides}, [], config
+    )
+    assert best_value == 0.5
+    assert best_params == {"model.a": 2}
+    assert len(trials) == 2 and sum(v is None for _, v in trials) == 1
+
+
+def test_all_trials_failing_returns_none(monkeypatch):
     monkeypatch.setattr(
         "predict_pv_yield_tpu.training.pipeline.train", lambda config: None
     )
@@ -74,9 +103,11 @@ def test_failed_trials_never_win(monkeypatch):
             },
         },
     }
-    best_value, best_params, trials = run_sweep(lambda overrides: {"model": {}}, [], config)
-    if best_value is not None:  # optuna path returns sentinel -inf
-        assert best_value == float("-inf")
+    best_value, best_params, trials = run_sweep(
+        lambda overrides: {"model": {}}, [], config
+    )
+    assert best_value is None and best_params is None
+    assert len(trials) == 2
 
 
 def test_optuna_branch_with_mock(monkeypatch):
