@@ -232,3 +232,124 @@ def export_conv3d(variables: Mapping, model) -> Dict[str, np.ndarray]:
     _export_dense(params["fc3"], out, "fc3")
     _export_dense(params["fc4"], out, "fc4")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceiver family: torch (perceiver_pytorch layout) → native flax
+# ---------------------------------------------------------------------------
+
+
+def _norm_params(state_dict: Mapping, name: str) -> Dict:
+    return {
+        "scale": to_numpy(state_dict[f"{name}.weight"]),
+        "bias": to_numpy(state_dict[f"{name}.bias"]),
+    }
+
+
+def _attention_params(state_dict: Mapping, prefix: str) -> Dict:
+    return {
+        "to_q": {"kernel": dense_kernel(state_dict[f"{prefix}.to_q.weight"])},
+        "to_k": {"kernel": dense_kernel(state_dict[f"{prefix}.to_k.weight"])},
+        "to_v": {"kernel": dense_kernel(state_dict[f"{prefix}.to_v.weight"])},
+        "to_out": _dense(state_dict, f"{prefix}.to_out"),
+    }
+
+
+def _geglu_ff_params(state_dict: Mapping, prefix: str) -> Dict:
+    return {
+        "in": _dense(state_dict, f"{prefix}.net_in"),
+        "out": _dense(state_dict, f"{prefix}.net_out"),
+    }
+
+
+def _perceiver_block_params(state_dict: Mapping, prefix: str) -> Dict:
+    """One depth step (cross-attn + FF + one self-attn + FF, pre-norm)."""
+    return {
+        "cross_norm": _norm_params(state_dict, f"{prefix}.cross_norm"),
+        "cross_context_norm": _norm_params(state_dict, f"{prefix}.cross_context_norm"),
+        "cross_attn": _attention_params(state_dict, f"{prefix}.cross_attn"),
+        "cross_ff_norm": _norm_params(state_dict, f"{prefix}.cross_ff_norm"),
+        "cross_ff": _geglu_ff_params(state_dict, f"{prefix}.cross_ff"),
+        "self_norm0": _norm_params(state_dict, f"{prefix}.self_norm"),
+        "self_attn0": _attention_params(state_dict, f"{prefix}.self_attn"),
+        "self_ff_norm0": _norm_params(state_dict, f"{prefix}.self_ff_norm"),
+        "self_ff0": _geglu_ff_params(state_dict, f"{prefix}.self_ff"),
+    }
+
+
+def convert_perceiver_encoder(state_dict: Mapping, prefix: str = "") -> Dict:
+    """Weight-tied perceiver_pytorch-layout state_dict → flax ``Perceiver``
+    params (inner dict, no ``{"params": ...}`` wrapper so it composes into a
+    parent model's tree).
+
+    Expects the torch module names of the parity mirror (= the tying
+    structure of perceiver_pytorch's ``cache_fn``, reference consumption
+    ``models/perceiver/perceiver.py:70-80``): ``latents``, ``block0`` (the
+    untied first depth step), ``block`` (the single shared set for steps
+    1..depth-1 — absent when depth == 1), ``head_norm`` + ``to_logits``
+    (the ``to_logits`` Sequential unpacked)."""
+    p = f"{prefix}." if prefix else ""
+    params: Dict = {
+        "latents": to_numpy(state_dict[f"{p}latents"]),
+        "block0": _perceiver_block_params(state_dict, f"{p}block0"),
+        "head_norm": _norm_params(state_dict, f"{p}head_norm"),
+        "to_logits": _dense(state_dict, f"{p}to_logits"),
+    }
+    if f"{p}block.cross_norm.weight" in state_dict:
+        params["block"] = {"inner": _perceiver_block_params(state_dict, f"{p}block")}
+    return params
+
+
+def _gru_layer_params(state_dict: Mapping, prefix: str, layer: int) -> Dict:
+    """One ``torch.nn.GRU`` layer → flax ``GRUCell`` params.
+
+    torch packs gates row-wise in (r, z, n) order with TWO bias vectors;
+    flax's GRUCell has one bias on the input denses only, except the ``hn``
+    dense (the reset gate multiplies ``W_hn h + b_hn`` as a unit in both
+    frameworks), so ``b_ih`` and ``b_hh`` merge exactly for r/z and stay
+    separate for n."""
+    w_ih = to_numpy(state_dict[f"{prefix}.weight_ih_l{layer}"])
+    w_hh = to_numpy(state_dict[f"{prefix}.weight_hh_l{layer}"])
+    b_ih = to_numpy(state_dict[f"{prefix}.bias_ih_l{layer}"])
+    b_hh = to_numpy(state_dict[f"{prefix}.bias_hh_l{layer}"])
+    h = w_hh.shape[1]
+    return {
+        "ir": {"kernel": w_ih[:h].T, "bias": b_ih[:h] + b_hh[:h]},
+        "iz": {"kernel": w_ih[h:2 * h].T, "bias": b_ih[h:2 * h] + b_hh[h:2 * h]},
+        "in": {"kernel": w_ih[2 * h:].T, "bias": b_ih[2 * h:]},
+        "hr": {"kernel": w_hh[:h].T},
+        "hz": {"kernel": w_hh[h:2 * h].T},
+        "hn": {"kernel": w_hh[2 * h:].T, "bias": b_hh[2 * h:]},
+    }
+
+
+def convert_stacked_gru(state_dict: Mapping, prefix: str, num_layers: int = 2) -> Dict:
+    """``torch.nn.GRU(num_layers=n, batch_first=True)`` → ``StackedGRU`` params."""
+    return {
+        f"gru{layer}": _gru_layer_params(state_dict, prefix, layer)
+        for layer in range(num_layers)
+    }
+
+
+def convert_perceiver_model(state_dict: Mapping, model) -> Dict:
+    """Reference ``models/perceiver/perceiver.py`` PerceiverModel state_dict
+    → native ``PerceiverModel`` variables (full tree: encoder + fc head +
+    ID embedding + GRU seq2seq)."""
+    state_dict = strip_lightning_prefix(state_dict)
+    params: Dict = {
+        "perceiver": convert_perceiver_encoder(state_dict, "perceiver"),
+        "fc1": _dense(state_dict, "fc1"),
+        "fc2": _dense(state_dict, "fc2"),
+        "fc3": _dense(state_dict, "fc3"),
+        "fc4": _dense(state_dict, "fc4"),
+        "fc5": _dense(state_dict, "fc5"),
+        "encoder_rnn": convert_stacked_gru(state_dict, "encoder_rnn"),
+        "decoder_rnn": convert_stacked_gru(state_dict, "decoder_rnn"),
+        "decoder_fc1": _dense(state_dict, "decoder_fc1"),
+        "decoder_fc2": _dense(state_dict, "decoder_fc2"),
+    }
+    if model.embedding_dem and "pv_system_id_embedding.weight" in state_dict:
+        params["pv_system_id_embedding"] = {
+            "embedding": to_numpy(state_dict["pv_system_id_embedding.weight"])
+        }
+    return {"params": params}

@@ -32,6 +32,7 @@ stage inside the train step does the −1→NaN decode + normalisation on device
 
 from __future__ import annotations
 
+import logging
 import os
 import struct
 from typing import Dict, List, Optional, Tuple
@@ -39,6 +40,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from predict_pv_yield_tpu.data.batch import Batch
+
+log = logging.getLogger(__name__)
 
 Variable = Tuple[Tuple[str, ...], np.ndarray]  # (dim names, values)
 
@@ -310,7 +313,17 @@ def _normalise_power(group: str, fields: Dict[str, np.ndarray],
         if cap_name in variables:
             capacity = np.asarray(variables[cap_name][1], np.float32)
             break
-    if power is None or capacity is None:
+    if power is None:
+        return fields
+    if capacity is None:
+        # power_mw exists but no recognised capacity variable: raw megawatts
+        # would flow into training disguised as [0, 1] yields. Fail loudly.
+        log.warning(
+            "%s file carries power_mw but no capacity variable "
+            "(looked for capacity_mwp/gsp_capacity among %s); "
+            "%s is left as RAW MW, not normalised yield",
+            group, sorted(variables), yield_field,
+        )
         return fields
     if capacity.ndim == power.ndim - 1:  # (B, n) capacity vs (B, T, n) power
         capacity = capacity[:, None]

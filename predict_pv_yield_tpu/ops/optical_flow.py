@@ -467,11 +467,13 @@ def flow_sequence_sharded(frames: jnp.ndarray, mesh=None, **kwargs) -> jnp.ndarr
     return flow_fn(im1, im2)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _sharded_flow_fn(sharding, kwargs_items):
     """jit cache keyed on (sharding, kwargs): jax.jit caches on callable
     identity, so building a fresh ``functools.partial`` per call would
-    re-trace and re-compile the whole Farnebäck program every super-batch."""
+    re-trace and re-compile the whole Farnebäck program every super-batch.
+    Bounded so a mesh-churning process (e.g. a sweep) cannot pin every
+    compiled executable for its lifetime; eviction only costs a re-trace."""
     return jax.jit(
         functools.partial(farneback_flow_batched, **dict(kwargs_items)),
         in_shardings=(sharding, sharding),

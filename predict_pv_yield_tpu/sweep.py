@@ -147,8 +147,22 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
                 trials.append((assignment, evaluate(assignment)))
         else:
             minimize = direction == "minimize"
+            seen = set()
             for _ in range(n_trials):
                 assignment = _tpe_choose(choices, trials, rng, minimize)
+                key = tuple(assignment[k] for k, _ in choices)
+                if key in seen:
+                    # A full training trial is too expensive to repeat on a
+                    # known point; fall back to an unseen random combo (the
+                    # discretised space is larger than n_trials here, so one
+                    # exists).
+                    unseen = [
+                        c for c in combos
+                        if c not in seen
+                    ]
+                    key = rng.choice(unseen)
+                    assignment = {k: v for (k, _), v in zip(choices, key)}
+                seen.add(key)
                 trials.append((assignment, evaluate(assignment)))
         scored = [(a, v) for a, v in trials if v is not None]
         if not scored:

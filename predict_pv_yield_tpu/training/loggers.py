@@ -182,8 +182,13 @@ class TensorBoardLogger(Logger):
 
 class _OptionalBackendLogger(Logger):
     """Shared shell for SaaS backends (wandb/neptune/mlflow/comet): if the
-    client library is importable it is used, otherwise the logger warns once
-    and becomes a JSONL logger so no experiment data is lost."""
+    client library is importable it is used (``_connect`` returns a live
+    client and the ``_backend_*`` hooks route to it), otherwise the logger
+    warns once and becomes a JSONL logger so no experiment data is lost.
+
+    Connection errors (bad API key, unreachable server) are NOT swallowed:
+    with the client installed, a typo'd project or token raises at
+    construction the way it would under Lightning."""
 
     backend = "none"
 
@@ -202,21 +207,42 @@ class _OptionalBackendLogger(Logger):
     def _connect(self):
         return None
 
+    # backend hooks — only called when ``_connect`` returned a client
+    def _backend_log_hyperparams(self, params):
+        pass
+
+    def _backend_log_metrics(self, metrics, step):
+        pass
+
+    def _backend_log_artifact(self, path, name):
+        pass
+
+    def _backend_finalize(self, status):
+        pass
+
     def log_hyperparams(self, params):
         if self._fallback:
             self._fallback.log_hyperparams(params)
+        elif is_main_process():
+            self._backend_log_hyperparams(params)
 
     def log_metrics(self, metrics, step):
         if self._fallback:
             self._fallback.log_metrics(metrics, step)
+        elif is_main_process():
+            self._backend_log_metrics(metrics, step)
 
     def log_artifact(self, path, name=None):
         if self._fallback:
             self._fallback.log_artifact(path, name)
+        elif is_main_process():
+            self._backend_log_artifact(path, name)
 
     def finalize(self, status="success"):
         if self._fallback:
             self._fallback.finalize(status)
+        elif is_main_process():
+            self._backend_finalize(status)
 
 
 class WandbLogger(_OptionalBackendLogger):
@@ -224,26 +250,120 @@ class WandbLogger(_OptionalBackendLogger):
 
     def _connect(self):
         try:
-            import wandb  # noqa: F401
+            import wandb
         except ImportError:
             return None
-        run = wandb.init(project=self.kwargs.get("project"), reinit=True)
-        self.log_metrics = lambda m, s: run.log(m, step=s)  # type: ignore
-        self.log_hyperparams = lambda p: run.config.update(p, allow_val_change=True)  # type: ignore
-        self.finalize = lambda status="success": run.finish()  # type: ignore
-        return run
+        return wandb.init(project=self.kwargs.get("project"), reinit=True)
+
+    def _backend_log_metrics(self, metrics, step):
+        self._client.log(metrics, step=step)
+
+    def _backend_log_hyperparams(self, params):
+        self._client.config.update(params, allow_val_change=True)
+
+    def _backend_log_artifact(self, path, name):
+        self._client.save(path)
+
+    def _backend_finalize(self, status):
+        self._client.finish()
 
 
 class NeptuneLogger(_OptionalBackendLogger):
+    """Reference default logger (``configs/logger/neptune.yaml``: api_key
+    from ``NEPTUNE_API_TOKEN``, project ``OpenClimateFix/predict-pv-yield``).
+    Targets the modern ``neptune`` / ``neptune.new`` run API."""
+
     backend = "neptune"
+
+    def _connect(self):
+        try:
+            import neptune
+        except ImportError:
+            return None
+        init_run = getattr(neptune, "init_run", None)
+        if init_run is None:  # legacy package layout: neptune.new.init_run
+            new = getattr(neptune, "new", None)
+            init_run = getattr(new, "init_run", None) if new is not None else None
+        if init_run is None:
+            return None
+        return init_run(
+            project=self.kwargs.get("project") or self.kwargs.get("project_name"),
+            api_token=self.kwargs.get("api_key") or os.environ.get("NEPTUNE_API_TOKEN"),
+        )
+
+    def _backend_log_metrics(self, metrics, step):
+        prefix = self.kwargs.get("prefix") or ""
+        for key, value in metrics.items():
+            self._client[prefix + key].append(float(value), step=step)
+
+    def _backend_log_hyperparams(self, params):
+        self._client["parameters"] = {k: str(v) for k, v in params.items()}
+
+    def _backend_log_artifact(self, path, name):
+        self._client[f"artifacts/{name or os.path.basename(path)}"].upload(path)
+
+    def _backend_finalize(self, status):
+        self._client.stop()
 
 
 class MLFlowLogger(_OptionalBackendLogger):
+    """``mlflow`` module-level run API (reference ``mlflow.yaml``:
+    experiment_name/tracking_uri/save_dir)."""
+
     backend = "mlflow"
+
+    def _connect(self):
+        try:
+            import mlflow
+        except ImportError:
+            return None
+        tracking_uri = self.kwargs.get("tracking_uri")
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        mlflow.set_experiment(self.kwargs.get("experiment_name", "default"))
+        mlflow.start_run()
+        return mlflow
+
+    def _backend_log_metrics(self, metrics, step):
+        self._client.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def _backend_log_hyperparams(self, params):
+        self._client.log_params({k: str(v) for k, v in params.items()})
+
+    def _backend_log_artifact(self, path, name):
+        self._client.log_artifact(path)
+
+    def _backend_finalize(self, status):
+        self._client.end_run()
 
 
 class CometLogger(_OptionalBackendLogger):
+    """``comet_ml.Experiment`` (reference ``comet.yaml``: api_key from
+    ``COMET_API_TOKEN``, project_name)."""
+
     backend = "comet"
+
+    def _connect(self):
+        try:
+            import comet_ml
+        except ImportError:
+            return None
+        return comet_ml.Experiment(
+            api_key=self.kwargs.get("api_key") or os.environ.get("COMET_API_TOKEN"),
+            project_name=self.kwargs.get("project_name"),
+        )
+
+    def _backend_log_metrics(self, metrics, step):
+        self._client.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def _backend_log_hyperparams(self, params):
+        self._client.log_parameters(params)
+
+    def _backend_log_artifact(self, path, name):
+        self._client.log_asset(path, file_name=name)
+
+    def _backend_finalize(self, status):
+        self._client.end()
 
 
 class LoggerCollection:

@@ -66,17 +66,19 @@ class TorchGEGLUFF(nn.Module):
 
 
 class TorchPerceiverBlock(nn.Module):
-    def __init__(self):
+    def __init__(self, latent_dim=LATENT_DIM, input_dim=INPUT_DIM,
+                 cross_heads=CROSS_HEADS, latent_heads=LATENT_HEADS,
+                 dim_head=DIM_HEAD):
         super().__init__()
-        self.cross_norm = nn.LayerNorm(LATENT_DIM)
-        self.cross_context_norm = nn.LayerNorm(INPUT_DIM)
-        self.cross_attn = TorchAttention(LATENT_DIM, INPUT_DIM, CROSS_HEADS, DIM_HEAD)
-        self.cross_ff_norm = nn.LayerNorm(LATENT_DIM)
-        self.cross_ff = TorchGEGLUFF(LATENT_DIM)
-        self.self_norm = nn.LayerNorm(LATENT_DIM)
-        self.self_attn = TorchAttention(LATENT_DIM, LATENT_DIM, LATENT_HEADS, DIM_HEAD)
-        self.self_ff_norm = nn.LayerNorm(LATENT_DIM)
-        self.self_ff = TorchGEGLUFF(LATENT_DIM)
+        self.cross_norm = nn.LayerNorm(latent_dim)
+        self.cross_context_norm = nn.LayerNorm(input_dim)
+        self.cross_attn = TorchAttention(latent_dim, input_dim, cross_heads, dim_head)
+        self.cross_ff_norm = nn.LayerNorm(latent_dim)
+        self.cross_ff = TorchGEGLUFF(latent_dim)
+        self.self_norm = nn.LayerNorm(latent_dim)
+        self.self_attn = TorchAttention(latent_dim, latent_dim, latent_heads, dim_head)
+        self.self_ff_norm = nn.LayerNorm(latent_dim)
+        self.self_ff = TorchGEGLUFF(latent_dim)
 
     def forward(self, latents, data):
         x = latents
@@ -152,4 +154,227 @@ def test_perceiver_block_torch_parity():
     expected = jax.tree_util.tree_structure(
         block.init(jax.random.key(0), jnp.asarray(latents), jnp.asarray(data))
     )
+    assert jax.tree_util.tree_structure(variables) == expected
+
+
+# ---------------------------------------------------------------------------
+# Full-encoder and full-model parity (VERDICT r2 #3): the Fourier encoder +
+# depth tying + mean-latent head composition, then the whole PerceiverModel
+# (encoder + fc head + ID embedding + GRU seq2seq) against a torch mirror of
+# reference models/perceiver/perceiver.py:70-200.
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from predict_pv_yield_tpu.convert import (  # noqa: E402
+    convert_perceiver_encoder,
+    convert_perceiver_model,
+)
+from predict_pv_yield_tpu.models.perceiver_core import Perceiver  # noqa: E402
+
+
+class TorchPerceiver(nn.Module):
+    """perceiver_pytorch.Perceiver rebuilt in plain torch from the library's
+    documented structure (Fourier position features in [-1, 1] with
+    ``num_freq_bands`` linearly spaced frequencies up to max_freq/2 and
+    sin|cos|raw channels per axis; cache_fn tying: block0 untied, one shared
+    block for depth steps 1..d-1; mean over latents → LayerNorm → Linear)."""
+
+    def __init__(self, input_channels, num_freq_bands, max_freq, depth,
+                 num_latents, latent_dim, num_classes,
+                 cross_heads=1, latent_heads=8, dim_head=64):
+        super().__init__()
+        self.num_freq_bands = num_freq_bands
+        self.max_freq = max_freq
+        self.depth = depth
+        input_dim = input_channels + 2 * (2 * num_freq_bands + 1)
+        self.latents = nn.Parameter(torch.randn(num_latents, latent_dim))
+        self.block0 = TorchPerceiverBlock(
+            latent_dim, input_dim, cross_heads, latent_heads, dim_head
+        )
+        if depth > 1:
+            self.block = TorchPerceiverBlock(
+                latent_dim, input_dim, cross_heads, latent_heads, dim_head
+            )
+        self.head_norm = nn.LayerNorm(latent_dim)
+        self.to_logits = nn.Linear(latent_dim, num_classes)
+
+    def forward(self, data):  # (B, H, W, C)
+        b, h, w, _ = data.shape
+        axis_pos = [torch.linspace(-1.0, 1.0, steps=size) for size in (h, w)]
+        pos = torch.stack(torch.meshgrid(*axis_pos, indexing="ij"), dim=-1)
+        scales = torch.linspace(1.0, self.max_freq / 2.0, self.num_freq_bands)
+        scaled = pos.unsqueeze(-1) * scales * math.pi
+        enc = torch.cat([scaled.sin(), scaled.cos(), pos.unsqueeze(-1)], dim=-1)
+        enc = enc.reshape(h, w, -1).unsqueeze(0).expand(b, -1, -1, -1)
+        data = torch.cat([data, enc], dim=-1).reshape(b, h * w, -1)
+
+        x = self.latents.unsqueeze(0).expand(b, -1, -1)
+        x = self.block0(x, data)
+        for _ in range(self.depth - 1):
+            x = self.block(x, data)
+        x = x.mean(dim=1)
+        return self.to_logits(self.head_norm(x))
+
+
+def test_perceiver_encoder_full_torch_parity():
+    """The whole encoder at 1e-4: Fourier features, tied depth loop (nn.scan
+    on the flax side, a Python loop over ONE shared torch block on the torch
+    side), and the mean-latent head — the composition where a transposition
+    bug would hide."""
+    torch.manual_seed(3)
+    depth = 5
+    torch_model = TorchPerceiver(
+        input_channels=3, num_freq_bands=6, max_freq=10.0, depth=depth,
+        num_latents=6, latent_dim=LATENT_DIM, num_classes=7,
+        cross_heads=CROSS_HEADS, latent_heads=LATENT_HEADS, dim_head=DIM_HEAD,
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    with torch.no_grad():
+        y_torch = torch_model(torch.from_numpy(data)).numpy()
+
+    model = Perceiver(
+        input_channels=3, input_axis=2, num_freq_bands=6, max_freq=10.0,
+        depth=depth, num_latents=6, latent_dim=LATENT_DIM, num_classes=7,
+        weight_tie_layers=True, cross_heads=CROSS_HEADS,
+        latent_heads=LATENT_HEADS, cross_dim_head=DIM_HEAD,
+        latent_dim_head=DIM_HEAD,
+    )
+    variables = {"params": convert_perceiver_encoder(torch_model.state_dict())}
+    y_flax = np.asarray(model.apply(variables, jnp.asarray(data)))
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-4)
+
+    expected = jax.tree_util.tree_structure(
+        model.init(jax.random.key(0), jnp.asarray(data))
+    )
+    assert jax.tree_util.tree_structure(variables) == expected
+
+
+class TorchPerceiverModel(nn.Module):
+    """Reference PerceiverModel forward (perceiver.py:113-200): fold time
+    into batch → Perceiver per frame → fc1 → ID-embedding concat → fc2..fc5
+    → unfold → NWP zero-pad + flatten → GRU encoder over the history window
+    (+ yield-history channel) → GRU decoder seeded with the encoder state →
+    decoder fc head."""
+
+    PERCEIVER_OUTPUT_SIZE = 512
+    FC_OUTPUT_SIZE = 8
+    RNN_HIDDEN_SIZE = 16
+
+    def __init__(self, native):
+        super().__init__()
+        self.native = native
+        n_sat_channels = 11  # reference params["sat_channels"] length
+        self.perceiver = TorchPerceiver(
+            input_channels=n_sat_channels, num_freq_bands=6, max_freq=10.0,
+            depth=native.total_seq_length, num_latents=native.num_latents,
+            latent_dim=native.latent_dim, num_classes=self.PERCEIVER_OUTPUT_SIZE,
+        )
+        self.fc1 = nn.Linear(self.PERCEIVER_OUTPUT_SIZE, 256)
+        self.fc2 = nn.Linear(256 + native.embedding_dem, 128)
+        self.fc3 = nn.Linear(128, 64)
+        self.fc4 = nn.Linear(64, 32)
+        self.fc5 = nn.Linear(32, self.FC_OUTPUT_SIZE)
+        self.pv_system_id_embedding = nn.Embedding(2048, native.embedding_dem)
+        nwp_size = len(native.nwp_channels) * 16 * 16  # fixture nwp grid
+        self.encoder_rnn = nn.GRU(
+            input_size=self.FC_OUTPUT_SIZE + 1 + nwp_size,
+            hidden_size=self.RNN_HIDDEN_SIZE, num_layers=2, batch_first=True,
+        )
+        self.decoder_rnn = nn.GRU(
+            input_size=self.FC_OUTPUT_SIZE + nwp_size,
+            hidden_size=self.RNN_HIDDEN_SIZE, num_layers=2, batch_first=True,
+        )
+        self.decoder_fc1 = nn.Linear(self.RNN_HIDDEN_SIZE, 8)
+        self.decoder_fc2 = nn.Linear(8, 1)
+
+    def forward(self, sat_data, nwp_data, pv_yield, pv_system_row_number):
+        m = self.native
+        sat_data = sat_data[0 : m.batch_size].float()
+        batch_size, n_chans, seq_len, width, height = sat_data.shape
+        sat_data = sat_data.permute(0, 2, 3, 4, 1)
+        new_batch_size = batch_size * seq_len
+        sat_data = sat_data.reshape(new_batch_size, width, height, n_chans)
+
+        out = self.perceiver(sat_data)
+        out = out.reshape(new_batch_size, self.PERCEIVER_OUTPUT_SIZE)
+        out = F.relu(self.fc1(out))
+
+        ids = pv_system_row_number[0 : m.batch_size, 0]
+        ids = ids.type(torch.IntTensor).repeat_interleave(m.total_seq_length)
+        out = torch.cat((out, self.pv_system_id_embedding(ids)), dim=1)
+
+        out = F.relu(self.fc2(out))
+        out = F.relu(self.fc3(out))
+        out = F.relu(self.fc4(out))
+        out = F.relu(self.fc5(out))
+
+        out = out.reshape(batch_size, m.total_seq_length, self.FC_OUTPUT_SIZE)
+
+        nwp = nwp_data[0 : m.batch_size].float()
+        nwp = nwp.permute(0, 2, 1, 3, 4)
+        zeros = torch.zeros(
+            (batch_size, seq_len - nwp.shape[1], *nwp.shape[2:])
+        )
+        nwp = torch.cat([nwp, zeros], dim=1).reshape(batch_size, seq_len, -1)
+
+        rnn_input = torch.cat((out, nwp), dim=2)
+
+        history = pv_yield[0 : m.batch_size][:, : m.history_len_5 + 1, 0]
+        history = history.unsqueeze(-1).float()
+        encoder_input = torch.cat(
+            (rnn_input[:, : m.history_len_5 + 1], history), dim=2
+        )
+        _, encoder_hidden = self.encoder_rnn(encoder_input)
+        decoder_output, _ = self.decoder_rnn(
+            rnn_input[:, -m.forecast_len :], encoder_hidden
+        )
+        decoder_output = F.relu(self.decoder_fc1(decoder_output))
+        return self.decoder_fc2(decoder_output).squeeze(dim=-1)
+
+
+def test_perceiver_model_full_torch_parity(configuration_perceiver):
+    """The whole PerceiverModel.apply at 1e-4 against the torch mirror —
+    gates the GRU seq2seq (torch gate packing → flax GRUCell), the embedding
+    repeat order, and the NWP padding alongside the encoder."""
+    from predict_pv_yield_tpu.data.fake import FakeDataset
+    from predict_pv_yield_tpu.models.perceiver import PerceiverModel, params
+
+    dataset_configuration = configuration_perceiver
+    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 16
+    dataset_configuration.input_data.default_forecast_minutes = 60
+    dataset_configuration.process.batch_size = 2
+
+    model = PerceiverModel(
+        history_minutes=30,
+        forecast_minutes=60,
+        nwp_channels=params["nwp_channels"],
+        batch_size=2,
+        embedding_dem=16,
+        num_latents=6,
+        latent_dim=32,
+    )
+    torch.manual_seed(4)
+    torch_model = TorchPerceiverModel(model).eval()
+
+    batch = FakeDataset(configuration=dataset_configuration)[0].numeric()
+    sat = np.asarray(batch.satellite.data, np.float32)
+    nwp = np.asarray(batch.nwp.data, np.float32)
+    pv = np.asarray(batch.pv.pv_yield, np.float32)
+    rows = np.asarray(batch.pv.pv_system_row_number)
+
+    with torch.no_grad():
+        y_torch = torch_model(
+            torch.from_numpy(sat), torch.from_numpy(nwp),
+            torch.from_numpy(pv), torch.from_numpy(rows),
+        ).numpy()
+
+    variables = convert_perceiver_model(torch_model.state_dict(), model)
+    y_flax = np.asarray(model.apply(variables, batch))
+    assert y_flax.shape == y_torch.shape == (2, model.forecast_len)
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-4)
+
+    expected = jax.tree_util.tree_structure(model.init(jax.random.key(0), batch))
     assert jax.tree_util.tree_structure(variables) == expected

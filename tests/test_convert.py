@@ -348,3 +348,88 @@ def test_conv3d_sat_nwp_torch_parity():
     # the converted tree matches the model's own init structure exactly
     expected = jax.tree_util.tree_structure(model.init(jax.random.key(0), batch))
     assert jax.tree_util.tree_structure(variables) == expected
+
+
+def test_conv3d_sat_nwp_one_training_step_parity():
+    """Flagship training-semantics gate (VERDICT r2 #4): one NMAE-backward +
+    Adam(lr=5e-4) step on the full sat+nwp architecture must leave torch and
+    the native engine's compiled train step with the same loss and the same
+    post-step parameters (reference base_model.py:146-153,255-257 applied to
+    model_sat_nwp.py)."""
+    import copy
+
+    from predict_pv_yield_tpu.convert import convert_conv3d_sat_nwp
+    from predict_pv_yield_tpu.data.batch import GSPBatch, NWPBatch
+    from predict_pv_yield_tpu.models.conv3d_sat_nwp import Model as SatNwpModel
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    model = SatNwpModel(
+        batch_size=2,
+        include_pv_or_gsp_yield_history=True,
+        include_nwp=True,
+        forecast_minutes=60,
+        history_minutes=30,
+        number_of_conv3d_layers=2,
+        conv3d_channels=4,
+        image_size_pixels=12,
+        nwp_image_size_pixels=12,
+        number_sat_channels=3,
+        number_nwp_channels=2,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=8,
+        output_variable="gsp_yield",
+        embedding_dem=4,
+        include_pv_yield_history=True,
+        include_future_satellite=True,
+    )
+    torch.manual_seed(2)
+    torch_model = TorchConv3dSatNwp(model)
+    state_dict_before = copy.deepcopy(torch_model.state_dict())
+
+    rng = np.random.default_rng(2)
+    seq5 = model.seq_lens.seq_len_5
+    seq60 = model.seq_lens.seq_len_60
+    n_gsp = model.number_of_samples_per_batch
+    sat = rng.standard_normal((2, 3, seq5, 12, 12)).astype(np.float32)
+    nwp = rng.standard_normal((2, 2, seq60, 12, 12)).astype(np.float32)
+    gsp_yield = rng.uniform(size=(2, model.seq_lens.seq_len_30, n_gsp)).astype(np.float32)
+    pv_yield = rng.uniform(size=(2, seq5, 128)).astype(np.float32)
+    gsp_id = rng.integers(0, 900, size=(2, n_gsp)).astype(np.int32)
+
+    # --- torch: forward, NMAE backward, one Adam step -------------------
+    tensors = [torch.from_numpy(a) for a in (sat, nwp, gsp_yield, pv_yield, gsp_id)]
+    y_hat_t = torch_model(*tensors)
+    y_t = tensors[2][:, -model.forecast_len:, 0]
+    loss_t = (y_hat_t - y_t).abs().mean()
+    optimizer = torch.optim.Adam(torch_model.parameters(), lr=5e-4)
+    optimizer.zero_grad()
+    loss_t.backward()
+    optimizer.step()
+    params_after_torch = convert_conv3d_sat_nwp(torch_model.state_dict(), model)
+
+    # --- native: the engine's actual compiled train step ----------------
+    variables = convert_conv3d_sat_nwp(state_dict_before, model)
+    batch = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(sat)),
+        nwp=NWPBatch(data=jnp.asarray(nwp)),
+        gsp=GSPBatch(gsp_yield=jnp.asarray(gsp_yield), gsp_id=jnp.asarray(gsp_id)),
+        pv=PVBatch(pv_yield=jnp.asarray(pv_yield)),
+    )
+    trainer = Trainer(max_epochs=1, profiler=None)
+    trainer.setup(model, batch)
+    trainer.state = trainer.state.replace(params=variables)
+    device_batch = trainer._to_device(batch)
+    state, metrics = trainer._compiled["train"](trainer.state, device_batch)
+
+    np.testing.assert_allclose(
+        float(metrics["NMAE"]), float(loss_t.detach()), rtol=0, atol=2e-6
+    )
+    flat_native = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_torch = dict(jax.tree_util.tree_leaves_with_path(params_after_torch))
+    assert flat_torch.keys() == dict(flat_native).keys()
+    for path, leaf in flat_native:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_torch[path]),
+            rtol=0, atol=5e-5, err_msg=str(path),
+        )
