@@ -58,6 +58,8 @@ STEPS_PER_EXECUTION = 8
 WARMUP_DISPATCHES = 3
 MEASURE_DISPATCHES = 25
 B32_MEASURE_STEPS = 200
+PERCEIVER_BATCH = 32
+PERCEIVER_BASELINE_EXAMPLES_PER_SEC = 24900 * 32 / (4 * 3600.0)  # ≈55.3
 
 # bf16 peak FLOP/s per chip by device kind (dense MXU). Keys are matched
 # against the normalised (lowercased, space-stripped) jax device_kind —
@@ -114,12 +116,53 @@ def flagship_model(batch_size: int = 32):
     )
 
 
-def _make_trainer(batch_size: int, steps_per_execution: int = 1):
+def perceiver_configuration(batch_size: int = 32):
+    """The reference's perceiver production data shapes: 64 px satellite AND
+    NWP grids (reference ``perceiver_conv3d_nwp_sat.py:23`` params), history
+    60 / forecast 30 (reference ``configs/model/perceiver_conv3d_sat_nwp.yaml``)."""
+    from predict_pv_yield_tpu.config.dataset import Configuration
+
+    configuration = Configuration()
+    configuration.process.batch_size = batch_size
+    configuration.input_data.default_history_minutes = 60
+    configuration.input_data.default_forecast_minutes = 30
+    configuration.input_data = configuration.input_data.set_all_to_defaults()
+    configuration.input_data.satellite.satellite_image_size_pixels = 64
+    configuration.input_data.nwp.nwp_image_size_pixels = 64
+    return configuration
+
+
+def perceiver_flagship_model(batch_size: int = 32):
+    """The reference's best model (0.0308 MAE) at its production
+    hyperparameters: ``configs/model/perceiver_conv3d_sat_nwp.yaml`` —
+    latents 24/24 ("batch 32 fits at latents 24/24",
+    reference ``experiments/2021-09/2021-09-28/experiments.txt:15-38``)."""
+    from predict_pv_yield_tpu.models.perceiver_conv3d_nwp_sat import Model
+
+    return Model(
+        batch_size=batch_size,
+        history_minutes=60,
+        forecast_minutes=30,
+        num_latents=24,
+        latent_dim=24,
+        embedding_dem=0,
+        output_variable="gsp_yield",
+        conv3d_channels=8,
+        use_future_satellite_images=False,
+    )
+
+
+def _make_trainer(batch_size: int, steps_per_execution: int = 1,
+                  family: str = "conv3d"):
     from predict_pv_yield_tpu.data.fake import fake_batch_on_device
     from predict_pv_yield_tpu.training.engine import Trainer
 
-    configuration = flagship_configuration(batch_size)
-    model = flagship_model(batch_size)
+    if family == "perceiver":
+        configuration = perceiver_configuration(batch_size)
+        model = perceiver_flagship_model(batch_size)
+    else:
+        configuration = flagship_configuration(batch_size)
+        model = flagship_model(batch_size)
     trainer = Trainer(
         max_epochs=1, profiler=None, precision=16, prefetch_depth=1,
         steps_per_execution=steps_per_execution,
@@ -129,7 +172,7 @@ def _make_trainer(batch_size: int, steps_per_execution: int = 1):
     return trainer, batch
 
 
-def _train_step_flops(batch_size: int) -> float | None:
+def _train_step_flops(batch_size: int, family: str = "conv3d") -> float | None:
     """FLOPs of ONE training step, from XLA cost analysis lowered on a CPU
     backend in a subprocess (the HLO FLOP count is platform-independent; the
     remote-compiled TPU executable does not expose cost analysis here)."""
@@ -137,7 +180,8 @@ def _train_step_flops(batch_size: int) -> float | None:
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     result = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--flops", str(batch_size)],
+        [sys.executable, os.path.abspath(__file__), "--flops", str(batch_size),
+         family],
         env=env, capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -147,9 +191,9 @@ def _train_step_flops(batch_size: int) -> float | None:
     return None
 
 
-def _flops_main(batch_size: int) -> None:
+def _flops_main(batch_size: int, family: str = "conv3d") -> None:
     jax.config.update("jax_platforms", "cpu")
-    trainer, batch = _make_trainer(batch_size)
+    trainer, batch = _make_trainer(batch_size, family=family)
     device_batch = jax.device_put(
         trainer._maybe_cast(batch.numeric()), trainer._batch_shard
     )
@@ -209,6 +253,46 @@ def main() -> None:
     if flops:
         mfu = round(flops * (steps / dt) / (_peak_flops() * n_chips), 4)
 
+    # ---- perceiver flagship (VERDICT r2 #2): the reference's best model ----
+    # Baseline: ≈4 h/epoch at batch 32 on a P100 over the GCP set's 24900
+    # batches (experiments/2021-09/2021-09-28/experiments.txt:15-38 +
+    # configs/datamodule/netcdf_datamodule_gcp.yaml) → 1.73 batches/s
+    # → 55.3 examples/s.
+    perceiver_trainer, perceiver_batch = _make_trainer(
+        PERCEIVER_BATCH, family="perceiver"
+    )
+    perceiver_device_batch = jax.device_put(
+        perceiver_trainer._maybe_cast(perceiver_batch.numeric()),
+        perceiver_trainer._batch_shard,
+    )
+    perceiver_model = perceiver_trainer._model
+
+    def perceiver_multi(state, device_batch):
+        def body(s, _):
+            return perceiver_trainer._train_step_body(perceiver_model, s, device_batch)
+
+        return jax.lax.scan(body, state, None, length=STEPS_PER_EXECUTION)
+
+    perceiver_multi = jax.jit(perceiver_multi, donate_argnums=0)
+    pstate = perceiver_trainer.state
+    for _ in range(WARMUP_DISPATCHES):
+        pstate, pmetrics = perceiver_multi(pstate, perceiver_device_batch)
+    jax.device_get(pmetrics)
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_DISPATCHES):
+        pstate, pmetrics = perceiver_multi(pstate, perceiver_device_batch)
+    jax.device_get(pmetrics)
+    pdt = time.perf_counter() - t0
+    psteps = MEASURE_DISPATCHES * STEPS_PER_EXECUTION
+    perceiver_examples_per_sec = psteps * PERCEIVER_BATCH / pdt / n_chips
+    perceiver_step_ms = pdt / psteps * 1000.0
+    pflops = _train_step_flops(PERCEIVER_BATCH, family="perceiver")
+    perceiver_mfu = None
+    if pflops:
+        perceiver_mfu = round(
+            pflops * (psteps / pdt) / (_peak_flops() * n_chips), 4
+        )
+
     # ---- b32 single-dispatch continuity metric --------------------------
     trainer32, batch32 = _make_trainer(32)
     device_batch = jax.device_put(
@@ -241,6 +325,14 @@ def main() -> None:
                 "batch_size": SATURATED_BATCH,
                 "steps_per_execution": STEPS_PER_EXECUTION,
                 "b32_single_dispatch_batches_per_s": round(b32_rate, 3),
+                "perceiver_conv3d_sat_nwp_examples_per_s": round(
+                    perceiver_examples_per_sec, 1
+                ),
+                "perceiver_step_time_ms": round(perceiver_step_ms, 3),
+                "perceiver_vs_baseline": round(
+                    perceiver_examples_per_sec / PERCEIVER_BASELINE_EXAMPLES_PER_SEC, 3
+                ),
+                "perceiver_mfu": perceiver_mfu,
             }
         )
     )
@@ -248,6 +340,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--flops":
-        _flops_main(int(sys.argv[2]))
+        _flops_main(int(sys.argv[2]),
+                    sys.argv[3] if len(sys.argv) > 3 else "conv3d")
     else:
         main()

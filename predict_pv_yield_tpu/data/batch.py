@@ -43,6 +43,12 @@ class SatelliteBatch:
     x: Optional[Array] = None  # (B, W) OSGB easting per column
     y: Optional[Array] = None  # (B, H) OSGB northing per row
     datetime_index: Optional[Array] = None  # (B, T5) int64 ns
+    #: static marker: ``data`` is still in the channel-LAST wire layout
+    #: (B, T5, H, W, C) exactly as nowcasting_dataset wrote it. The fused
+    #: on-device preprocess transposes it to canonical for free (one HBM
+    #: pass); doing it on the host costs a serial strided copy of the whole
+    #: payload per batch (measured: it halved the NetCDF pipeline rate).
+    channel_last: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -75,6 +81,8 @@ class HRVSatelliteBatch:
     data: Optional[Array] = None  # (B, 1, T5, Hh, Wh)
     x: Optional[Array] = None
     y: Optional[Array] = None
+    #: see SatelliteBatch.channel_last
+    channel_last: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

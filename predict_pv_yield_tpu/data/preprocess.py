@@ -34,21 +34,31 @@ def channel_stats(channel_names) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(SAT_MEAN[idx]), jnp.asarray(SAT_STD[idx])
 
 
-@functools.partial(jax.jit, static_argnames=("crop", "missing_to_zero"))
+@functools.partial(
+    jax.jit, static_argnames=("crop", "missing_to_zero", "channel_last")
+)
 def decode_satellite(
     raw: jnp.ndarray,
     mean: jnp.ndarray,
     std: jnp.ndarray,
     crop: Optional[int] = None,
     missing_to_zero: bool = True,
+    channel_last: bool = False,
 ) -> jnp.ndarray:
     """int16 counts (B, C, T, H, W) → normalised float32, optionally
     centre-cropped to ``crop`` px.
+
+    ``channel_last``: the input is still the (B, T, H, W, C) wire layout
+    nowcasting_dataset writes — the transpose to canonical runs HERE, fused
+    with the decode (one HBM pass), instead of as a serial strided host copy
+    (see ``netcdf_reader.canonical_or_deferred``).
 
     Missing data is encoded as −1 in the archives (notebook 13 cell 10);
     with ``missing_to_zero`` it lands at 0 after normalisation (the models'
     ``nan_to_num`` contract) instead of becoming NaN on device.
     """
+    if channel_last:
+        raw = jnp.transpose(raw, (0, 4, 1, 2, 3))
     missing = raw == -1
     data = raw.astype(jnp.float32)
     data = (data - mean[None, :, None, None, None]) / std[None, :, None, None, None]
@@ -76,8 +86,20 @@ def preprocess_batch(
     # the main satellite group (it may be int16 while satellite is float
     # or absent entirely in HRV-only configurations)
     sat = batch.satellite.data
-    if sat is None or jnp.issubdtype(sat.dtype, jnp.floating):
+    channel_last = batch.satellite.channel_last
+    if sat is None:
         return batch
+    if jnp.issubdtype(sat.dtype, jnp.floating):
+        if channel_last:  # float wire in channel-last layout: transpose only
+            sat = jnp.transpose(sat, (0, 4, 1, 2, 3))
+            return batch.replace(
+                satellite=batch.satellite.replace(data=sat, channel_last=False)
+            )
+        return batch
+    if channel_last:
+        # symbolic transpose: under the engine's jit this fuses into the
+        # decode pass below (no standalone copy)
+        sat = jnp.transpose(sat, (0, 4, 1, 2, 3))
     if channel_names is None:
         # No dataset configuration available: fall back by channel count.
         # 12 → the full HRV-first list; ≤11 → the non-HRV channels in order
@@ -101,18 +123,34 @@ def preprocess_batch(
         )
     mean, std = channel_stats(channel_names)
     decoded = decode_satellite(sat, mean, std, crop=crop)
-    return batch.replace(satellite=batch.satellite.replace(data=decoded))
+    return batch.replace(
+        satellite=batch.satellite.replace(data=decoded, channel_last=False)
+    )
 
 
 def _decode_hrv(batch: Batch, crop: Optional[int]) -> Batch:
     """Same fused decode for the HRV group when it ships raw int16 (HRV is
     its own batch group with its own grid; channel stats are the HRV row)."""
     hrv = batch.hrvsatellite.data
-    if hrv is None or jnp.issubdtype(hrv.dtype, jnp.floating):
+    if hrv is None:
         return batch
+    channel_last = batch.hrvsatellite.channel_last
+    if jnp.issubdtype(hrv.dtype, jnp.floating):
+        if channel_last:
+            hrv = jnp.transpose(hrv, (0, 4, 1, 2, 3))
+            return batch.replace(
+                hrvsatellite=batch.hrvsatellite.replace(
+                    data=hrv, channel_last=False
+                )
+            )
+        return batch
+    if channel_last:
+        hrv = jnp.transpose(hrv, (0, 4, 1, 2, 3))
     mean, std = channel_stats(["HRV"])
     decoded = decode_satellite(hrv, mean, std, crop=crop)
-    return batch.replace(hrvsatellite=batch.hrvsatellite.replace(data=decoded))
+    return batch.replace(
+        hrvsatellite=batch.hrvsatellite.replace(data=decoded, channel_last=False)
+    )
 
 
 def stack_timesteps_as_channels(video: jnp.ndarray) -> jnp.ndarray:

@@ -258,7 +258,16 @@ class Trainer:
         from flax import linen as nn
         from jax.sharding import NamedSharding, PartitionSpec
 
-        init = lambda: model.init(jax.random.key(self.seed), example)  # noqa: E731
+        from predict_pv_yield_tpu.data.preprocess import preprocess_batch
+
+        def init():
+            # init must see what the train step's forward sees: the fused
+            # preprocess (int16 decode, channel-last wire transpose) runs
+            # inside the same traced program (abstract under eval_shape)
+            decoded = preprocess_batch(
+                example, channel_names=self._satellite_channels
+            )
+            return model.init(jax.random.key(self.seed), decoded)
         abstract = jax.eval_shape(init)
         specs = nn.get_partition_spec(abstract)
         shardings = jax.tree.map(
@@ -403,7 +412,13 @@ class Trainer:
                     iterator = None
                     break
                 try:
-                    host = as_batch(next(iterator))
+                    if self.profiler:
+                        # how long the training loop WAITS on the host
+                        # pipeline (the host >= device gate's observable)
+                        with self.profiler.time("loader_next"):
+                            host = as_batch(next(iterator))
+                    else:
+                        host = as_batch(next(iterator))
                 except StopIteration:
                     iterator = None
                     break
@@ -439,7 +454,11 @@ class Trainer:
                 exhausted = limit is not None and planned >= limit
                 if not exhausted:
                     try:
-                        pending.append(as_batch(next(iterator)))
+                        if self.profiler:
+                            with self.profiler.time("loader_next"):
+                                pending.append(as_batch(next(iterator)))
+                        else:
+                            pending.append(as_batch(next(iterator)))
                         planned += 1
                     except StopIteration:
                         exhausted = True

@@ -130,7 +130,11 @@ def plot_example(
     sat_y = batch.satellite.y
     extent = None
     if sat is not None:
-        frame = np.asarray(sat[example_i, 0, -1], np.float32)
+        if getattr(batch.satellite, "channel_last", False):
+            # host batch still in the (B, T, H, W, C) wire layout
+            frame = np.asarray(sat[example_i, -1, :, :, 0], np.float32)
+        else:
+            frame = np.asarray(sat[example_i, 0, -1], np.float32)
         if sat_x is not None and sat_y is not None:
             xs = np.asarray(sat_x[example_i], np.float64)
             ys = np.asarray(sat_y[example_i], np.float64)

@@ -80,12 +80,13 @@ def _v15_tree(tmp_path, batch_idx=0):
 def test_v15_per_source_layout(tmp_path):
     root, sat, gsp = _v15_tree(tmp_path)
     batch = batch_from_source_files(str(root), 0)
-    # channel-last on disk → canonical (B, C, T, H, W), dtype preserved
-    assert batch.satellite.data.shape == (B, C, T, H, W)
+    # channel-last imagery ships AS-IS (zero-copy mmap view) with the
+    # channel_last marker; the fused device preprocess transposes it —
+    # a host-side transpose was the measured pipeline bottleneck
+    assert batch.satellite.channel_last
+    assert batch.satellite.data.shape == (B, T, H, W, C)
     assert batch.satellite.data.dtype == np.int16
-    np.testing.assert_array_equal(
-        batch.satellite.data, sat.transpose(0, 4, 1, 2, 3)
-    )
+    np.testing.assert_array_equal(batch.satellite.data, sat)
     # power_mw files carry raw MW; the Batch contract is the dataloader's
     # capacity-normalised [0,1] yield (de-normalised back to MW at
     # validation time via gsp_capacity, reference base_model.py:222-234)
@@ -101,14 +102,15 @@ def test_netcdf_batch_dataset(tmp_path):
     dataset = NetCDFBatchDataset(1, str(root))
     assert len(dataset) == 1
     batch = dataset[0]
-    assert batch.satellite.data.shape == (B, C, T, H, W)
+    assert batch.satellite.data.shape == (B, T, H, W, C)
+    assert batch.satellite.channel_last
     # the declared n_batches bounds the dataset even though 000001.nc is
     # on disk — IndexError comes from the length contract, not absence
     assert (root / "satellite" / netcdf_filename(1)).exists()
     with pytest.raises(IndexError):
         dataset[1]
     # and a dataset declared over both batches can read the second
-    assert NetCDFBatchDataset(2, str(root))[1].satellite.data.shape == (B, C, T, H, W)
+    assert NetCDFBatchDataset(2, str(root))[1].satellite.data.shape == (B, T, H, W, C)
 
 
 def test_legacy_single_file(tmp_path):
@@ -276,7 +278,8 @@ def test_datamodule_autodetects_netcdf(tmp_path):
         n_train_data=1, n_val_data=1, num_workers=0,
     )
     batch = next(iter(dm.train_dataloader()))
-    assert batch.satellite.data.shape == (B, C, T, H, W)
+    assert batch.satellite.data.shape == (B, T, H, W, C)
+    assert batch.satellite.channel_last
     assert batch.satellite.data.dtype == np.int16
 
 
@@ -292,9 +295,8 @@ def test_netcdf_dataset_remote_fetch(tmp_path):
         1, f"file://{root}", tmp_path=str(scratch)
     )
     batch = dataset[0]
-    np.testing.assert_array_equal(
-        batch.satellite.data, sat.transpose(0, 4, 1, 2, 3)
-    )
+    assert batch.satellite.channel_last
+    np.testing.assert_array_equal(batch.satellite.data, sat)
     np.testing.assert_allclose(batch.gsp.gsp_yield, gsp / 50.0, rtol=1e-6)
     # presence cache: the probed sources are exactly the ones on disk
     assert set(dataset._sources_present()) == {"satellite", "gsp", "metadata"}
@@ -342,3 +344,202 @@ def test_normalised_key_beats_power_mw(tmp_path):
     )
     batch = batch_from_source_files(str(root), 0)
     np.testing.assert_allclose(batch.gsp.gsp_yield, normalised)
+
+
+# ---------------------------------------------------------------------------
+# h5netcdf-faithful conventions (VERDICT r2 #6): the writer reproduces real
+# nowcasting_dataset/xarray byte conventions (dimension scales, phony-dim
+# sentinels, _Netcdf4Dimid, CF-encoded datetimes, power_mw+capacity_mwp-only
+# gsp files) and the reader must survive all of them.
+# ---------------------------------------------------------------------------
+
+from predict_pv_yield_tpu.data.netcdf_writer import (  # noqa: E402
+    cf_encode_time,
+    write_netcdf_variables,
+    write_v15_batch,
+)
+
+
+def test_writer_emits_h5netcdf_conventions(tmp_path):
+    path = str(tmp_path / "conv.nc")
+    times = np.datetime64("2021-06-01T12:00", "ns") + np.arange(4) * np.timedelta64(
+        5, "m"
+    ).astype("timedelta64[ns]")
+    write_netcdf_variables(
+        path,
+        {
+            "data": (("example", "time"),
+                     np.arange(8, dtype=np.float32).reshape(2, 4)),
+            # dimension coordinate: shares the dim's name (xarray convention)
+            "time": (("time",), times.astype("datetime64[ns]")),
+        },
+    )
+    with h5py.File(path, "r") as fh:
+        assert fh.attrs["_NCProperties"].startswith(b"version=2,h5netcdf")
+        # "example" has no coordinate variable -> phony dimension scale
+        example = fh["example"]
+        assert example.attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert example.attrs["NAME"].startswith(
+            b"This is a netCDF dimension but not a netCDF variable"
+        )
+        assert "_Netcdf4Dimid" in example.attrs
+        # "time" IS a coordinate variable: named scale with CF attrs
+        time = fh["time"]
+        assert time.attrs["NAME"] == b"time"
+        assert b"since" in bytes(time.attrs["units"], "utf-8") if isinstance(
+            time.attrs["units"], str
+        ) else b"since" in time.attrs["units"]
+        # data var carries DIMENSION_LIST referencing both scales
+        assert "DIMENSION_LIST" in fh["data"].attrs
+
+    variables = read_netcdf_variables(path)
+    # the phony "example" scale is structural — not returned as data
+    assert "example" not in variables
+    assert variables["data"][0] == ("example", "time")
+    # CF time decoded back to exact int64 nanoseconds
+    np.testing.assert_array_equal(
+        variables["time"][1], times.astype("datetime64[ns]").astype(np.int64)
+    )
+
+
+def test_cf_time_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    base = np.datetime64("2020-03-01T00:00", "ns").astype(np.int64)
+    times = base + rng.integers(0, 10**6, size=(3, 5)) * 60_000_000_000
+    offsets, attrs = cf_encode_time(times)
+    from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+    decoded = _decode_cf_time(offsets, attrs["units"])
+    np.testing.assert_array_equal(decoded, times)
+
+
+def test_char_array_datetimes(tmp_path):
+    """Legacy files carried string-typed datetimes; they must come back as
+    int64 nanoseconds, not str objects."""
+    path = str(tmp_path / "chars.nc")
+    stamps = np.array(
+        [["2021-01-01 12:00:00", "2021-01-01 12:05:00"],
+         ["2021-01-02 00:00:00", "2021-01-02 00:05:00"]], dtype="S19"
+    )
+    write_netcdf_variables(
+        path,
+        {
+            "sat_datetime_index": (("example", "time"), stamps),
+            "label": (("example",), np.array([b"north", b"south"])),
+        },
+    )
+    variables = read_netcdf_variables(path)
+    expected = stamps.astype("U").astype("datetime64[s]").astype(
+        "datetime64[ns]"
+    ).astype(np.int64)
+    np.testing.assert_array_equal(variables["sat_datetime_index"][1], expected)
+    # non-time strings stay strings
+    assert variables["label"][1].dtype.kind == "U"
+
+
+def test_v15_batch_roundtrip(tmp_path, configuration):
+    """write_v15_batch -> batch_from_source_files is the identity on every
+    field the v15 layout stores (satellite int16 preserved channel-last on
+    disk, pv/gsp renormalised from raw megawatts, CF datetimes exact)."""
+    from predict_pv_yield_tpu.data.fake import fake_batch
+
+    rng = np.random.default_rng(3)
+    batch = fake_batch(configuration, rng)
+    raw = rng.integers(-1, 1023, size=batch.satellite.data.shape, dtype=np.int16)
+    batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+
+    root = str(tmp_path / "train")
+    write_v15_batch(root, 0, batch)
+    loaded = batch_from_source_files(root, 0)
+
+    # satellite comes back in the channel-last wire layout with the marker;
+    # the fused device preprocess owns the transpose
+    assert loaded.satellite.channel_last
+    np.testing.assert_array_equal(
+        loaded.satellite.data, raw.transpose(0, 2, 3, 4, 1)
+    )
+    assert loaded.satellite.data.dtype == np.int16
+    np.testing.assert_array_equal(
+        loaded.satellite.datetime_index, batch.satellite.datetime_index
+    )
+    np.testing.assert_allclose(loaded.nwp.data, batch.nwp.data, rtol=1e-6)
+    np.testing.assert_array_equal(loaded.nwp.target_time, batch.nwp.target_time)
+    np.testing.assert_allclose(loaded.pv.pv_yield, batch.pv.pv_yield, atol=1e-6)
+    np.testing.assert_array_equal(
+        loaded.pv.pv_system_row_number, batch.pv.pv_system_row_number
+    )
+    np.testing.assert_allclose(loaded.gsp.gsp_yield, batch.gsp.gsp_yield, atol=1e-5)
+    np.testing.assert_allclose(
+        loaded.gsp.gsp_capacity, batch.gsp.gsp_capacity, rtol=1e-6
+    )
+    np.testing.assert_array_equal(loaded.gsp.gsp_id, batch.gsp.gsp_id)
+    np.testing.assert_allclose(
+        loaded.sun.sun_elevation_angle, batch.sun.sun_elevation_angle, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        loaded.topographic.topo_data, batch.topographic.topo_data, rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        loaded.metadata.t0_datetime_utc, batch.metadata.t0_datetime_utc
+    )
+
+
+def test_channel_last_device_decode_matches_host_transpose(tmp_path, configuration):
+    """The deferred wire-layout transpose: preprocess_batch on a channel_last
+    int16 batch must equal a host transpose followed by the canonical
+    decode — bit-for-bit."""
+    import jax.numpy as jnp
+
+    from predict_pv_yield_tpu.consts import SAT_VARIABLE_NAMES
+    from predict_pv_yield_tpu.data.batch import Batch, SatelliteBatch
+    from predict_pv_yield_tpu.data.preprocess import preprocess_batch
+
+    rng = np.random.default_rng(9)
+    wire = rng.integers(-1, 1023, (2, 5, 8, 8, 4), dtype=np.int16)  # B,T,H,W,C
+    names = SAT_VARIABLE_NAMES[1:5]
+
+    deferred = Batch(
+        satellite=SatelliteBatch(data=jnp.asarray(wire), channel_last=True)
+    )
+    canonical = Batch(
+        satellite=SatelliteBatch(
+            data=jnp.asarray(wire.transpose(0, 4, 1, 2, 3)), channel_last=False
+        )
+    )
+    out_deferred = preprocess_batch(deferred, channel_names=names)
+    out_canonical = preprocess_batch(canonical, channel_names=names)
+    assert not out_deferred.satellite.channel_last
+    np.testing.assert_array_equal(
+        np.asarray(out_deferred.satellite.data),
+        np.asarray(out_canonical.satellite.data),
+    )
+
+
+def test_train_epoch_from_netcdf_files(tmp_path, configuration_conv3d, tmp_cwd):
+    """End-to-end: v15 NetCDF batch files (channel-last int16 wire) through
+    NetCDFBatchDataset -> Trainer.fit, exercising the deferred device-side
+    transpose inside the compiled train step."""
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.data.netcdf_writer import write_v15_batch
+    from predict_pv_yield_tpu.models.conv3d import Model
+    from predict_pv_yield_tpu.training.engine import Trainer
+    from predict_pv_yield_tpu.utils import load_config
+
+    root = str(tmp_path / "train")
+    for i in range(2):
+        rng = np.random.default_rng(i)
+        batch = fake_batch(configuration_conv3d, rng)
+        raw = rng.integers(-1, 1023, size=batch.satellite.data.shape,
+                           dtype=np.int16)
+        batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+        write_v15_batch(root, i, batch)
+
+    dataset = NetCDFBatchDataset(2, root)
+    assert dataset[0].satellite.channel_last
+
+    model_cfg = load_config("tests/configs/model/conv3d.yaml")
+    model_cfg.pop("_target_", None)
+    model = Model(**model_cfg)
+    trainer = Trainer(max_epochs=1, profiler=None)
+    metrics = trainer.fit(model, train_dataloaders=dataset)
+    assert np.isfinite(metrics["NMAE/Train_epoch"])

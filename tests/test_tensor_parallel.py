@@ -6,7 +6,14 @@ attention/FF kernels are boxed with mesh-axis names
 (``partition_attention=True``), the engine initialises them directly into
 their shards, and one data+tensor-parallel training step must match the
 fully-replicated run exactly (same math, different layout — GSPMD inserts
-the psums)."""
+the psums).
+
+Suite-cost note: XLA CPU compiles of the scanned perceiver dominate this
+file, so the replicated and TP fits run ONCE in a module-scoped fixture
+(checkpoint + validation attached to the TP fit) and every test asserts
+against those shared results on deliberately small shapes (8 px grid,
+latent_dim 8).
+"""
 
 import jax
 import jax.tree_util as jtu
@@ -25,26 +32,55 @@ def _model(partition_attention: bool) -> PerceiverModel:
         nwp_channels=params["nwp_channels"],
         embedding_dem=16,
         num_latents=8,
-        latent_dim=16,
+        latent_dim=8,
         partition_attention=partition_attention,
     )
 
 
-@pytest.fixture()
-def dataset(configuration_perceiver):
-    configuration_perceiver.input_data.default_forecast_minutes = 60
-    return FakeDataset(configuration=configuration_perceiver, length=2)
+def _dataset() -> FakeDataset:
+    from tests.conftest import build_dataset_configuration
+
+    configuration = build_dataset_configuration(
+        sat_image_size=8, nwp_image_size=8, nwp_channel_count=10
+    )
+    configuration.input_data.default_forecast_minutes = 60
+    return FakeDataset(configuration=configuration, length=2)
 
 
-def test_tensor_parallel_matches_replicated(dataset, tmp_cwd):
-    # same partitioned module both times: mp=1 leaves every shard-annotated
-    # param effectively replicated, mp=2 actually splits them — identical
-    # math, different layout
-    trainer_dp = Trainer(max_epochs=1, profiler=None)
-    metrics_dp = trainer_dp.fit(_model(True), train_dataloaders=dataset)
+@pytest.fixture(scope="module")
+def fits(tmp_path_factory):
+    """One replicated fit and one TP fit (with checkpointing + validation),
+    shared by every test in this module."""
+    import os
 
-    trainer_tp = Trainer(max_epochs=1, profiler=None, model_parallel=2)
-    metrics_tp = trainer_tp.fit(_model(True), train_dataloaders=dataset)
+    from predict_pv_yield_tpu.training.callbacks import ModelCheckpoint
+
+    root = tmp_path_factory.mktemp("tp")
+    cwd = os.getcwd()
+    os.chdir(root)  # validation artifacts land here, not in the repo
+    try:
+        dataset = _dataset()
+
+        # same partitioned module both times: mp=1 leaves every
+        # shard-annotated param effectively replicated, mp=2 actually splits
+        # them — identical math, different layout
+        trainer_dp = Trainer(max_epochs=1, profiler=None)
+        metrics_dp = trainer_dp.fit(_model(True), train_dataloaders=dataset)
+
+        ckpt = ModelCheckpoint(dirpath=str(root / "ckpt"))
+        trainer_tp = Trainer(
+            max_epochs=1, profiler=None, model_parallel=2, callbacks=[ckpt],
+        )
+        metrics_tp = trainer_tp.fit(
+            _model(True), train_dataloaders=dataset, val_dataloaders=dataset
+        )
+    finally:
+        os.chdir(cwd)
+    yield trainer_dp, metrics_dp, trainer_tp, metrics_tp, ckpt
+
+
+def test_tensor_parallel_matches_replicated(fits):
+    trainer_dp, metrics_dp, trainer_tp, metrics_tp, _ = fits
 
     assert dict(trainer_tp.mesh.shape) == {"data": 2, "model": 2}
     sharded = [
@@ -69,30 +105,26 @@ def test_tensor_parallel_matches_replicated(dataset, tmp_cwd):
         )
 
 
-def test_partitioning_off_by_default(dataset, tmp_cwd):
+def test_partitioning_off_by_default(tmp_cwd):
     """Without model_parallel the model trains exactly as before and every
     param stays replicated."""
     trainer = Trainer(max_epochs=1, profiler=None)
-    metrics = trainer.fit(_model(False), train_dataloaders=dataset)
+    metrics = trainer.fit(_model(False), train_dataloaders=_dataset())
     assert np.isfinite(metrics["NMAE/Train_epoch"])
     for leaf in jtu.tree_leaves(trainer.state.params):
         assert all(axis is None for axis in leaf.sharding.spec)
 
 
-def test_tensor_parallel_checkpoint_roundtrip(dataset, tmp_cwd):
+def test_tensor_parallel_checkpoint_roundtrip(fits):
     """Sharded (TP) parameters checkpoint and restore into their shards."""
-    from predict_pv_yield_tpu.training.callbacks import ModelCheckpoint, load_state
+    from predict_pv_yield_tpu.training.callbacks import load_state
 
-    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ckpt"))
-    trainer = Trainer(
-        max_epochs=1, profiler=None, model_parallel=2, callbacks=[ckpt],
-    )
-    trainer.fit(_model(True), train_dataloaders=dataset, val_dataloaders=dataset)
+    _, _, trainer_tp, _, ckpt = fits
     assert ckpt.best_model_path
 
-    restored = load_state(ckpt.best_model_path, trainer.state)
+    restored = load_state(ckpt.best_model_path, trainer_tp.state)
     for before, after in zip(
-        jtu.tree_leaves(trainer.state.params), jtu.tree_leaves(restored.params)
+        jtu.tree_leaves(trainer_tp.state.params), jtu.tree_leaves(restored.params)
     ):
         assert after.sharding == before.sharding
         np.testing.assert_array_equal(np.asarray(before), np.asarray(after))

@@ -61,27 +61,42 @@ def main() -> None:
         "f32 = decode+normalise on host as the reference's DataLoader "
         "workers did (netcdf_dataset.py:96-101) - 2x the bytes",
     )
+    parser.add_argument(
+        "--format", choices=("raw", "netcdf"), default="raw",
+        help="raw = native mmap shard format; netcdf = the reference's v15 "
+        "per-source NetCDF batch files (h5netcdf conventions) read by "
+        "NetCDFBatchDataset — the host >= device gate on the reference's "
+        "actual published on-disk format",
+    )
     args = parser.parse_args()
 
     from bench import flagship_configuration, flagship_model
     from predict_pv_yield_tpu.data.fake import fake_batch
     from predict_pv_yield_tpu.data.loader import PrefetchingLoader
+    from predict_pv_yield_tpu.data.netcdf_reader import NetCDFBatchDataset
+    from predict_pv_yield_tpu.data.netcdf_writer import write_v15_batch
     from predict_pv_yield_tpu.data.shards import ShardDataset, write_shard
     from predict_pv_yield_tpu.training.engine import Trainer
 
     configuration = flagship_configuration(args.batch_size)
     directory = args.dir or tempfile.mkdtemp(prefix="shards_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 
-    print(f"writing {args.shards} shards to {directory} ...", file=sys.stderr)
+    print(f"writing {args.shards} {args.format} batches to {directory} ...", file=sys.stderr)
     for i in range(args.shards):
         rng = np.random.default_rng(i)
         batch = fake_batch(configuration, rng)
         # native wire format: raw int16 satellite counts
         raw = rng.integers(-1, 1023, size=batch.satellite.data.shape, dtype=np.int16)
         batch = batch.replace(satellite=batch.satellite.replace(data=raw))
-        write_shard(directory, i, batch, fmt="raw")
+        if args.format == "netcdf":
+            write_v15_batch(directory, i, batch)
+        else:
+            write_shard(directory, i, batch, fmt="raw")
 
-    dataset = ShardDataset(n_batches=args.shards, src_path=directory)
+    if args.format == "netcdf":
+        dataset = NetCDFBatchDataset(args.shards, directory)
+    else:
+        dataset = ShardDataset(n_batches=args.shards, src_path=directory)
     loader = PrefetchingLoader(
         dataset, num_workers=args.workers, prefetch_factor=8, shuffle=True
     )
@@ -135,8 +150,9 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": (
-                        f"host pipeline batches/sec ({args.wire} wire, "
-                        f"b{args.batch_size}, {args.workers} threads)"
+                        f"host pipeline batches/sec ({args.format} format, "
+                        f"{args.wire} wire, b{args.batch_size}, "
+                        f"{args.workers} threads)"
                     ),
                     "value": round(value, 3),
                     "unit": "batches/s",

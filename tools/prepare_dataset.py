@@ -43,7 +43,12 @@ def main() -> None:
     parser.add_argument("--satellite-pixels", type=int, default=24)
     parser.add_argument("--nwp-pixels", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--format", choices=("raw", "npz"), default="raw")
+    parser.add_argument(
+        "--format", choices=("raw", "npz", "netcdf"), default="raw",
+        help="raw/npz = native shard formats; netcdf = the reference's v15 "
+        "per-source NetCDF batch tree (h5netcdf byte conventions, "
+        "data/netcdf_writer.py) readable by the reference's own tooling",
+    )
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
@@ -82,12 +87,25 @@ def main() -> None:
             fh,
         )
 
+    from predict_pv_yield_tpu.data.netcdf_writer import write_v15_batch
+
     for split, count in (("train", args.n_train), ("test", args.n_test)):
         directory = os.path.join(args.out, split)
         for i in range(count):
             rng = np.random.default_rng((args.seed, split == "test", i))
-            write_shard(directory, i, fake_batch(configuration, rng), fmt=args.format)
-        print(f"wrote {count} shards to {directory}")
+            batch = fake_batch(configuration, rng)
+            if args.format == "netcdf":
+                # int16 satellite wire, as the real v15 archives ship it
+                raw = rng.integers(
+                    -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
+                )
+                batch = batch.replace(
+                    satellite=batch.satellite.replace(data=raw)
+                )
+                write_v15_batch(directory, i, batch)
+            else:
+                write_shard(directory, i, batch, fmt=args.format)
+        print(f"wrote {count} batches to {directory}")
 
 
 if __name__ == "__main__":
