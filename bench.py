@@ -149,6 +149,10 @@ def perceiver_flagship_model(batch_size: int = 32):
         output_variable="gsp_yield",
         conv3d_channels=8,
         use_future_satellite_images=False,
+        # measured 104.3 -> 75.3 ms/step: unrolling the tied depth loop lets
+        # XLA CSE hoist the loop-invariant cross-attention K/V projections
+        # that lax.scan recomputes every iteration (PARITY.md)
+        depth_unroll=True,
     )
 
 

@@ -116,6 +116,8 @@ class PerceiverModel(BaseModel):
     embedding_dem: int = 16
     #: shard attention/FF weights over the mesh 'model' axis (TP)
     partition_attention: bool = False
+    #: unroll the tied depth loop (see perceiver_core.Perceiver.depth_unroll)
+    depth_unroll: bool = False
     output_variable: str = "pv_yield"
 
     @property
@@ -144,6 +146,7 @@ class PerceiverModel(BaseModel):
             num_classes=PERCEIVER_OUTPUT_SIZE,
             weight_tie_layers=True,
             partition_attention=self.partition_attention,
+            depth_unroll=self.depth_unroll,
             dtype=self.dtype,
             name="perceiver",
         )(sat_data)

@@ -216,6 +216,14 @@ class Perceiver(nn.Module):
     #: the engine shards them over the mesh's ``model`` axis
     #: (Megatron-style column/row split; GSPMD inserts the psums).
     partition_attention: bool = False
+    #: Unroll the tied depth loop into ``depth-1`` inlined calls of ONE
+    #: shared block (identical params and param tree) instead of ``nn.scan``.
+    #: With tying, the cross-attention K/V projections of the (constant)
+    #: input are loop-INVARIANT — identical computations XLA's CSE merges
+    #: once the loop is unrolled, but which ``lax.scan`` recomputes every
+    #: iteration. Trades O(depth) program size / compile time for step time;
+    #: numerics identical.
+    depth_unroll: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -264,15 +272,23 @@ class Perceiver(nn.Module):
             first_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock
             x = first_cls(name="block0", **block_kwargs)(x, data)
             if self.depth > 1:
-                block_cls = nn.remat(_ScanBlock, prevent_cse=False) if self.remat else _ScanBlock
-                ScannedBlock = nn.scan(
-                    block_cls,
-                    variable_broadcast="params",
-                    split_rngs={"params": False},
-                    in_axes=nn.broadcast,
-                    length=self.depth - 1,
-                )
-                x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
+                if self.depth_unroll and not self.remat:
+                    # one module instance called depth-1 times: flax shares
+                    # the params (same block/inner/* tree as the scan) and
+                    # XLA CSE hoists the loop-invariant K/V projections
+                    shared = _ScanBlock(name="block", **block_kwargs)
+                    for _ in range(self.depth - 1):
+                        x, _ = shared(x, data)
+                else:
+                    block_cls = nn.remat(_ScanBlock, prevent_cse=False) if self.remat else _ScanBlock
+                    ScannedBlock = nn.scan(
+                        block_cls,
+                        variable_broadcast="params",
+                        split_rngs={"params": False},
+                        in_axes=nn.broadcast,
+                        length=self.depth - 1,
+                    )
+                    x, _ = ScannedBlock(name="block", **block_kwargs)(x, data)
         else:
             for i in range(self.depth):
                 block_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock

@@ -61,3 +61,33 @@ def test_weight_tying_first_layer_untied():
 
     # depth=1 has no tied remainder at all
     assert "block" not in build(1)["params"]
+
+
+def test_depth_unroll_equals_scan():
+    """``depth_unroll=True`` replaces the nn.scan depth loop with depth-1
+    inlined calls of one shared block (so XLA CSE can hoist the
+    loop-invariant K/V projections — measured 104.3 -> 75.3 ms/step on the
+    flagship, PARITY.md). Same param tree, same numerics."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from predict_pv_yield_tpu.models.perceiver_core import Perceiver
+
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 8, 3)).astype(np.float32)
+    )
+    kwargs = dict(
+        input_channels=3, depth=5, num_latents=4, latent_dim=16,
+        num_classes=5, weight_tie_layers=True,
+    )
+    scan_model = Perceiver(**kwargs)
+    unroll_model = Perceiver(**kwargs, depth_unroll=True)
+    variables = scan_model.init(jax.random.key(0), data)
+    assert jax.tree_util.tree_structure(
+        unroll_model.init(jax.random.key(0), data)
+    ) == jax.tree_util.tree_structure(variables)
+    np.testing.assert_allclose(
+        np.asarray(scan_model.apply(variables, data)),
+        np.asarray(unroll_model.apply(variables, data)),
+        rtol=1e-6, atol=1e-6,
+    )
