@@ -47,19 +47,40 @@ PHONY_DIM_NAME = (
     "This is a netCDF dimension but not a netCDF variable.{:10d}"
 )
 
-_NS = {"seconds": 1_000_000_000, "minutes": 60_000_000_000}
+#: coarsest-first, like xarray's datetime64 encoder
+_NS = (
+    ("days", 86_400_000_000_000),
+    ("hours", 3_600_000_000_000),
+    ("minutes", 60_000_000_000),
+    ("seconds", 1_000_000_000),
+    ("milliseconds", 1_000_000),
+    ("microseconds", 1_000),
+    ("nanoseconds", 1),
+)
 
 
-def cf_encode_time(values_ns, resolution: str = "minutes") -> Tuple[np.ndarray, Dict]:
+def cf_encode_time(values_ns, resolution: Optional[str] = None) -> Tuple[np.ndarray, Dict]:
     """int64 ns-since-epoch → (int64 offsets, CF attrs) the way xarray's
-    datetime64 encoder writes them (offset from the first value, coarsest
-    exact unit — fixed here to ``resolution`` for determinism)."""
+    datetime64 encoder writes them: offset from the first value, at the
+    COARSEST unit that represents every value exactly (a fixed unit would
+    silently floor finer-grained timestamps). Pass ``resolution`` to pin
+    the unit (must divide every value exactly — asserted)."""
     values_ns = np.asarray(values_ns, np.int64)
+    if resolution is None:
+        for name, per in _NS:
+            if values_ns.size == 0 or not np.any(values_ns % per):
+                resolution = name
+                break
+    per = dict(_NS)[resolution]
+    assert values_ns.size == 0 or not np.any(values_ns % per), (
+        f"{resolution} cannot represent these timestamps exactly"
+    )
     origin_ns = int(values_ns.flat[0]) if values_ns.size else 0
-    per = _NS[resolution]
-    origin_ns -= origin_ns % per  # keep the epoch representable at resolution
     offsets = (values_ns - origin_ns) // per
-    epoch = np.datetime64(origin_ns, "ns").astype("datetime64[s]")
+    epoch = np.datetime64(origin_ns, "ns")
+    # epoch printed at its own exact resolution (seconds when possible)
+    if origin_ns % 1_000_000_000 == 0:
+        epoch = epoch.astype("datetime64[s]")
     epoch_str = str(epoch).replace("T", " ")
     return offsets.astype(np.int64), {
         "units": f"{resolution} since {epoch_str}",
@@ -216,11 +237,18 @@ def write_v15_batch(
         emit("gsp", variables)
 
     sun = batch.sun
-    if sun is not None and sun.sun_elevation_angle is not None:
-        emit("sun", {
-            "elevation": (("example", "time_index"), _np(sun.sun_elevation_angle)),
-            "azimuth": (("example", "time_index"), _np(sun.sun_azimuth_angle)),
-        })
+    if sun is not None:
+        sun_variables = {}
+        if sun.sun_elevation_angle is not None:
+            sun_variables["elevation"] = (
+                ("example", "time_index"), _np(sun.sun_elevation_angle)
+            )
+        if sun.sun_azimuth_angle is not None:
+            sun_variables["azimuth"] = (
+                ("example", "time_index"), _np(sun.sun_azimuth_angle)
+            )
+        if sun_variables:
+            emit("sun", sun_variables)
 
     topo = batch.topographic
     if topo is not None and topo.topo_data is not None:

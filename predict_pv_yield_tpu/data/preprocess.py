@@ -96,17 +96,14 @@ def preprocess_batch(
                 satellite=batch.satellite.replace(data=sat, channel_last=False)
             )
         return batch
-    if channel_last:
-        # symbolic transpose: under the engine's jit this fuses into the
-        # decode pass below (no standalone copy)
-        sat = jnp.transpose(sat, (0, 4, 1, 2, 3))
+    n_channels = sat.shape[-1] if channel_last else sat.shape[1]
     if channel_names is None:
         # No dataset configuration available: fall back by channel count.
         # 12 → the full HRV-first list; ≤11 → the non-HRV channels in order
         # (the common prepared-dataset layout). Ambiguous counts should pass
         # channel_names explicitly (the engine threads it from the
         # datamodule's configuration).
-        count = sat.shape[1]
+        count = n_channels
         if count == len(SAT_VARIABLE_NAMES):
             channel_names = SAT_VARIABLE_NAMES
         elif count < len(SAT_VARIABLE_NAMES):
@@ -116,13 +113,13 @@ def preprocess_batch(
                 f"cannot infer satellite channel stats for {count} channels; "
                 "pass channel_names"
             )
-    if len(channel_names) != sat.shape[1]:
+    if len(channel_names) != n_channels:
         raise ValueError(
-            f"satellite data has {sat.shape[1]} channels but channel_names "
+            f"satellite data has {n_channels} channels but channel_names "
             f"has {len(channel_names)}"
         )
     mean, std = channel_stats(channel_names)
-    decoded = decode_satellite(sat, mean, std, crop=crop)
+    decoded = decode_satellite(sat, mean, std, crop=crop, channel_last=channel_last)
     return batch.replace(
         satellite=batch.satellite.replace(data=decoded, channel_last=False)
     )
@@ -144,10 +141,8 @@ def _decode_hrv(batch: Batch, crop: Optional[int]) -> Batch:
                 )
             )
         return batch
-    if channel_last:
-        hrv = jnp.transpose(hrv, (0, 4, 1, 2, 3))
     mean, std = channel_stats(["HRV"])
-    decoded = decode_satellite(hrv, mean, std, crop=crop)
+    decoded = decode_satellite(hrv, mean, std, crop=crop, channel_last=channel_last)
     return batch.replace(
         hrvsatellite=batch.hrvsatellite.replace(data=decoded, channel_last=False)
     )

@@ -28,6 +28,7 @@ dtype (bf16 under mixed precision).
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Any, Optional, Tuple
 
@@ -272,6 +273,14 @@ class Perceiver(nn.Module):
             first_cls = nn.remat(PerceiverBlock, prevent_cse=False) if self.remat else PerceiverBlock
             x = first_cls(name="block0", **block_kwargs)(x, data)
             if self.depth > 1:
+                if self.depth_unroll and self.remat:
+                    # remat wraps each block in a checkpoint boundary that
+                    # blocks the cross-iteration CSE the unroll exists for —
+                    # and prevent_cse=False makes nn.scan the better carrier
+                    logging.getLogger(__name__).warning(
+                        "depth_unroll is ignored with remat=True: the remat "
+                        "boundary defeats the K/V-hoisting CSE; using nn.scan"
+                    )
                 if self.depth_unroll and not self.remat:
                     # one module instance called depth-1 times: flax shares
                     # the params (same block/inner/* tree as the scan) and

@@ -196,12 +196,16 @@ class _OptionalBackendLogger(Logger):
         super().__init__(save_dir, name=f"{self.backend}/", version=kwargs.pop("version", None))
         self.kwargs = kwargs
         self._fallback = None
-        self._client = self._connect()
+        # rank-zero-only contract (module docstring): non-zero processes
+        # must NOT open live server-side runs — N duplicate experiments,
+        # never finalized, whose upload threads can block process exit
+        self._client = self._connect() if is_main_process() else None
         if self._client is None:
-            log.warning(
-                "%s client library not available; falling back to local JSONL logs",
-                self.backend,
-            )
+            if is_main_process():
+                log.warning(
+                    "%s client library not available; falling back to local JSONL logs",
+                    self.backend,
+                )
             self._fallback = JSONLLogger(save_dir=save_dir, name=f"{self.backend}/")
 
     def _connect(self):

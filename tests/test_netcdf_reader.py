@@ -543,3 +543,47 @@ def test_train_epoch_from_netcdf_files(tmp_path, configuration_conv3d, tmp_cwd):
     trainer = Trainer(max_epochs=1, profiler=None)
     metrics = trainer.fit(model, train_dataloaders=dataset)
     assert np.isfinite(metrics["NMAE/Train_epoch"])
+
+
+def test_schema_cache_respects_per_file_time_epochs(tmp_path, configuration):
+    """Regression (round-3 review): CF time units embed a PER-FILE epoch
+    (xarray derives it from each file's first timestamp). The mmap schema
+    cache must re-read units per file — caching batch 0's epoch decoded
+    every later batch onto batch 0's timeline."""
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.data.netcdf_writer import write_v15_batch
+
+    root = str(tmp_path / "train")
+    batches = []
+    for i in range(2):
+        rng = np.random.default_rng(100 + i)
+        batches.append(fake_batch(configuration, rng))
+        write_v15_batch(root, i, batches[i])
+
+    dataset = NetCDFBatchDataset(2, root)
+    first = dataset[0]   # probes + caches the schema
+    second = dataset[1]  # must NOT inherit batch 0's epoch
+    np.testing.assert_array_equal(
+        first.metadata.t0_datetime_utc, batches[0].metadata.t0_datetime_utc
+    )
+    np.testing.assert_array_equal(
+        second.metadata.t0_datetime_utc, batches[1].metadata.t0_datetime_utc
+    )
+    np.testing.assert_array_equal(
+        second.satellite.datetime_index, batches[1].satellite.datetime_index
+    )
+
+
+def test_cf_encode_picks_coarsest_exact_unit():
+    """Sub-minute timestamps must not be floored (round-3 review): the
+    encoder picks the coarsest unit that represents every value exactly."""
+    from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+    base = np.datetime64("2021-06-01T12:00:30", "ns").astype(np.int64)
+    times = base + np.arange(3) * 60 * 1_000_000_000  # :30 offsets, 1-min grid
+    offsets, attrs = cf_encode_time(times)
+    # values sit on a 1-min grid shifted by 30 s -> minutes cannot represent
+    # them exactly; seconds is the coarsest exact unit
+    assert attrs["units"].startswith("seconds since"), attrs["units"]
+    decoded = _decode_cf_time(offsets, attrs["units"])
+    np.testing.assert_array_equal(decoded, times)

@@ -13,8 +13,8 @@ Three measured experiments on the real chip, each a jitted forward+backward
    remote-compile tunnel the client build rejects TPU scheduler flags
    (parse_flags_from_env abort), so only ``baseline`` runs there; the mode
    is kept for on-prem hosts with a full TPU client.
-3. ``--mode channels``: the existing framework-ceiling probe shape (128 ch)
-   for continuity.
+(The 128-channel framework-ceiling probe lives in bench.py's round-2
+record; ``--mode step`` re-times the full saturated step standalone.)
 
 Usage:  python tools/mfu_probe.py --mode towers
 Findings land in PARITY.md (perf table, "MFU probe" row).
@@ -33,7 +33,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BATCH = 128
 REPEATS = 20
-PEAK = 197e12  # v5e bf16
+
+
+def _peak() -> float:
+    from bench import _peak_flops
+
+    return _peak_flops()  # device-kind aware (v4/v5e/v5p/v6e)
 
 
 def _time_fn(fn, *args):
@@ -46,13 +51,6 @@ def _time_fn(fn, *args):
         out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / REPEATS
-
-
-def _cost_flops(fn, *args) -> float | None:
-    """Platform-independent HLO FLOPs of fn, lowered on CPU in-process is
-    impossible once the TPU backend is up — recompute analytically instead:
-    conv FLOPs = 2 * M * N * K per layer (fwd) * 3 (fwd+bwd)."""
-    return None
 
 
 def conv_tower_flops(batch, t, h, w, c_in, channels, layers):
@@ -75,6 +73,7 @@ def probe_towers() -> None:
         "sat_tower": dict(t=31, h=24, w=24, c_in=11),
         "nwp_tower": dict(t=4, h=64, w=64, c_in=10),
     }
+    peak = _peak()
     results = {}
     for name, spec in specs.items():
         tower = Conv3dTower(channels=32, num_layers=6, pad_time=True,
@@ -93,7 +92,7 @@ def probe_towers() -> None:
         results[name] = {
             "ms": round(dt * 1e3, 3),
             "tflops_per_s": round(flops / dt / 1e12, 1),
-            "mfu": round(flops / dt / PEAK, 3),
+            "mfu": round(flops / dt / peak, 3),
         }
     print(json.dumps({"mode": "towers", "batch": BATCH, **results}))
 

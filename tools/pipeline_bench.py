@@ -104,11 +104,19 @@ def main() -> None:
     from predict_pv_yield_tpu.consts import SAT_MEAN, SAT_STD
 
     def host_decode_f32(batch):
-        """The reference's host-side decode path, for the wire comparison."""
+        """The reference's host-side decode path, for the wire comparison.
+        Handles both the canonical (B,C,T,H,W) and the netcdf channel-last
+        (B,T,H,W,C) wire layouts."""
         sat = batch.satellite.data.astype(np.float32)
-        sat = (sat - SAT_MEAN[: sat.shape[1], None, None, None]) / SAT_STD[
-            : sat.shape[1], None, None, None
-        ]
+        if batch.satellite.channel_last:
+            n = sat.shape[-1]
+            sat = (sat - SAT_MEAN[:n]) / SAT_STD[:n]  # broadcast over last axis
+            sat = np.ascontiguousarray(sat.transpose(0, 4, 1, 2, 3))
+            return batch.replace(
+                satellite=batch.satellite.replace(data=sat, channel_last=False)
+            )
+        n = sat.shape[1]
+        sat = (sat - SAT_MEAN[:n, None, None, None]) / SAT_STD[:n, None, None, None]
         return batch.replace(satellite=batch.satellite.replace(data=sat))
 
     def batch_bytes(batch):
