@@ -4,7 +4,10 @@ Prints exactly one JSON line:
 
     {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N/B,
      "step_time_ms": ..., "mfu": ..., "batch_size": ..., "steps_per_execution": ...,
-     "b32_single_dispatch_batches_per_s": ...}
+     "b32_single_dispatch_batches_per_s": ...,
+     "perceiver_conv3d_sat_nwp_examples_per_s": ...,  # the reference's best
+     "perceiver_step_time_ms": ..., "perceiver_vs_baseline": ...,  # model at
+     "perceiver_mfu": ...}                     # its production config (b32)
 
 Setup mirrors the reference's flagship training run (``configs/model/
 conv3d_sat_nwp.yaml``: 24 px satellite, 11 channels, 6 conv layers, 30 min
@@ -183,12 +186,17 @@ def _train_step_flops(batch_size: int, family: str = "conv3d") -> float | None:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    result = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--flops", str(batch_size),
-         family],
-        env=env, capture_output=True, text=True, timeout=900,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    try:
+        result = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops", str(batch_size),
+             family],
+            env=env, capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        # a slow CPU lowering (e.g. the unrolled perceiver on a small host)
+        # must degrade to mfu=null, not kill the whole benchmark
+        return None
     for line in result.stdout.splitlines():
         if line.startswith("FLOPS "):
             return float(line.split()[1])

@@ -353,3 +353,104 @@ def convert_perceiver_model(state_dict: Mapping, model) -> Dict:
             "embedding": to_numpy(state_dict["pv_system_id_embedding.weight"])
         }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: native perceiver params → torch state_dict
+# ---------------------------------------------------------------------------
+
+
+def _export_norm(params: Mapping, out: Dict, torch_name: str) -> None:
+    out[f"{torch_name}.weight"] = np.asarray(params["scale"], np.float32)
+    out[f"{torch_name}.bias"] = np.asarray(params["bias"], np.float32)
+
+
+def _export_dense_no_bias(params: Mapping, out: Dict, torch_name: str) -> None:
+    out[f"{torch_name}.weight"] = np.asarray(params["kernel"], np.float32).T
+
+
+def _export_attention(params: Mapping, out: Dict, prefix: str) -> None:
+    _export_dense_no_bias(params["to_q"], out, f"{prefix}.to_q")
+    _export_dense_no_bias(params["to_k"], out, f"{prefix}.to_k")
+    _export_dense_no_bias(params["to_v"], out, f"{prefix}.to_v")
+    _export_dense(params["to_out"], out, f"{prefix}.to_out")
+
+
+def _export_block(params: Mapping, out: Dict, prefix: str) -> None:
+    _export_norm(params["cross_norm"], out, f"{prefix}.cross_norm")
+    _export_norm(params["cross_context_norm"], out, f"{prefix}.cross_context_norm")
+    _export_attention(params["cross_attn"], out, f"{prefix}.cross_attn")
+    _export_norm(params["cross_ff_norm"], out, f"{prefix}.cross_ff_norm")
+    _export_dense(params["cross_ff"]["in"], out, f"{prefix}.cross_ff.net_in")
+    _export_dense(params["cross_ff"]["out"], out, f"{prefix}.cross_ff.net_out")
+    _export_norm(params["self_norm0"], out, f"{prefix}.self_norm")
+    _export_attention(params["self_attn0"], out, f"{prefix}.self_attn")
+    _export_norm(params["self_ff_norm0"], out, f"{prefix}.self_ff_norm")
+    _export_dense(params["self_ff0"]["in"], out, f"{prefix}.self_ff.net_in")
+    _export_dense(params["self_ff0"]["out"], out, f"{prefix}.self_ff.net_out")
+
+
+def export_perceiver_encoder(params: Mapping, out: Dict, prefix: str = "") -> None:
+    """Flax ``Perceiver`` params → the torch-mirror layout (inverse of
+    :func:`convert_perceiver_encoder`)."""
+    p = f"{prefix}." if prefix else ""
+    out[f"{p}latents"] = np.asarray(params["latents"], np.float32)
+    _export_block(params["block0"], out, f"{p}block0")
+    if "block" in params:
+        _export_block(params["block"]["inner"], out, f"{p}block")
+    _export_norm(params["head_norm"], out, f"{p}head_norm")
+    _export_dense(params["to_logits"], out, f"{p}to_logits")
+
+
+def _export_gru_layer(params: Mapping, out: Dict, prefix: str, layer: int) -> None:
+    """Inverse of :func:`_gru_layer_params`. The merged r/z biases cannot be
+    split back into torch's two vectors uniquely; the exact functional
+    inverse puts the merged bias in ``bias_ih`` and zeros ``bias_hh`` for
+    r/z (b_hn keeps its own slot — it sits inside the reset-gate product)."""
+    h = np.asarray(params["hr"]["kernel"], np.float32).shape[0]
+    w_ih = np.concatenate([
+        np.asarray(params[g]["kernel"], np.float32).T for g in ("ir", "iz", "in")
+    ])
+    w_hh = np.concatenate([
+        np.asarray(params[g]["kernel"], np.float32).T for g in ("hr", "hz", "hn")
+    ])
+    b_ih = np.concatenate([
+        np.asarray(params["ir"]["bias"], np.float32),
+        np.asarray(params["iz"]["bias"], np.float32),
+        np.asarray(params["in"]["bias"], np.float32),
+    ])
+    b_hh = np.concatenate([
+        np.zeros(h, np.float32),
+        np.zeros(h, np.float32),
+        np.asarray(params["hn"]["bias"], np.float32),
+    ])
+    out[f"{prefix}.weight_ih_l{layer}"] = w_ih
+    out[f"{prefix}.weight_hh_l{layer}"] = w_hh
+    out[f"{prefix}.bias_ih_l{layer}"] = b_ih
+    out[f"{prefix}.bias_hh_l{layer}"] = b_hh
+
+
+def export_stacked_gru(params: Mapping, out: Dict, prefix: str) -> None:
+    for layer in range(len(params)):
+        _export_gru_layer(params[f"gru{layer}"], out, prefix, layer)
+
+
+def export_perceiver_model(variables: Mapping, model) -> Dict[str, np.ndarray]:
+    """Native ``PerceiverModel`` params → a torch-layout state_dict so
+    checkpoints trained here flow back to reference users (inverse of
+    :func:`convert_perceiver_model`; functional inverse for the GRU biases —
+    see :func:`_export_gru_layer`)."""
+    params = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+    export_perceiver_encoder(params["perceiver"], out, "perceiver")
+    for name in ("fc1", "fc2", "fc3", "fc4", "fc5"):
+        _export_dense(params[name], out, name)
+    if "pv_system_id_embedding" in params:
+        out["pv_system_id_embedding.weight"] = np.asarray(
+            params["pv_system_id_embedding"]["embedding"], np.float32
+        )
+    export_stacked_gru(params["encoder_rnn"], out, "encoder_rnn")
+    export_stacked_gru(params["decoder_rnn"], out, "decoder_rnn")
+    _export_dense(params["decoder_fc1"], out, "decoder_fc1")
+    _export_dense(params["decoder_fc2"], out, "decoder_fc2")
+    return out

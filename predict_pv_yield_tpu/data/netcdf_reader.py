@@ -498,9 +498,8 @@ def batch_from_source_files(root: str, batch_idx: int) -> Batch:
     return assemble_v15_batch(source_variables)
 
 
-def batch_from_legacy_file(path: str) -> Batch:
-    """Assemble a Batch from a legacy single-file batch (v2/v6 keys)."""
-    variables = read_netcdf_variables(path)
+def assemble_legacy_batch(variables: Dict[str, Variable], path: str) -> Batch:
+    """Map a legacy flat-file variable dict onto the Batch pytree."""
     groups: Dict[str, Dict[str, np.ndarray]] = {}
     for var_name, (dims, values) in variables.items():
         mapped = _LEGACY_KEYS.get(var_name)
@@ -508,11 +507,21 @@ def batch_from_legacy_file(path: str) -> Batch:
             continue
         group, field = mapped
         if (group, field) in _IMAGE_FIELDS:
-            values = to_canonical_image(dims, values)
+            if group in ("satellite", "hrvsatellite"):
+                values, deferred = canonical_or_deferred(dims, values)
+                if deferred:
+                    groups.setdefault(group, {})["channel_last"] = True
+            else:
+                values = to_canonical_image(dims, values)
         groups.setdefault(group, {})[field] = _datetime_to_int64(values)
     if not groups:
         raise ValueError(f"{path}: no recognised batch keys")
     return Batch.from_dict(groups)
+
+
+def batch_from_legacy_file(path: str) -> Batch:
+    """Assemble a Batch from a legacy single-file batch (v2/v6 keys)."""
+    return assemble_legacy_batch(read_netcdf_variables(path), path)
 
 
 def netcdf_filename(batch_idx: int) -> str:
@@ -822,7 +831,10 @@ class NetCDFBatchDataset:
                     f"under {root}"
                 )
             return assemble_v15_batch(source_variables)
-        return batch_from_legacy_file(self._ensure_local(filename))
+        path = self._ensure_local(filename)
+        # legacy flat files share one layout per store too: same
+        # schema-cached mmap fast path, keyed under a reserved name
+        return assemble_legacy_batch(self._read_source("__legacy__", path), path)
 
     def __iter__(self):
         for i in range(self.n_batches):

@@ -378,3 +378,57 @@ def test_perceiver_model_full_torch_parity(configuration_perceiver):
 
     expected = jax.tree_util.tree_structure(model.init(jax.random.key(0), batch))
     assert jax.tree_util.tree_structure(variables) == expected
+
+
+def test_export_perceiver_model_roundtrip_and_torch_parity(configuration_perceiver):
+    """Native→torch export: a natively initialised PerceiverModel exported
+    with export_perceiver_model, loaded into the torch mirror, must match
+    the native forward at 1e-4 — so checkpoints trained here flow back to
+    reference users (the conv3d family already has this gate)."""
+    from predict_pv_yield_tpu.convert import (
+        convert_perceiver_model,
+        export_perceiver_model,
+    )
+    from predict_pv_yield_tpu.data.fake import FakeDataset
+    from predict_pv_yield_tpu.models.perceiver import PerceiverModel, params
+
+    dataset_configuration = configuration_perceiver
+    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 16
+    dataset_configuration.input_data.default_forecast_minutes = 60
+    dataset_configuration.process.batch_size = 2
+
+    model = PerceiverModel(
+        history_minutes=30,
+        forecast_minutes=60,
+        nwp_channels=params["nwp_channels"],
+        batch_size=2,
+        embedding_dem=16,
+        num_latents=6,
+        latent_dim=32,
+    )
+    batch = FakeDataset(configuration=dataset_configuration)[0].numeric()
+    variables = model.init(jax.random.key(7), batch)
+    y_native = np.asarray(model.apply(variables, batch))
+
+    state_dict = export_perceiver_model(variables, model)
+
+    # import(export) reproduces the exact native tree AND native outputs
+    reimported = convert_perceiver_model(state_dict, model)
+    y_reimported = np.asarray(model.apply(reimported, batch))
+    np.testing.assert_allclose(y_reimported, y_native, rtol=1e-6, atol=1e-6)
+
+    # torch mirror loaded with the export matches the native forward
+    torch_model = TorchPerceiverModel(model)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    )
+    sat = np.asarray(batch.satellite.data, np.float32)
+    nwp = np.asarray(batch.nwp.data, np.float32)
+    pv = np.asarray(batch.pv.pv_yield, np.float32)
+    rows = np.asarray(batch.pv.pv_system_row_number)
+    with torch.no_grad():
+        y_torch = torch_model.eval()(
+            torch.from_numpy(sat), torch.from_numpy(nwp),
+            torch.from_numpy(pv), torch.from_numpy(rows),
+        ).numpy()
+    np.testing.assert_allclose(y_native, y_torch, rtol=1e-4, atol=1e-4)

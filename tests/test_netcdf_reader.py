@@ -132,7 +132,9 @@ def test_legacy_single_file(tmp_path):
         },
     )
     batch = batch_from_legacy_file(str(path))
-    assert batch.satellite.data.shape == (B, C, T, H, W)
+    # channel-last wire deferred to the device transpose, like the v15 path
+    assert batch.satellite.channel_last
+    assert batch.satellite.data.shape == (B, T, H, W, C)
     np.testing.assert_array_equal(batch.pv.pv_yield, pv)
     assert batch.datetime.hour_of_day_sin.shape == (B, T)
 

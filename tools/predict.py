@@ -79,6 +79,7 @@ def main() -> None:
         from predict_pv_yield_tpu.convert import (
             convert_conv3d,
             convert_conv3d_sat_nwp,
+            convert_perceiver_model,
             load_lightning_checkpoint,
         )
 
@@ -86,6 +87,7 @@ def main() -> None:
         converter = {
             "conv3d": convert_conv3d,
             "conv3d_sat_nwp": convert_conv3d_sat_nwp,
+            "perceiver": convert_perceiver_model,
         }.get(args.model)
         if converter is None:
             raise SystemExit(f"no torch converter for model {args.model}")
