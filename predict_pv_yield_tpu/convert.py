@@ -392,7 +392,25 @@ def _export_block(params: Mapping, out: Dict, prefix: str) -> None:
 
 def export_perceiver_encoder(params: Mapping, out: Dict, prefix: str = "") -> None:
     """Flax ``Perceiver`` params → the torch-mirror layout (inverse of
-    :func:`convert_perceiver_encoder`)."""
+    :func:`convert_perceiver_encoder`).
+
+    Only the weight-TIED single-self-attn layout is supported (the only
+    configuration the reference uses); anything else must fail loudly —
+    silently exporting a subset would drop trained weights."""
+    unsupported = sorted(
+        key for key in params
+        if key not in ("latents", "block0", "block", "head_norm", "to_logits")
+    )
+    if unsupported:
+        raise NotImplementedError(
+            f"cannot export Perceiver params {unsupported}: only the "
+            "weight-tied block0+block layout is supported"
+        )
+    if any(key.startswith("self_attn") and key != "self_attn0"
+           for key in params["block0"]):
+        raise NotImplementedError(
+            "cannot export self_per_cross_attn > 1 Perceivers"
+        )
     p = f"{prefix}." if prefix else ""
     out[f"{p}latents"] = np.asarray(params["latents"], np.float32)
     _export_block(params["block0"], out, f"{p}block0")

@@ -556,6 +556,7 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
     import h5py
 
     variables: Dict[str, tuple] = {}
+    blob: Optional[bytes] = None  # whole-file bytes, read at most once
     with h5py.File(path, "r") as fh:
         for name, dataset in fh.items():
             if not isinstance(dataset, h5py.Dataset):
@@ -592,14 +593,25 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
             # one attribute measured 5× slower than the whole mmap read.
             units_loc = None
             if "units" in dataset.attrs:
-                units_loc = "h5py"  # safe fallback: attrs-only h5py open
                 units = dataset.attrs["units"]
-                raw = units if isinstance(units, bytes) else str(units).encode()
-                with open(path, "rb") as fh_bytes:
-                    blob = fh_bytes.read()
-                first = blob.find(raw)
-                if first != -1 and blob.find(raw, first + 1) == -1:
-                    units_loc = (first, len(raw))
+                text = units.decode("utf-8", "replace") if isinstance(
+                    units, bytes
+                ) else str(units)
+                if _cf_units_pattern().match(text) is None:
+                    # NOT a CF time encoding ("degrees", "m", ...): the
+                    # value is layout-static — cache it and stay pure-mmap
+                    units_loc = ("value", text)
+                else:
+                    # CF time: the epoch is per-file, so cache the byte
+                    # LOCATION of the attribute value when it is unique
+                    units_loc = "h5py"  # safe fallback: attrs-only open
+                    raw = units if isinstance(units, bytes) else text.encode()
+                    if blob is None:
+                        with open(path, "rb") as fh_bytes:
+                            blob = fh_bytes.read()
+                    first = blob.find(raw)
+                    if first != -1 and blob.find(raw, first + 1) == -1:
+                        units_loc = ("at", first, len(raw))
             variables[name] = (tuple(dims), dataset.shape, dtype, offset, units_loc)
     return _SourceSchema(os.path.getsize(path), variables)
 
@@ -607,9 +619,7 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
 _CF_UNITS_RE = None
 
 
-def _units_at(path: str, offset: int, length: int) -> Optional[str]:
-    """The cached-location fast path for a CF units attribute: read the
-    bytes and accept them only if they parse as '<unit> since <date>'."""
+def _cf_units_pattern():
     global _CF_UNITS_RE
     if _CF_UNITS_RE is None:
         import re
@@ -617,6 +627,12 @@ def _units_at(path: str, offset: int, length: int) -> Optional[str]:
         _CF_UNITS_RE = re.compile(
             r"^[a-z]+ since \d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$"
         )
+    return _CF_UNITS_RE
+
+
+def _units_at(path: str, offset: int, length: int) -> Optional[str]:
+    """The cached-location fast path for a CF units attribute: read the
+    bytes and accept them only if they parse as '<unit> since <date>'."""
     with open(path, "rb") as fh:
         fh.seek(offset)
         raw = fh.read(length)
@@ -624,7 +640,7 @@ def _units_at(path: str, offset: int, length: int) -> Optional[str]:
         text = raw.decode("ascii")
     except UnicodeDecodeError:
         return None
-    return text if _CF_UNITS_RE.match(text) else None
+    return text if _cf_units_pattern().match(text) else None
 
 
 def _read_with_schema(path: str, schema: _SourceSchema) -> Optional[Dict[str, Variable]]:
@@ -643,7 +659,10 @@ def _read_with_schema(path: str, schema: _SourceSchema) -> Optional[Dict[str, Va
         if units_loc == "h5py":
             h5py_names.append(name)
             continue
-        attr_offset, attr_length = units_loc
+        if units_loc[0] == "value":  # layout-static non-CF units
+            units_by_name[name] = units_loc[1]
+            continue
+        _, attr_offset, attr_length = units_loc
         text = _units_at(path, attr_offset, attr_length)
         if text is None:  # header layout drifted after all: full fallback
             h5py_names.append(name)

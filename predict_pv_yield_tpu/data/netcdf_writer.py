@@ -72,9 +72,13 @@ def cf_encode_time(values_ns, resolution: Optional[str] = None) -> Tuple[np.ndar
                 resolution = name
                 break
     per = dict(_NS)[resolution]
-    assert values_ns.size == 0 or not np.any(values_ns % per), (
-        f"{resolution} cannot represent these timestamps exactly"
-    )
+    if values_ns.size and np.any(values_ns % per):
+        # data-integrity guard, not an internal invariant: flooring here
+        # would silently corrupt timestamps on disk (so no `assert`, which
+        # python -O strips)
+        raise ValueError(
+            f"{resolution} cannot represent these timestamps exactly"
+        )
     origin_ns = int(values_ns.flat[0]) if values_ns.size else 0
     offsets = (values_ns - origin_ns) // per
     epoch = np.datetime64(origin_ns, "ns")

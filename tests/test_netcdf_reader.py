@@ -542,7 +542,9 @@ def test_train_epoch_from_netcdf_files(tmp_path, configuration_conv3d, tmp_cwd):
     model_cfg = load_config("tests/configs/model/conv3d.yaml")
     model_cfg.pop("_target_", None)
     model = Model(**model_cfg)
-    trainer = Trainer(max_epochs=1, profiler=None)
+    # steps_per_execution=2 also exercises the stacked (k, B, ...) transfer
+    # and the scanned multi-step body with the channel_last static flag
+    trainer = Trainer(max_epochs=1, profiler=None, steps_per_execution=2)
     metrics = trainer.fit(model, train_dataloaders=dataset)
     assert np.isfinite(metrics["NMAE/Train_epoch"])
 
