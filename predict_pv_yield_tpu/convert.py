@@ -334,10 +334,20 @@ def convert_stacked_gru(state_dict: Mapping, prefix: str, num_layers: int = 2) -
 def convert_perceiver_model(state_dict: Mapping, model) -> Dict:
     """Reference ``models/perceiver/perceiver.py`` PerceiverModel state_dict
     → native ``PerceiverModel`` variables (full tree: encoder + fc head +
-    ID embedding + GRU seq2seq)."""
+    ID embedding + GRU seq2seq).
+
+    The encoder sub-layout is auto-detected: real reference checkpoints
+    serialize ``perceiver_pytorch``'s module tree (``perceiver.layers.0.0.
+    norm.weight``, fused ``to_kv`` — handled by
+    :func:`convert_perceiver_pytorch_encoder`); the plain ``perceiver.
+    block0.*`` layout is the parity-test mirror."""
     state_dict = strip_lightning_prefix(state_dict)
+    if any(key.startswith("perceiver.layers.") for key in state_dict):
+        encoder = convert_perceiver_pytorch_encoder(state_dict, "perceiver")
+    else:
+        encoder = convert_perceiver_encoder(state_dict, "perceiver")
     params: Dict = {
-        "perceiver": convert_perceiver_encoder(state_dict, "perceiver"),
+        "perceiver": encoder,
         "fc1": _dense(state_dict, "fc1"),
         "fc2": _dense(state_dict, "fc2"),
         "fc3": _dense(state_dict, "fc3"),
@@ -453,14 +463,174 @@ def export_stacked_gru(params: Mapping, out: Dict, prefix: str) -> None:
         _export_gru_layer(params[f"gru{layer}"], out, prefix, layer)
 
 
-def export_perceiver_model(variables: Mapping, model) -> Dict[str, np.ndarray]:
-    """Native ``PerceiverModel`` params → a torch-layout state_dict so
-    checkpoints trained here flow back to reference users (inverse of
-    :func:`convert_perceiver_model`; functional inverse for the GRU biases —
-    see :func:`_export_gru_layer`)."""
+# ---------------------------------------------------------------------------
+# the REAL perceiver_pytorch state_dict layout (what reference checkpoints
+# actually contain: PreNorm wrappers, fused to_kv, nn.ModuleList indices,
+# to_logits Sequential — perceiver_pytorch/perceiver_pytorch.py)
+# ---------------------------------------------------------------------------
+
+
+def _attention_params_from_kv(state_dict: Mapping, prefix: str) -> Dict:
+    """perceiver_pytorch fuses K and V into one ``to_kv`` projection;
+    k, v = to_kv(context).chunk(2, dim=-1) → K is the FIRST inner rows."""
+    kv = to_numpy(state_dict[f"{prefix}.to_kv.weight"])  # (2·inner, context)
+    inner = kv.shape[0] // 2
+    return {
+        "to_q": {"kernel": dense_kernel(state_dict[f"{prefix}.to_q.weight"])},
+        "to_k": {"kernel": kv[:inner].T},
+        "to_v": {"kernel": kv[inner:].T},
+        "to_out": _dense(state_dict, f"{prefix}.to_out"),
+    }
+
+
+def _real_block_params(state_dict: Mapping, layer: str, nested: bool) -> Dict:
+    """One ``layers.{i}`` entry: [cross PreNorm, cross-FF PreNorm, latent
+    attn/ff — nested ``ModuleList`` in self_per_cross_attn builds, flat
+    indices 2/3 in older ones]."""
+    params = {
+        "cross_norm": _norm_params(state_dict, f"{layer}.0.norm"),
+        "cross_context_norm": _norm_params(state_dict, f"{layer}.0.norm_context"),
+        "cross_attn": _attention_params_from_kv(state_dict, f"{layer}.0.fn"),
+        "cross_ff_norm": _norm_params(state_dict, f"{layer}.1.norm"),
+        "cross_ff": {
+            "in": _dense(state_dict, f"{layer}.1.fn.net.0"),
+            "out": _dense(state_dict, f"{layer}.1.fn.net.2"),
+        },
+    }
+    if nested:
+        index = 0
+        while f"{layer}.2.{index}.0.norm.weight" in state_dict:
+            params[f"self_norm{index}"] = _norm_params(
+                state_dict, f"{layer}.2.{index}.0.norm"
+            )
+            params[f"self_attn{index}"] = _attention_params_from_kv(
+                state_dict, f"{layer}.2.{index}.0.fn"
+            )
+            params[f"self_ff_norm{index}"] = _norm_params(
+                state_dict, f"{layer}.2.{index}.1.norm"
+            )
+            params[f"self_ff{index}"] = {
+                "in": _dense(state_dict, f"{layer}.2.{index}.1.fn.net.0"),
+                "out": _dense(state_dict, f"{layer}.2.{index}.1.fn.net.2"),
+            }
+            index += 1
+    else:
+        params["self_norm0"] = _norm_params(state_dict, f"{layer}.2.norm")
+        params["self_attn0"] = _attention_params_from_kv(state_dict, f"{layer}.2.fn")
+        params["self_ff_norm0"] = _norm_params(state_dict, f"{layer}.3.norm")
+        params["self_ff0"] = {
+            "in": _dense(state_dict, f"{layer}.3.fn.net.0"),
+            "out": _dense(state_dict, f"{layer}.3.fn.net.2"),
+        }
+    return params
+
+
+def convert_perceiver_pytorch_encoder(state_dict: Mapping, prefix: str = "") -> Dict:
+    """A real ``perceiver_pytorch.Perceiver`` state_dict (weight-tied) →
+    flax ``Perceiver`` params. Only the tied configuration the reference
+    uses is importable; untied checkpoints raise."""
+    p = f"{prefix}." if prefix else ""
+    nested = any(
+        key.startswith(f"{p}layers.0.2.0.") for key in state_dict
+    )
+    depth = 0
+    while f"{p}layers.{depth}.0.norm.weight" in state_dict:
+        depth += 1
+    if depth == 0:
+        raise KeyError(f"no perceiver_pytorch layers under prefix {prefix!r}")
+    params: Dict = {
+        "latents": to_numpy(state_dict[f"{p}latents"]),
+        "block0": _real_block_params(state_dict, f"{p}layers.0", nested),
+    }
+    if depth > 1:
+        params["block"] = {
+            "inner": _real_block_params(state_dict, f"{p}layers.1", nested)
+        }
+        # cache_fn ties layers 1..depth-1: the serialized copies must agree
+        shared = to_numpy(state_dict[f"{p}layers.1.0.fn.to_q.weight"])
+        for i in range(2, depth):
+            if not np.array_equal(
+                to_numpy(state_dict[f"{p}layers.{i}.0.fn.to_q.weight"]), shared
+            ):
+                raise NotImplementedError(
+                    "untied perceiver_pytorch checkpoint "
+                    "(weight_tie_layers=False) is not supported"
+                )
+    # to_logits: Sequential(Reduce, LayerNorm, Linear) → .1/.2 in modern
+    # builds; Sequential(LayerNorm, Linear) → .0/.1 in older ones
+    if f"{p}to_logits.2.weight" in state_dict:
+        norm_key, linear_key = f"{p}to_logits.1", f"{p}to_logits.2"
+    else:
+        norm_key, linear_key = f"{p}to_logits.0", f"{p}to_logits.1"
+    params["head_norm"] = _norm_params(state_dict, norm_key)
+    params["to_logits"] = _dense(state_dict, linear_key)
+    return params
+
+
+def _export_attention_to_kv(params: Mapping, out: Dict, prefix: str) -> None:
+    out[f"{prefix}.to_q.weight"] = np.asarray(params["to_q"]["kernel"], np.float32).T
+    out[f"{prefix}.to_kv.weight"] = np.concatenate([
+        np.asarray(params["to_k"]["kernel"], np.float32).T,
+        np.asarray(params["to_v"]["kernel"], np.float32).T,
+    ])
+    _export_dense(params["to_out"], out, f"{prefix}.to_out")
+
+
+def _export_real_block(params: Mapping, out: Dict, layer: str) -> None:
+    """Inverse of ``_real_block_params`` in the modern nested sublayout."""
+    _export_norm(params["cross_norm"], out, f"{layer}.0.norm")
+    _export_norm(params["cross_context_norm"], out, f"{layer}.0.norm_context")
+    _export_attention_to_kv(params["cross_attn"], out, f"{layer}.0.fn")
+    _export_norm(params["cross_ff_norm"], out, f"{layer}.1.norm")
+    _export_dense(params["cross_ff"]["in"], out, f"{layer}.1.fn.net.0")
+    _export_dense(params["cross_ff"]["out"], out, f"{layer}.1.fn.net.2")
+    _export_norm(params["self_norm0"], out, f"{layer}.2.0.0.norm")
+    _export_attention_to_kv(params["self_attn0"], out, f"{layer}.2.0.0.fn")
+    _export_norm(params["self_ff_norm0"], out, f"{layer}.2.0.1.norm")
+    _export_dense(params["self_ff0"]["in"], out, f"{layer}.2.0.1.fn.net.0")
+    _export_dense(params["self_ff0"]["out"], out, f"{layer}.2.0.1.fn.net.2")
+
+
+def export_perceiver_pytorch_encoder(
+    params: Mapping, out: Dict, depth: int, prefix: str = ""
+) -> None:
+    """Flax ``Perceiver`` params → a real perceiver_pytorch state_dict
+    (modern nested sublayout; ``to_logits`` Sequential(Reduce, LN, Linear)).
+    Tied layers 1..depth-1 are materialised at every index, exactly as
+    ``nn.ModuleList`` serializes shared modules."""
+    p = f"{prefix}." if prefix else ""
+    out[f"{p}latents"] = np.asarray(params["latents"], np.float32)
+    _export_real_block(params["block0"], out, f"{p}layers.0")
+    if depth > 1:
+        if "block" not in params:
+            raise ValueError(f"depth {depth} but no tied 'block' params")
+        for i in range(1, depth):
+            _export_real_block(params["block"]["inner"], out, f"{p}layers.{i}")
+    _export_norm(params["head_norm"], out, f"{p}to_logits.1")
+    _export_dense(params["to_logits"], out, f"{p}to_logits.2")
+
+
+def export_perceiver_model(
+    variables: Mapping, model, layout: str = "perceiver_pytorch"
+) -> Dict[str, np.ndarray]:
+    """Native ``PerceiverModel`` params → a torch state_dict so checkpoints
+    trained here flow back to reference users.
+
+    ``layout="perceiver_pytorch"`` (default) targets the REAL library
+    layout the reference's model serializes (loadable with
+    ``load_state_dict(strict=True)``); ``layout="mirror"`` targets the
+    plain torch mirror used by the parity tests. GRU biases are exported as
+    the functional inverse — see :func:`_export_gru_layer`."""
     params = variables["params"]
     out: Dict[str, np.ndarray] = {}
-    export_perceiver_encoder(params["perceiver"], out, "perceiver")
+    if layout == "perceiver_pytorch":
+        export_perceiver_pytorch_encoder(
+            params["perceiver"], out, model.total_seq_length, "perceiver"
+        )
+    elif layout == "mirror":
+        export_perceiver_encoder(params["perceiver"], out, "perceiver")
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     for name in ("fc1", "fc2", "fc3", "fc4", "fc5"):
         _export_dense(params[name], out, name)
     if "pv_system_id_embedding" in params:

@@ -74,7 +74,12 @@ _PHONY_DIM_SENTINEL = b"This is a netCDF dimension but not a netCDF variable"
 
 def _decode_cf_time(values: np.ndarray, units) -> Optional[np.ndarray]:
     """``int64 offsets + "minutes since 2021-01-01 00:00:00"`` → int64 ns
-    since epoch (xarray/h5netcdf's default datetime64 encoding)."""
+    since epoch (xarray/h5netcdf's default datetime64 encoding).
+
+    Float offsets (xarray's encoding for arrays containing NaT, or
+    non-unit-exact times) are ROUNDED, not floored, and NaN maps to the
+    int64 NaT sentinel. float64 ns magnitudes exceed 2^53, so sub-µs
+    rounding error (≤ ~256 ns) is possible on float-encoded inputs."""
     if isinstance(units, bytes):
         units = units.decode("utf-8", "replace")
     if not isinstance(units, str) or " since " not in units:
@@ -88,7 +93,22 @@ def _decode_cf_time(values: np.ndarray, units) -> Optional[np.ndarray]:
     except ValueError:
         return None
     origin = epoch.astype(np.int64)
+    values = np.asarray(values)
+    if values.dtype.kind == "f":
+        ns = values.astype(np.float64) * per + origin
+        nat = np.iinfo(np.int64).min  # datetime64 NaT
+        with np.errstate(invalid="ignore"):
+            return np.where(np.isnan(values), nat, np.rint(ns)).astype(np.int64)
     return (np.asarray(values, np.int64) * per + origin).astype(np.int64)
+
+
+def _is_cf_time_units(units) -> bool:
+    """Would :func:`_decode_cf_time` decode with these units? Classifier for
+    the schema cache: CF time units embed a per-file epoch and must be
+    re-read per file; anything else is layout-static. Must agree EXACTLY
+    with the decoder (a stricter regex here silently froze later files onto
+    the probe file's epoch for e.g. date-only units — a reproduced bug)."""
+    return _decode_cf_time(np.zeros(1, np.int64), units) is not None
 
 
 def _parse_string_datetimes(values: np.ndarray) -> Optional[np.ndarray]:
@@ -597,7 +617,7 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
                 text = units.decode("utf-8", "replace") if isinstance(
                     units, bytes
                 ) else str(units)
-                if _cf_units_pattern().match(text) is None:
+                if not _is_cf_time_units(text):
                     # NOT a CF time encoding ("degrees", "m", ...): the
                     # value is layout-static — cache it and stay pure-mmap
                     units_loc = ("value", text)
@@ -616,23 +636,9 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
     return _SourceSchema(os.path.getsize(path), variables)
 
 
-_CF_UNITS_RE = None
-
-
-def _cf_units_pattern():
-    global _CF_UNITS_RE
-    if _CF_UNITS_RE is None:
-        import re
-
-        _CF_UNITS_RE = re.compile(
-            r"^[a-z]+ since \d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$"
-        )
-    return _CF_UNITS_RE
-
-
 def _units_at(path: str, offset: int, length: int) -> Optional[str]:
     """The cached-location fast path for a CF units attribute: read the
-    bytes and accept them only if they parse as '<unit> since <date>'."""
+    bytes and accept them only if the decoder itself would decode them."""
     with open(path, "rb") as fh:
         fh.seek(offset)
         raw = fh.read(length)
@@ -640,7 +646,7 @@ def _units_at(path: str, offset: int, length: int) -> Optional[str]:
         text = raw.decode("ascii")
     except UnicodeDecodeError:
         return None
-    return text if _cf_units_pattern().match(text) else None
+    return text if _is_cf_time_units(text) else None
 
 
 def _read_with_schema(path: str, schema: _SourceSchema) -> Optional[Dict[str, Variable]]:

@@ -389,6 +389,14 @@ class Trainer:
         return jax.jit(step)
 
     # ------------------------------------------------------------------
+    def _time_phase(self, phase: str):
+        """Profiler timer for ``phase``, or a no-op context without one."""
+        if self.profiler:
+            return self.profiler.time(phase)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _iter_batches(self, loader, limit: Optional[int]):
         """Host iterator → device iterator with transfer/compute overlap.
 
@@ -412,12 +420,9 @@ class Trainer:
                     iterator = None
                     break
                 try:
-                    if self.profiler:
-                        # how long the training loop WAITS on the host
-                        # pipeline (the host >= device gate's observable)
-                        with self.profiler.time("loader_next"):
-                            host = as_batch(next(iterator))
-                    else:
+                    # times how long the training loop WAITS on the host
+                    # pipeline (the host >= device gate's observable)
+                    with self._time_phase("loader_next"):
                         host = as_batch(next(iterator))
                 except StopIteration:
                     iterator = None
@@ -454,10 +459,7 @@ class Trainer:
                 exhausted = limit is not None and planned >= limit
                 if not exhausted:
                     try:
-                        if self.profiler:
-                            with self.profiler.time("loader_next"):
-                                pending.append(as_batch(next(iterator)))
-                        else:
+                        with self._time_phase("loader_next"):
                             pending.append(as_batch(next(iterator)))
                         planned += 1
                     except StopIteration:

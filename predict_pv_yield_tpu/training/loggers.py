@@ -180,6 +180,17 @@ class TensorBoardLogger(Logger):
             self._writer = None
 
 
+def _named_copy(path: str, name: Optional[str], staging_dir: str) -> str:
+    """Stage ``path`` under ``name`` for backends that key artifacts on the
+    file's basename. No-op (returns ``path``) when no rename is needed."""
+    if not name or name == os.path.basename(path):
+        return path
+    os.makedirs(staging_dir, exist_ok=True)
+    staged = os.path.join(staging_dir, name)
+    shutil.copy(path, staged)
+    return staged
+
+
 class _OptionalBackendLogger(Logger):
     """Shared shell for SaaS backends (wandb/neptune/mlflow/comet): if the
     client library is importable it is used (``_connect`` returns a live
@@ -266,7 +277,10 @@ class WandbLogger(_OptionalBackendLogger):
         self._client.config.update(params, allow_val_change=True)
 
     def _backend_log_artifact(self, path, name):
-        self._client.save(path)
+        # wandb.save keys on the file's basename; an engine that reuses
+        # temp filenames per epoch (engine.py validation plots) would
+        # silently overwrite earlier uploads without the rename
+        self._client.save(_named_copy(path, name, self.log_dir))
 
     def _backend_finalize(self, status):
         self._client.finish()
@@ -335,7 +349,9 @@ class MLFlowLogger(_OptionalBackendLogger):
         self._client.log_params({k: str(v) for k, v in params.items()})
 
     def _backend_log_artifact(self, path, name):
-        self._client.log_artifact(path)
+        # mlflow keeps the file's basename too — rename via a local copy so
+        # per-epoch plots don't collapse onto one artifact name
+        self._client.log_artifact(_named_copy(path, name, self.log_dir))
 
     def _backend_finalize(self, status):
         self._client.end_run()

@@ -263,11 +263,11 @@ class TorchPerceiverModel(nn.Module):
     FC_OUTPUT_SIZE = 8
     RNN_HIDDEN_SIZE = 16
 
-    def __init__(self, native):
+    def __init__(self, native, perceiver=None):
         super().__init__()
         self.native = native
         n_sat_channels = 11  # reference params["sat_channels"] length
-        self.perceiver = TorchPerceiver(
+        self.perceiver = perceiver if perceiver is not None else TorchPerceiver(
             input_channels=n_sat_channels, num_freq_bands=6, max_freq=10.0,
             depth=native.total_seq_length, num_latents=native.num_latents,
             latent_dim=native.latent_dim, num_classes=self.PERCEIVER_OUTPUT_SIZE,
@@ -410,7 +410,7 @@ def test_export_perceiver_model_roundtrip_and_torch_parity(configuration_perceiv
     variables = model.init(jax.random.key(7), batch)
     y_native = np.asarray(model.apply(variables, batch))
 
-    state_dict = export_perceiver_model(variables, model)
+    state_dict = export_perceiver_model(variables, model, layout="mirror")
 
     # import(export) reproduces the exact native tree AND native outputs
     reimported = convert_perceiver_model(state_dict, model)
@@ -421,6 +421,274 @@ def test_export_perceiver_model_roundtrip_and_torch_parity(configuration_perceiv
     torch_model = TorchPerceiverModel(model)
     torch_model.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    )
+    sat = np.asarray(batch.satellite.data, np.float32)
+    nwp = np.asarray(batch.nwp.data, np.float32)
+    pv = np.asarray(batch.pv.pv_yield, np.float32)
+    rows = np.asarray(batch.pv.pv_system_row_number)
+    with torch.no_grad():
+        y_torch = torch_model.eval()(
+            torch.from_numpy(sat), torch.from_numpy(nwp),
+            torch.from_numpy(pv), torch.from_numpy(rows),
+        ).numpy()
+    np.testing.assert_allclose(y_native, y_torch, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# The REAL perceiver_pytorch module structure (round-3 high review: real
+# reference checkpoints serialize PreNorm wrappers, fused to_kv, ModuleList
+# indices and a to_logits Sequential — NOT the flat mirror above). This
+# replica reproduces those exact state_dict keys so import/export are gated
+# against what a reference .ckpt actually contains.
+# ---------------------------------------------------------------------------
+
+from einops.layers.torch import Reduce  # noqa: E402
+
+from predict_pv_yield_tpu.convert import (  # noqa: E402
+    convert_perceiver_pytorch_encoder,
+    export_perceiver_model,
+)
+
+
+class RealGEGLU(nn.Module):
+    def forward(self, x):
+        x, gates = x.chunk(2, dim=-1)
+        return x * F.gelu(gates)
+
+
+class RealFeedForward(nn.Module):
+    """perceiver_pytorch.FeedForward: a module HOLDING a Sequential named
+    ``net`` (state_dict keys ``...fn.net.0.weight`` / ``...fn.net.2.weight``)."""
+
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Linear(dim, dim * mult * 2), RealGEGLU(),
+            nn.Linear(dim * mult, dim),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+def real_feed_forward(dim, mult=4):
+    return RealFeedForward(dim, mult)
+
+
+class RealAttention(nn.Module):
+    """perceiver_pytorch.Attention: fused to_kv, chunked into K then V."""
+
+    def __init__(self, query_dim, context_dim=None, heads=8, dim_head=64):
+        super().__init__()
+        context_dim = context_dim if context_dim is not None else query_dim
+        inner = heads * dim_head
+        self.heads, self.dim_head = heads, dim_head
+        self.to_q = nn.Linear(query_dim, inner, bias=False)
+        self.to_kv = nn.Linear(context_dim, inner * 2, bias=False)
+        self.to_out = nn.Linear(inner, query_dim)
+
+    def forward(self, x, context=None):
+        context = x if context is None else context
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        q = self.to_q(x).view(b, n, h, d).transpose(1, 2)
+        k, v = self.to_kv(context).chunk(2, dim=-1)
+        k = k.view(b, context.shape[1], h, d).transpose(1, 2)
+        v = v.view(b, context.shape[1], h, d).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-2, -1) * d**-0.5, dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, n, h * d)
+        return self.to_out(out)
+
+
+class RealPreNorm(nn.Module):
+    def __init__(self, dim, fn, context_dim=None):
+        super().__init__()
+        self.fn = fn
+        self.norm = nn.LayerNorm(dim)
+        self.norm_context = nn.LayerNorm(context_dim) if context_dim else None
+
+    def forward(self, x, context=None):
+        x = self.norm(x)
+        if self.norm_context is not None:
+            context = self.norm_context(context)
+            return self.fn(x, context=context)
+        return self.fn(x)
+
+
+class RealPerceiver(nn.Module):
+    """perceiver_pytorch.Perceiver with weight_tie_layers=True: the modern
+    nested layout (layers.{i} = [cross PreNorm, cross-FF PreNorm,
+    ModuleList([[latent attn, latent ff]])]; to_logits = Sequential(Reduce,
+    LayerNorm, Linear)); cache_fn tying reuses the SAME module objects for
+    layers 1..depth-1."""
+
+    def __init__(self, input_channels, num_freq_bands, max_freq, depth,
+                 num_latents, latent_dim, num_classes,
+                 cross_heads=1, latent_heads=8, dim_head=64):
+        super().__init__()
+        self.num_freq_bands, self.max_freq, self.depth = num_freq_bands, max_freq, depth
+        input_dim = input_channels + 2 * (2 * num_freq_bands + 1)
+        self.latents = nn.Parameter(torch.randn(num_latents, latent_dim))
+
+        def cross_attn():
+            return RealPreNorm(
+                latent_dim,
+                RealAttention(latent_dim, input_dim, cross_heads, dim_head),
+                context_dim=input_dim,
+            )
+
+        def cross_ff():
+            return RealPreNorm(latent_dim, real_feed_forward(latent_dim))
+
+        def latent_attn():
+            return RealPreNorm(
+                latent_dim, RealAttention(latent_dim, heads=latent_heads,
+                                          dim_head=dim_head)
+            )
+
+        def latent_ff():
+            return RealPreNorm(latent_dim, real_feed_forward(latent_dim))
+
+        self.layers = nn.ModuleList([])
+        shared = None
+        for i in range(depth):
+            if i > 0 and shared is not None:
+                self.layers.append(shared)  # cache_fn: same module objects
+                continue
+            layer = nn.ModuleList([
+                cross_attn(), cross_ff(),
+                nn.ModuleList([nn.ModuleList([latent_attn(), latent_ff()])]),
+            ])
+            self.layers.append(layer)
+            if i == 0:
+                shared_layer = nn.ModuleList([
+                    cross_attn(), cross_ff(),
+                    nn.ModuleList([nn.ModuleList([latent_attn(), latent_ff()])]),
+                ]) if depth > 1 else None
+                shared = shared_layer
+        self.to_logits = nn.Sequential(
+            Reduce("b n d -> b d", "mean"),
+            nn.LayerNorm(latent_dim),
+            nn.Linear(latent_dim, num_classes),
+        )
+
+    def forward(self, data):  # (B, H, W, C)
+        b, h, w, _ = data.shape
+        axis_pos = [torch.linspace(-1.0, 1.0, steps=size) for size in (h, w)]
+        pos = torch.stack(torch.meshgrid(*axis_pos, indexing="ij"), dim=-1)
+        scales = torch.linspace(1.0, self.max_freq / 2.0, self.num_freq_bands)
+        scaled = pos.unsqueeze(-1) * scales * math.pi
+        enc = torch.cat([scaled.sin(), scaled.cos(), pos.unsqueeze(-1)], dim=-1)
+        enc = enc.reshape(h, w, -1).unsqueeze(0).expand(b, -1, -1, -1)
+        data = torch.cat([data, enc], dim=-1).reshape(b, h * w, -1)
+
+        x = self.latents.unsqueeze(0).expand(b, -1, -1)
+        for cross_attn, cross_ff, self_attns in self.layers:
+            x = cross_attn(x, context=data) + x
+            x = cross_ff(x) + x
+            for self_attn, self_ff in self_attns:
+                x = self_attn(x) + x
+                x = self_ff(x) + x
+        return self.to_logits(x)
+
+
+def _real_perceiver_for(native):
+    return RealPerceiver(
+        input_channels=11, num_freq_bands=6, max_freq=10.0,
+        depth=native.total_seq_length, num_latents=native.num_latents,
+        latent_dim=native.latent_dim, num_classes=512,
+    )
+
+
+def test_real_perceiver_pytorch_state_dict_keys():
+    """The replica must serialize the REAL library's key layout."""
+    from predict_pv_yield_tpu.models.perceiver import PerceiverModel, params
+
+    native = PerceiverModel(
+        history_minutes=30, forecast_minutes=60,
+        nwp_channels=params["nwp_channels"], batch_size=2,
+        num_latents=4, latent_dim=16,
+    )
+    keys = set(_real_perceiver_for(native).state_dict().keys())
+    assert "latents" in keys
+    assert "layers.0.0.norm.weight" in keys
+    assert "layers.0.0.norm_context.weight" in keys
+    assert "layers.0.0.fn.to_kv.weight" in keys
+    assert "layers.0.1.fn.net.0.weight" in keys
+    assert "layers.0.2.0.0.fn.to_q.weight" in keys
+    assert "layers.1.0.fn.to_q.weight" in keys  # tied copies serialize too
+    assert "to_logits.1.weight" in keys and "to_logits.2.weight" in keys
+
+
+def test_real_perceiver_pytorch_import_parity(configuration_perceiver):
+    """A REAL-layout reference checkpoint imports and matches at 1e-4."""
+    from predict_pv_yield_tpu.convert import convert_perceiver_model
+    from predict_pv_yield_tpu.data.fake import FakeDataset
+    from predict_pv_yield_tpu.models.perceiver import PerceiverModel, params
+
+    dataset_configuration = configuration_perceiver
+    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 16
+    dataset_configuration.input_data.default_forecast_minutes = 60
+    dataset_configuration.process.batch_size = 2
+
+    native = PerceiverModel(
+        history_minutes=30, forecast_minutes=60,
+        nwp_channels=params["nwp_channels"], batch_size=2,
+        embedding_dem=16, num_latents=6, latent_dim=32,
+    )
+    torch.manual_seed(11)
+    torch_model = TorchPerceiverModel(
+        native, perceiver=_real_perceiver_for(native)
+    ).eval()
+
+    batch = FakeDataset(configuration=dataset_configuration)[0].numeric()
+    sat = np.asarray(batch.satellite.data, np.float32)
+    nwp = np.asarray(batch.nwp.data, np.float32)
+    pv = np.asarray(batch.pv.pv_yield, np.float32)
+    rows = np.asarray(batch.pv.pv_system_row_number)
+    with torch.no_grad():
+        y_torch = torch_model(
+            torch.from_numpy(sat), torch.from_numpy(nwp),
+            torch.from_numpy(pv), torch.from_numpy(rows),
+        ).numpy()
+
+    variables = convert_perceiver_model(torch_model.state_dict(), native)
+    y_flax = np.asarray(native.apply(variables, batch))
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-4)
+
+    expected = jax.tree_util.tree_structure(native.init(jax.random.key(0), batch))
+    assert jax.tree_util.tree_structure(variables) == expected
+
+
+def test_export_to_real_perceiver_pytorch_layout(configuration_perceiver):
+    """Native params export to the REAL layout and load with strict=True —
+    the 'checkpoints flow back to reference users' claim, gated against the
+    library's actual module tree."""
+    from predict_pv_yield_tpu.data.fake import FakeDataset
+    from predict_pv_yield_tpu.models.perceiver import PerceiverModel, params
+
+    dataset_configuration = configuration_perceiver
+    dataset_configuration.input_data.nwp.nwp_image_size_pixels = 16
+    dataset_configuration.input_data.default_forecast_minutes = 60
+    dataset_configuration.process.batch_size = 2
+
+    native = PerceiverModel(
+        history_minutes=30, forecast_minutes=60,
+        nwp_channels=params["nwp_channels"], batch_size=2,
+        embedding_dem=16, num_latents=6, latent_dim=32,
+    )
+    batch = FakeDataset(configuration=dataset_configuration)[0].numeric()
+    variables = native.init(jax.random.key(13), batch)
+    y_native = np.asarray(native.apply(variables, batch))
+
+    state_dict = export_perceiver_model(variables, native)  # default layout
+    torch_model = TorchPerceiverModel(
+        native, perceiver=_real_perceiver_for(native)
+    )
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in state_dict.items()},
+        strict=True,
     )
     sat = np.asarray(batch.satellite.data, np.float32)
     nwp = np.asarray(batch.nwp.data, np.float32)

@@ -591,3 +591,45 @@ def test_cf_encode_picks_coarsest_exact_unit():
     assert attrs["units"].startswith("seconds since"), attrs["units"]
     decoded = _decode_cf_time(offsets, attrs["units"])
     np.testing.assert_array_equal(decoded, times)
+
+
+def test_schema_cache_date_only_epochs_stay_per_file(tmp_path):
+    """Regression (round-3 high review, reproduced): date-only CF units
+    ('days since 2021-01-07') decode fine but failed the old probe regex,
+    so they were mis-cached as layout-STATIC values and every later file
+    froze onto the probe file's epoch."""
+    from predict_pv_yield_tpu.data.netcdf_writer import write_netcdf_variables
+
+    root = tmp_path / "train"
+    (root / "metadata").mkdir(parents=True)
+    epochs = ["2021-01-07", "2021-03-02"]
+    for i, epoch in enumerate(epochs):
+        write_netcdf_variables(
+            str(root / "metadata" / netcdf_filename(i)),
+            {"t0_datetime_utc": (("example",), np.arange(2, dtype=np.int64),
+                                 {"units": f"days since {epoch}"})},
+        )
+    dataset = NetCDFBatchDataset(2, str(root))
+    first = dataset[0]
+    second = dataset[1]
+    day_ns = 86_400_000_000_000
+    for batch, epoch in ((first, epochs[0]), (second, epochs[1])):
+        origin = np.datetime64(epoch, "ns").astype(np.int64)
+        np.testing.assert_array_equal(
+            batch.metadata.t0_datetime_utc,
+            origin + np.arange(2, dtype=np.int64) * day_ns,
+        )
+
+
+def test_float_cf_offsets_round_and_nat(tmp_path):
+    """Float CF offsets (xarray's NaT encoding) round instead of floor, and
+    NaN maps to the int64 NaT sentinel."""
+    from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+    decoded = _decode_cf_time(
+        np.array([0.0, 0.5, np.nan]), "hours since 2021-01-01 00:00:00"
+    )
+    origin = np.datetime64("2021-01-01", "ns").astype(np.int64)
+    assert decoded[0] == origin
+    assert decoded[1] == origin + 1_800_000_000_000  # 30 min, not floored to 0
+    assert decoded[2] == np.iinfo(np.int64).min  # NaT
