@@ -279,3 +279,35 @@ def test_saas_fallback_warns_and_writes_jsonl(tmp_path, caplog, monkeypatch):
     lines = [json.loads(l) for l in open(jsonl)]
     assert {"step": 3, "NMAE/Train": 0.5} in lines
     assert any("hparams" in l for l in lines)
+
+
+def test_wandb_artifact_rename(monkeypatch, tmp_path):
+    """Backends that key artifacts on the basename get a staged copy under
+    the requested name — per-epoch plots with a reused temp filename must
+    not overwrite one another (round-3 review)."""
+    calls = []
+
+    class _Run:
+        config = _Recorder(calls, "config")
+
+        def log(self, *a, **k):
+            pass
+
+        def save(self, path):
+            calls.append(("save", (path,), {}))
+
+        def finish(self):
+            pass
+
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda project=None, reinit=None: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+
+    artifact = tmp_path / "temp_0.html"
+    artifact.write_text("<html>epoch 3</html>")
+    logger = WandbLogger(save_dir=str(tmp_path), project="p")
+    logger.log_artifact(str(artifact), name="validation_plot_epoch_3_0.html")
+
+    (saved_path,) = [a[0] for op, a, _ in calls if op == "save"]
+    assert os.path.basename(saved_path) == "validation_plot_epoch_3_0.html"
+    assert open(saved_path).read() == "<html>epoch 3</html>"
