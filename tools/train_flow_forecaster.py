@@ -49,7 +49,17 @@ def main() -> None:
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--channels", type=int, default=32)
+    parser.add_argument(
+        "--arch", default="conv3d",
+        choices=["conv3d", "conv2d_ae", "maxpool_ae", "pure_conv3d"],
+        help="forecaster architecture: notebook 13 Conv3d (default), "
+        "notebook 14 2-D conv AE, notebook 16 max-pool AE, or the "
+        "notebook 12 pre-flow pure-3D-conv control",
+    )
+    parser.add_argument(
+        "--channels", type=int, default=None,
+        help="conv width (default: the source notebook's value)",
+    )
     parser.add_argument("--n-super-batches", type=int, default=4)
     parser.add_argument("--forecast-timesteps", type=int, default=48)
     parser.add_argument("--crop-large", type=int, default=128)
@@ -63,11 +73,11 @@ def main() -> None:
 
     from predict_pv_yield_tpu.data.flow_dataset import FlowInMemDataset, SatelliteFlowLoader
     from predict_pv_yield_tpu.models.flow_forecaster import (
+        FORECASTER_ARCHITECTURES,
         FORECAST_HORIZON,
         HISTORICAL_SAT_IMAGES,
         OPTICAL_FLOW_PREDICTIONS,
         TARGET_SAT_IMAGE,
-        FlowForecaster,
     )
     from predict_pv_yield_tpu.ops.ssim import ssim
 
@@ -97,7 +107,10 @@ def main() -> None:
         crop_small=args.crop_small,
     )
 
-    model = FlowForecaster(channels=args.channels)
+    model_cls = FORECASTER_ARCHITECTURES[args.arch]
+    model = (
+        model_cls() if args.channels is None else model_cls(channels=args.channels)
+    )
     batch = next(iter(dataset))
     variables = model.init(jax.random.key(0), batch)
     tx = optax.adam(args.lr)
@@ -107,7 +120,10 @@ def main() -> None:
     def train_step(variables, opt_state, batch):
         def loss_fn(params):
             prediction = model.apply(params, batch)
-            return jnp.mean((prediction - batch[TARGET_SAT_IMAGE]) ** 2)
+            # each notebook variant's stride/padding pyramid emits a slightly
+            # different output size; crop_target aligns the label to it
+            target = model.crop_target(batch[TARGET_SAT_IMAGE])
+            return jnp.mean((prediction - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
         updates, opt_state2 = tx.update(grads, opt_state, variables)
@@ -142,10 +158,15 @@ def main() -> None:
     for _ in range(8):
         batch = next(iter(eval_dataset))
         prediction = np.asarray(model.apply(variables, batch))
-        target = batch[TARGET_SAT_IMAGE]
         centre = (slice(None), slice(border, -border), slice(border, -border))
-        flow_pred = batch[OPTICAL_FLOW_PREDICTIONS][centre]
-        persistence = batch[HISTORICAL_SAT_IMAGES][:, -1][centre]
+        # all three methods are scored on the model's own output footprint
+        target = np.asarray(model.crop_target(batch[TARGET_SAT_IMAGE]))
+        flow_pred = np.asarray(
+            model.crop_target(batch[OPTICAL_FLOW_PREDICTIONS][centre])
+        )
+        persistence = np.asarray(
+            model.crop_target(batch[HISTORICAL_SAT_IMAGES][:, -1][centre])
+        )
         for i in range(len(target)):
             # One data_range per example, from the TARGET, shared by all
             # three methods — inferring it per call would give each method
