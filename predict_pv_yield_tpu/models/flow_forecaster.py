@@ -12,15 +12,15 @@ The research lineage's architecture variants (SURVEY §2.5.2) are rebuilt
 alongside it, each with the source notebook's exact topology and output-crop
 quirk (exposed as ``crop_target`` so training code can align the label):
 
-* ``Conv2dAEForecaster`` — notebook ``14_back_to_2d_conv_AE.ipynb`` cell 38:
+* ``Conv2dAEForecaster`` — notebook ``14_back_to_2d_conv_AE.ipynb`` cell 39:
   a stride-2 2-D conv encoder/decoder over the channel-stacked frames whose
   valid-padding pyramid emits 63×63 (the notebook trains against
   ``y[..., :-1, :-1]``).
-* ``MaxPoolAEForecaster`` — notebook ``16_maxpool.ipynb`` cell 40: unstrided
+* ``MaxPoolAEForecaster`` — notebook ``16_maxpool.ipynb`` cell 41: unstrided
   valid convs, ONE 3×3/3 max-pool bottleneck (the unpool stages are commented
   out in the notebook's final form), transposed-conv decoder emitting 48×48
   (trained against ``y[..., 8:-8, 8:-8]``).
-* ``PureConv3dForecaster`` — notebook ``12_just_3d_conv.ipynb`` cell 50: the
+* ``PureConv3dForecaster`` — notebook ``12_just_3d_conv.ipynb`` cell 53: the
   pre-flow control — history frames + horizon only (NO flow-warped
   prediction channel), five Conv3d layers at 128 channels.
 """
@@ -91,7 +91,7 @@ class FlowForecaster(nn.Module):
 def _stack_frames_channel_last(batch: dict, include_flow: bool) -> jnp.ndarray:
     """(B, H, W, C) stack of [history frames, optional flow-warped prediction,
     broadcast forecast-horizon plane] — the 2-D variants' input assembly
-    (notebook 14 cell 38 / notebook 16 cell 40 ``forward``, channel-last)."""
+    (notebook 14 cell 39 / notebook 16 cell 41 ``forward``, channel-last)."""
     historical = batch[HISTORICAL_SAT_IMAGES].astype(jnp.float32)  # (B, 4, H, W)
     horizon = batch[FORECAST_HORIZON].astype(jnp.float32)  # (B,)
     planes = [historical]
@@ -108,7 +108,7 @@ def _stack_frames_channel_last(batch: dict, include_flow: bool) -> jnp.ndarray:
 
 
 class Conv2dAEForecaster(nn.Module):
-    """Notebook-14 2-D conv autoencoder variant (cell 38).
+    """Notebook-14 2-D conv autoencoder variant (cell 39).
 
     Channel-stacked input (4 history + flow prediction + horizon = 6
     channels); encoder of four stride-2 valid 3×3 convs (128→63→31→15→7 px),
@@ -117,7 +117,7 @@ class Conv2dAEForecaster(nn.Module):
     the notebook's ``y[..., :-1, :-1]`` stride artefact.
     """
 
-    channels: int = 32  # CHANNELS (notebook 14 cell 38)
+    channels: int = 32  # CHANNELS (notebook 14 cell 39)
     dtype: Optional[Any] = None
 
     @staticmethod
@@ -156,16 +156,19 @@ class Conv2dAEForecaster(nn.Module):
 
 
 class MaxPoolAEForecaster(nn.Module):
-    """Notebook-16 max-pool autoencoder variant (cell 40).
+    """Notebook-16 max-pool autoencoder variant (cell 41).
 
     Four unstrided valid 3×3 convs (128→120 px), one 3×3/3 max-pool
     bottleneck (→40 px; the notebook's earlier pool/unpool stages are
     commented out in its final form so only this one survives), then four
     valid transposed convs (→48 px). Output matches ``crop_target`` —
-    the notebook's ``y[..., 8:-8, 8:-8]``.
+    the notebook's ``y[..., 8:-8, 8:-8]``. The notebook normalises frames
+    and target *inside* the model (``normalise_images_in_model``, cell 40)
+    because its loader ships raw counts; here the flow dataset already
+    normalises by SAT_IMAGE_MEAN/STD, so no in-model scaling.
     """
 
-    channels: int = 32  # CHANNELS (notebook 16 cell 40)
+    channels: int = 32  # CHANNELS (notebook 16 cell 41)
     dtype: Optional[Any] = None
 
     @staticmethod
@@ -202,7 +205,7 @@ class MaxPoolAEForecaster(nn.Module):
 
 
 class PureConv3dForecaster(nn.Module):
-    """Notebook-12 pure-3D-conv variant (cell 50) — the pre-flow control.
+    """Notebook-12 pure-3D-conv variant (cell 53) — the pre-flow control.
 
     History frames only (no flow-warped prediction channel) stacked as a
     depth-4 volume with a broadcast horizon channel (in_channels=2); five
@@ -211,7 +214,7 @@ class PureConv3dForecaster(nn.Module):
     64 px target resolution at 128 px context.
     """
 
-    channels: int = 128  # CHANNELS (notebook 12 cell 50)
+    channels: int = 128  # CHANNELS (notebook 12 cell 53)
     dtype: Optional[Any] = None
 
     @staticmethod

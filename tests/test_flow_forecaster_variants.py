@@ -2,9 +2,9 @@
 
 The reference's optical-flow lineage trained several residual-forecaster
 topologies besides the production notebook-13 Conv3d (SURVEY §2.5.2): a
-stride-2 2-D conv autoencoder (``14_back_to_2d_conv_AE.ipynb`` cell 38), a
-max-pool autoencoder (``16_maxpool.ipynb`` cell 40), and the pre-flow
-pure-3D-conv control (``12_just_3d_conv.ipynb`` cell 50). Each is gated here
+stride-2 2-D conv autoencoder (``14_back_to_2d_conv_AE.ipynb`` cell 39), a
+max-pool autoencoder (``16_maxpool.ipynb`` cell 41), and the pre-flow
+pure-3D-conv control (``12_just_3d_conv.ipynb`` cell 53). Each is gated here
 on (a) the notebook's exact output geometry, (b) a loss-decreasing training
 step, and (c) full-model parity against a torch mirror built from the
 notebook's own layer stack — the transposed-conv variants exercise kernel
@@ -128,7 +128,7 @@ def _assemble_input_torch(batch: dict, include_flow: bool = True) -> torch.Tenso
 
 
 def test_conv2d_ae_torch_parity():
-    """Full-model parity with notebook 14 cell 38's encoder/decoder stack."""
+    """Full-model parity with notebook 14 cell 39's encoder/decoder stack."""
     channels = 8
     torch.manual_seed(0)
     tmodel = tnn.Sequential(
@@ -165,7 +165,7 @@ def test_conv2d_ae_torch_parity():
 
 
 def test_maxpool_ae_torch_parity():
-    """Full-model parity with notebook 16 cell 40's final (single-pool) form."""
+    """Full-model parity with notebook 16 cell 41's final (single-pool) form."""
     channels = 8
     torch.manual_seed(1)
     enc = [
@@ -210,7 +210,7 @@ def test_maxpool_ae_torch_parity():
 
 
 def test_pure_conv3d_torch_parity():
-    """Full-model parity with notebook 12 cell 50's five-layer Conv3d stack."""
+    """Full-model parity with notebook 12 cell 53's five-layer Conv3d stack."""
     channels = 8
     torch.manual_seed(2)
     kernel = (2, 3, 3)
