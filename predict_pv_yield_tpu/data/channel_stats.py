@@ -45,6 +45,8 @@ class ChannelStatsAccumulator:
         axis."""
         slab = np.moveaxis(slab, channel_axis, -1)
         flat = slab.reshape(-1, slab.shape[-1]).astype(np.float64)
+        if flat.shape[0] == 0:  # empty slab: nothing to fold in
+            return
         # the notebook's decode: exactly -1 is missing (cell 7)
         valid = flat != -1.0
         # NaNs in an already-float archive are also missing (skipna)
@@ -98,7 +100,7 @@ def iter_time_slabs(
     notebook gets for free)."""
     if slab_timesteps is None:
         chunks = getattr(array, "chunks", None)
-        slab_timesteps = chunks[0] if chunks else min(len(array), 64)
+        slab_timesteps = chunks[0] if chunks else max(1, min(len(array), 64))
     for start in range(0, array.shape[0], slab_timesteps):
         yield np.asarray(array[start : start + slab_timesteps])
 

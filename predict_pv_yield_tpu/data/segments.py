@@ -84,23 +84,40 @@ def get_zarr_chunk_sequences(
     ``n_chunks_per_disk_load - 1`` chunks' length lies wholly inside at least
     one sequence (notebook 28 cell 79 — see its ASCII diagram). At least one
     side of each sequence lies on a natural chunk boundary.
+
+    ``zarr_chunk_boundaries`` must bracket every segment (first boundary ≤
+    segment start, last boundary ≥ segment end — i.e. include the archive's
+    END boundary, not just chunk starts). The notebook assumes this silently
+    and crashes or wraps around when violated; raising is the native
+    behaviour.
     """
     if n_chunks_per_disk_load <= 0:
         raise ValueError("n_chunks_per_disk_load must be positive")
     zarr_chunk_boundaries = _as_datetime64(zarr_chunk_boundaries)
+    if len(zarr_chunk_boundaries) == 0:
+        raise ValueError("zarr_chunk_boundaries must be non-empty")
 
     sequences: List[Segment] = []
     for segment in contiguous_segments:
+        if (
+            segment.start < zarr_chunk_boundaries[0]
+            or segment.end > zarr_chunk_boundaries[-1]
+        ):
+            raise ValueError(
+                f"{segment} is not bracketed by zarr_chunk_boundaries "
+                f"[{zarr_chunk_boundaries[0]} .. {zarr_chunk_boundaries[-1]}]"
+            )
         # chunk boundary at or before the segment start
         i = int(np.searchsorted(zarr_chunk_boundaries, segment.start))
         if i == len(zarr_chunk_boundaries) or zarr_chunk_boundaries[i] > segment.start:
             i -= 1
         start = segment.start
-        end = None
-        while end != segment.end:
+        while True:
             j = min(i + n_chunks_per_disk_load, len(zarr_chunk_boundaries) - 1)
             end = min(zarr_chunk_boundaries[j], segment.end)
             sequences.append(Segment(start=start, end=end))
+            if end == segment.end:
+                break
             i += 1
             start = zarr_chunk_boundaries[i]
     return sequences
@@ -130,8 +147,14 @@ def select_nwp_init_times(
       freshest NWP run initialised at or before that target (pandas
       ``sel(method='ffill')`` semantics);
     * future (target > ``ceil(t0)``): every target uses the single init time
-      chosen for ``ceil(t0)`` — forecasts can't peek at runs initialised
-      after "now".
+      chosen for ``ceil(t0)``.
+
+    Note the notebook's quirk, replicated faithfully: the freeze point is
+    ``ceil(t0)``, not ``t0``, so with sub-hourly init cadence the "future"
+    can use a run initialised up to 59 minutes AFTER now (e.g. hourly runs,
+    t0 04:20 → future frozen on the 05:00 run). The same applies to history
+    targets in ``(t0, ceil(t0)]``. Pinned by a regression test; don't "fix"
+    without breaking parity with nowcasting_dataset's ancestor.
 
     ``steps`` is the per-target lead time ``target − init``. ``init_times``
     must be sorted ascending and cover ``floor(start)`` (the notebook's

@@ -67,6 +67,14 @@ def test_channel_axis_first_and_names():
         acc.result(channel_names=["just_one"])
 
 
+def test_empty_slab_and_empty_array():
+    acc = ChannelStatsAccumulator(2)
+    acc.update(np.zeros((0, 4, 4, 2), dtype=np.int16))  # no-op, no crash
+    assert acc.result()["0"]["count"] == 0
+    stats = compute_channel_stats(np.zeros((0, 4, 4, 2), dtype=np.int16))
+    assert stats["0"]["count"] == 0 and np.isnan(stats["0"]["mean"])
+
+
 def test_all_missing_channel_reports_nan():
     data = np.full((4, 3, 3, 1), -1, dtype=np.int16)
     acc = ChannelStatsAccumulator(1)

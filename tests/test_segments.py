@@ -81,6 +81,29 @@ class TestGetZarrChunkSequences:
         with pytest.raises(ValueError):
             get_zarr_chunk_sequences(0, [_dt(0)], [])
 
+    def test_unbracketed_segment_raises(self):
+        """Boundaries must include the archive END boundary — the notebook
+        IndexErrors (past the end) or silently wraps (before the start);
+        the native contract raises."""
+        boundaries = [_dt(m) for m in range(0, 36, 5)]  # last = 35
+        with pytest.raises(ValueError, match="not bracketed"):
+            get_zarr_chunk_sequences(3, boundaries, [Segment(_dt(3), _dt(40))])
+        with pytest.raises(ValueError, match="not bracketed"):
+            get_zarr_chunk_sequences(3, boundaries, [Segment(_dt(-7), _dt(20))])
+
+    def test_segment_ending_on_last_boundary(self):
+        boundaries = [_dt(m) for m in range(0, 16, 5)]  # 0,5,10,15
+        seqs = get_zarr_chunk_sequences(2, boundaries, [Segment(_dt(0), _dt(15))])
+        assert seqs == [
+            Segment(_dt(0), _dt(10)),
+            Segment(_dt(5), _dt(15)),
+        ]
+
+    def test_degenerate_segment_at_last_boundary(self):
+        boundaries = [_dt(m) for m in range(0, 16, 5)]
+        seqs = get_zarr_chunk_sequences(2, boundaries, [Segment(_dt(15), _dt(15))])
+        assert seqs == [Segment(_dt(15), _dt(15))]
+
 
 class TestGetRandomSegments:
     def test_windows_lie_inside_sources_on_grid(self):
@@ -181,6 +204,17 @@ class TestSelectNwpInitTimes:
         )
         # ceil(t0)=04:00 picks the 04:00 run; future frozen to it
         assert list(chosen) == [_h(0), _h(4), _h(4), _h(4)]
+
+    def test_future_leak_quirk_is_faithful(self):
+        """The notebook freezes on ceil(t0), NOT t0: with hourly runs and
+        t0 04:20, the future uses the 05:00 run — initialised 40 minutes
+        after 'now'. Replicated faithfully (cell 85); this test pins it."""
+        init_times = [_h(h) for h in range(0, 10)]  # hourly runs
+        _, chosen, _ = select_nwp_init_times(
+            init_times, start=_h(3), end=_h(8), t0=_h(4) + np.timedelta64(20, "m")
+        )
+        # ceil(t0)=05:00 → ffill picks the 05:00 run; future frozen on it
+        assert list(chosen) == [_h(3), _h(4), _h(5), _h(5), _h(5), _h(5)]
 
     def test_uncovered_start_raises(self):
         with pytest.raises(ValueError):

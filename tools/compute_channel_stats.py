@@ -47,7 +47,7 @@ def main() -> None:
     if args.names == "sat":
         names = list(SAT_VARIABLE_NAMES)
     elif args.names:
-        names = args.names.split(",")
+        names = [n.strip() for n in args.names.split(",")]
     stats = compute_channel_stats(
         array,
         channel_axis=args.channel_axis,

@@ -51,10 +51,10 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument(
         "--arch", default="conv3d",
-        choices=["conv3d", "conv2d_ae", "maxpool_ae", "pure_conv3d"],
         help="forecaster architecture: notebook 13 Conv3d (default), "
-        "notebook 14 2-D conv AE, notebook 16 max-pool AE, or the "
-        "notebook 12 pre-flow pure-3D-conv control",
+        "notebook 14 2-D conv AE (conv2d_ae), notebook 16 max-pool AE "
+        "(maxpool_ae), or the notebook 12 pre-flow pure-3D-conv control "
+        "(pure_conv3d) — validated against FORECASTER_ARCHITECTURES",
     )
     parser.add_argument(
         "--channels", type=int, default=None,
@@ -107,6 +107,11 @@ def main() -> None:
         crop_small=args.crop_small,
     )
 
+    if args.arch not in FORECASTER_ARCHITECTURES:
+        parser.error(
+            f"--arch {args.arch!r}: choose from "
+            f"{sorted(FORECASTER_ARCHITECTURES)}"
+        )
     model_cls = FORECASTER_ARCHITECTURES[args.arch]
     model = (
         model_cls() if args.channels is None else model_cls(channels=args.channels)
