@@ -1,0 +1,530 @@
+"""Per-modality sample extraction — the notebook-28 ``DataSource`` lineage.
+
+The reference's data-pipeline research (SURVEY §2.5.2 family 3,
+``notebooks/28.0_manual_processes.ipynb`` — the ancestor of
+``nowcasting_dataset``) extracts training examples with a small class
+hierarchy: a ``DataSource`` ABC (cell 88: ``get_sample(start, end, t0)`` /
+``get_chunk(start, end)``), ``SatelliteDataSource`` (cell 89: time-slice of
+the satellite archive, ``t0`` unused), ``NWPDataSource`` (cell 103:
+freshest-run selection per hourly target), ``PVDataSource`` (cell 107: window
+slice, NaN-system drop, one random system per example) and a ``Sample``
+TypedDict schema (cell 83) that the batch collator stacks.
+
+This is the native form: sources hold *arrays plus explicit coordinate
+vectors* (numpy, ``np.memmap`` or the first-party ``ZarrArray`` — anything
+sliceable on axis 0) instead of xarray datasets; all index arithmetic is
+host-side numpy. Window sampling composes with ``data/segments.py``
+(contiguous segments → duration-weighted random windows) and collation
+produces the standard :class:`~predict_pv_yield_tpu.data.batch.Batch`
+pytree, so an extracted dataset feeds the same jitted training path as the
+published v15 archives. The notebook's worker-process/queue machinery
+(cells 109-110) is not mirrored class-for-class — the threaded prefetch
+loader (``data/loader.py``) plays that role framework-wide.
+
+Failures that a caller should respond to by drawing a fresh window (data
+gaps, all-NaN PV systems, out-of-range NWP steps) raise :class:`BadData`
+(cell 83), the same retry contract the flow super-batch loader uses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from predict_pv_yield_tpu.data.batch import Batch
+from predict_pv_yield_tpu.data.segments import (
+    Segment,
+    get_contiguous_segments,
+    get_random_segments,
+    select_nwp_init_times,
+)
+
+#: One training example, keyed by the nb28 Sample field names (cell 83) plus
+#: the coordinate/datetime extras the Batch collator needs. A plain dict —
+#: sources each contribute their keys and ``SampleGenerator`` merges.
+Sample = Dict[str, Any]
+
+
+class BadData(Exception):
+    """Raised when a window cannot yield a valid example (nb28 cell 83).
+
+    The caller's contract is to catch this and draw a fresh random window —
+    never to pad or silently skip fields.
+    """
+
+
+def _as_ns(value) -> np.ndarray:
+    arr = np.asarray(value)
+    if not np.issubdtype(arr.dtype, np.datetime64):
+        arr = arr.astype("datetime64[ns]")
+    return arr.astype("datetime64[ns]")
+
+
+class DataSource:
+    """Abstract base class (nb28 cell 88).
+
+    ``get_sample`` extracts one example window ``[start, end]`` with "now"
+    at ``t0``; ``get_chunk`` extracts a larger contiguous run for in-memory
+    caching (the chunk-sequence path of ``get_zarr_chunk_sequences``).
+    """
+
+    def get_sample(
+        self, start: np.datetime64, end: np.datetime64, t0: np.datetime64
+    ) -> Sample:
+        raise NotImplementedError
+
+    def get_chunk(self, start: np.datetime64, end: np.datetime64) -> Sample:
+        raise NotImplementedError
+
+
+def _window_indices(
+    datetimes: np.ndarray,
+    start: np.datetime64,
+    end: np.datetime64,
+    freq: Optional[np.timedelta64],
+) -> np.ndarray:
+    """Indices of ``datetimes`` in the inclusive range [start, end].
+
+    With ``freq`` given, the window must be exactly the gap-free
+    ``freq``-grid between start and end — a missing timestep raises
+    :class:`BadData` (the notebook slices with xarray and silently returns
+    short windows; downstream static shapes make that a crash here, so the
+    check is explicit and early).
+    """
+    start = np.datetime64(start, "ns")
+    end = np.datetime64(end, "ns")
+    lo = int(np.searchsorted(datetimes, start, side="left"))
+    hi = int(np.searchsorted(datetimes, end, side="right"))
+    idx = np.arange(lo, hi)
+    if freq is not None:
+        expected = int((end - start) / np.timedelta64(freq, "ns")) + 1
+        if len(idx) != expected or (
+            len(idx) and (datetimes[lo] != start or datetimes[hi - 1] != end)
+        ):
+            raise BadData(
+                f"window [{start} .. {end}] is not a gap-free grid: "
+                f"{len(idx)} of {expected} timesteps present"
+            )
+    return idx
+
+
+def crop_square(
+    data: np.ndarray,
+    x_coords: np.ndarray,
+    y_coords: np.ndarray,
+    centre_x: float,
+    centre_y: float,
+    size_pixels: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Crop ``size_pixels``² around the pixel nearest an OSGB centre.
+
+    nb28 cell 83 ``crop_square``: nearest-pixel centre, ``size // 2`` each
+    side. ``data`` has trailing dims (..., y, x). A crop that would run off
+    the archive raises :class:`BadData` (the notebook produced short images
+    and crashed in the model). Returns ``(cropped, x_coords, y_coords)``.
+    """
+    x_coords = np.asarray(x_coords)
+    y_coords = np.asarray(y_coords)
+    cx = int(np.abs(x_coords - centre_x).argmin())
+    cy = int(np.abs(y_coords - centre_y).argmin())
+    half = size_pixels // 2
+    x_lo, x_hi = cx - half, cx - half + size_pixels
+    y_lo, y_hi = cy - half, cy - half + size_pixels
+    if x_lo < 0 or y_lo < 0 or x_hi > len(x_coords) or y_hi > len(y_coords):
+        raise BadData(
+            f"{size_pixels}px crop at OSGB ({centre_x}, {centre_y}) falls "
+            f"outside the archive extent"
+        )
+    return (
+        np.asarray(data[..., y_lo:y_hi, x_lo:x_hi]),
+        x_coords[x_lo:x_hi],
+        y_coords[y_lo:y_hi],
+    )
+
+
+class SatelliteDataSource(DataSource):
+    """Time-slice of a satellite archive (nb28 cell 89; ``t0`` unused).
+
+    ``data``: (T, H, W) or (T, C, H, W), any 0-axis-sliceable store (numpy,
+    ``ZarrArray``, memmap). ``datetimes`` sorted ascending, length T.
+    ``x``/``y``: OSGB pixel-centre coordinates (optional — required only for
+    ``centre``-cropped samples). ``freq``: the archive's timestep (5 min for
+    SEVIRI); windows must be gap-free on this grid.
+    """
+
+    def __init__(
+        self,
+        data,
+        datetimes,
+        x: Optional[np.ndarray] = None,
+        y: Optional[np.ndarray] = None,
+        freq: np.timedelta64 = np.timedelta64(5, "m"),
+        image_size_pixels: Optional[int] = None,
+    ):
+        self.data = data
+        self.datetimes = _as_ns(datetimes)
+        if len(self.datetimes) != data.shape[0]:
+            raise ValueError(
+                f"datetimes length {len(self.datetimes)} != data.shape[0] "
+                f"{data.shape[0]}"
+            )
+        self.x = None if x is None else np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.freq = np.timedelta64(freq)
+        self.image_size_pixels = image_size_pixels
+
+    def get_sample(self, start, end, t0, centre: Optional[Tuple[float, float]] = None) -> Sample:
+        del t0  # not used (cell 89)
+        return self.get_chunk(start, end, centre=centre)
+
+    def get_chunk(self, start, end, centre: Optional[Tuple[float, float]] = None) -> Sample:
+        idx = _window_indices(self.datetimes, start, end, self.freq)
+        if len(idx) == 0:
+            raise BadData(f"no satellite frames in [{start} .. {end}]")
+        window = np.asarray(self.data[idx[0] : idx[-1] + 1])
+        x, y = self.x, self.y
+        if centre is not None or (
+            self.image_size_pixels is not None
+            and self.image_size_pixels < window.shape[-1]
+        ):
+            if x is None or y is None:
+                if centre is not None:
+                    raise ValueError(
+                        "a centre crop requires x/y pixel coordinates"
+                    )
+                # no coordinates: corner crop, nb28 cell 83 RandomSquareCrop
+                size = self.image_size_pixels
+                window = window[..., :size, :size]
+            else:
+                if centre is None:  # archive-centre crop
+                    centre = (float(np.median(x)), float(np.median(y)))
+                window, x, y = crop_square(
+                    window, x, y, centre[0], centre[1], self.image_size_pixels
+                )
+        sample: Sample = {
+            "sat_data": window,
+            "sat_datetimes": self.datetimes[idx],
+        }
+        if x is not None:
+            sample["sat_x"] = x
+        if y is not None:
+            sample["sat_y"] = y
+        return sample
+
+
+class NWPDataSource(DataSource):
+    """Freshest-run NWP selection per hourly target (nb28 cell 103).
+
+    ``data``: (n_init, n_step, C, H, W) — one row per model run, lead times
+    on axis 1 at ``step_duration`` spacing starting from 0. ``init_times``
+    sorted ascending. ``get_sample`` delegates target/init/step choice to
+    :func:`~predict_pv_yield_tpu.data.segments.select_nwp_init_times`
+    (including the notebook's ceil(t0) freeze quirk) and gathers
+    ``data[init_idx, step_idx]`` per target. A lead time beyond the archive's
+    step axis raises :class:`BadData`.
+
+    With ``static_targets`` (the default), every equal-duration window yields
+    the same number of targets — ``ceil(duration / 1h) + 2`` — by extending
+    the natural ``floor(start)..ceil(end)`` grid with further future targets
+    from the same frozen run (the notebook's grid length varies with the
+    window's alignment to the hour, which would break static-shape XLA
+    collation; the extension is the frozen-future rule applied to later
+    hours, so every value is a real archive prediction).
+    """
+
+    def __init__(
+        self,
+        data,
+        init_times,
+        step_duration: np.timedelta64 = np.timedelta64(1, "h"),
+        static_targets: bool = True,
+    ):
+        self.data = data
+        self.init_times = _as_ns(init_times)
+        if len(self.init_times) != data.shape[0]:
+            raise ValueError(
+                f"init_times length {len(self.init_times)} != data.shape[0] "
+                f"{data.shape[0]}"
+            )
+        self.step_duration = np.timedelta64(step_duration)
+        self.static_targets = static_targets
+
+    def get_sample(self, start, end, t0) -> Sample:
+        target_times, chosen, steps = select_nwp_init_times(
+            self.init_times, start=start, end=end, t0=t0
+        )
+        if self.static_targets:
+            hour = np.timedelta64(1, "h")
+            duration = np.datetime64(end, "ns") - np.datetime64(start, "ns")
+            n_fixed = -(-duration // np.timedelta64(hour, "ns")) + 2
+            assert len(target_times) <= n_fixed, (
+                f"natural grid {len(target_times)} > static {n_fixed}"
+            )
+            while len(target_times) < n_fixed:
+                target_times = np.append(target_times, target_times[-1] + hour)
+                chosen = np.append(chosen, chosen[-1])  # frozen future run
+                steps = np.append(steps, steps[-1] + hour)
+        init_idx = np.searchsorted(self.init_times, chosen)
+        step_ns = np.timedelta64(self.step_duration, "ns").astype(np.int64)
+        step_idx, rem = np.divmod(steps.astype("timedelta64[ns]").astype(np.int64), step_ns)
+        if (rem != 0).any():
+            raise BadData(
+                f"lead times {steps[rem != 0]} are not multiples of the "
+                f"step duration {self.step_duration}"
+            )
+        if (step_idx >= self.data.shape[1]).any():
+            raise BadData(
+                f"lead time {steps.max()} exceeds the archive's "
+                f"{self.data.shape[1]} steps of {self.step_duration}"
+            )
+        frames = np.stack(
+            [np.asarray(self.data[i, j]) for i, j in zip(init_idx, step_idx)]
+        )
+        return {
+            "nwp": frames,  # (T_target, C, H, W)
+            "nwp_target_times": target_times.astype("datetime64[ns]"),
+            "nwp_init_times": chosen.astype("datetime64[ns]"),
+        }
+
+    def get_chunk(self, start, end) -> Sample:
+        """All runs initialised in [floor3h(start), floor3h(end)] (cell 103)."""
+        three_h = np.timedelta64(3, "h")
+        floor = lambda t: (  # noqa: E731 — tiny local helper
+            np.datetime64(t, "ns")
+            - (np.datetime64(t, "ns") - np.datetime64(0, "ns")) % three_h
+        )
+        lo = int(np.searchsorted(self.init_times, floor(start), side="left"))
+        hi = int(np.searchsorted(self.init_times, floor(end), side="right"))
+        return {
+            "nwp": np.asarray(self.data[lo:hi]),
+            "nwp_init_times": self.init_times[lo:hi],
+        }
+
+
+class PVDataSource(DataSource):
+    """One random NaN-free PV system per example window (nb28 cell 107).
+
+    ``power``: (T, n_systems) yield fractions; ``datetimes`` sorted, length
+    T; ``system_ids``/``x``/``y``: per-system metadata, row order defining
+    ``pv_system_row_number``. Systems with any NaN inside the window are
+    dropped; if none survive, :class:`BadData`.
+    """
+
+    def __init__(
+        self,
+        power: np.ndarray,
+        datetimes,
+        system_ids: np.ndarray,
+        x: Optional[np.ndarray] = None,
+        y: Optional[np.ndarray] = None,
+        freq: np.timedelta64 = np.timedelta64(5, "m"),
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.power = np.asarray(power)
+        self.datetimes = _as_ns(datetimes)
+        if len(self.datetimes) != self.power.shape[0]:
+            raise ValueError("datetimes length != power.shape[0]")
+        self.system_ids = np.asarray(system_ids)
+        if len(self.system_ids) != self.power.shape[1]:
+            raise ValueError("system_ids length != power.shape[1]")
+        self.x = None if x is None else np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.freq = np.timedelta64(freq)
+        self.rng = rng or np.random.default_rng()
+
+    def get_sample(self, start, end, t0) -> Sample:
+        del t0  # not used (cell 107)
+        return self.get_chunk(start, end)
+
+    def get_chunk(self, start, end) -> Sample:
+        idx = _window_indices(self.datetimes, start, end, self.freq)
+        window = self.power[idx[0] : idx[-1] + 1] if len(idx) else self.power[:0]
+        if window.shape[0] == 0:
+            raise BadData(f"no PV samples in [{start} .. {end}]")
+        clean = ~np.isnan(window).any(axis=0)
+        if not clean.any():
+            raise BadData(
+                f"every PV system has missing data in [{start} .. {end}]"
+            )
+        row = int(self.rng.choice(np.flatnonzero(clean)))
+        sample: Sample = {
+            "pv_yield": window[:, row].astype(np.float32),
+            "pv_system_id": int(self.system_ids[row]),
+            "pv_system_row_number": row,
+        }
+        if self.x is not None:
+            sample["pv_location_x"] = float(self.x[row])
+        if self.y is not None:
+            sample["pv_location_y"] = float(self.y[row])
+        return sample
+
+
+def datetime_features(datetimes: np.ndarray) -> Dict[str, np.ndarray]:
+    """Cyclical hour-of-day / day-of-year encodings of a datetime vector.
+
+    The four sin/cos channels the reference's models consume
+    (``experiments/001…py:320-342``; BatchML ``datetime`` group). Hour
+    includes the minute fraction; day-of-year is 1-based over a 366-day
+    cycle, matching pandas ``dt.dayofyear`` driving the reference's
+    features.
+    """
+    dt = _as_ns(datetimes)
+    day = dt.astype("datetime64[D]")
+    seconds = (dt - day).astype("timedelta64[s]").astype(np.float64)
+    hour = seconds / 3600.0
+    year = dt.astype("datetime64[Y]")
+    doy = (day - year).astype("timedelta64[D]").astype(np.float64) + 1.0
+    two_pi = 2.0 * np.pi
+    return {
+        "hour_of_day_sin": np.sin(two_pi * hour / 24.0).astype(np.float32),
+        "hour_of_day_cos": np.cos(two_pi * hour / 24.0).astype(np.float32),
+        "day_of_year_sin": np.sin(two_pi * doy / 366.0).astype(np.float32),
+        "day_of_year_cos": np.cos(two_pi * doy / 366.0).astype(np.float32),
+    }
+
+
+class SampleGenerator:
+    """Draw example windows and merge per-source samples (nb28 cells 90-92).
+
+    ``sources`` contribute their Sample keys in order (later sources may not
+    overwrite earlier keys — a collision is a programming error and raises).
+    Windows come from the satellite datetime index: contiguous segments →
+    duration-weighted random windows (``data/segments.py``), with ``t0``
+    placed ``history_minutes`` after each window start. :class:`BadData`
+    from any source aborts that window; :meth:`sample` retries with fresh
+    windows up to ``max_retries`` times.
+    """
+
+    def __init__(
+        self,
+        sources: Sequence[DataSource],
+        datetimes,
+        history_minutes: int = 30,
+        forecast_minutes: int = 60,
+        freq: np.timedelta64 = np.timedelta64(5, "m"),
+        rng: Optional[np.random.Generator] = None,
+        max_retries: int = 10,
+    ):
+        self.sources = list(sources)
+        self.datetimes = _as_ns(datetimes)
+        self.history = np.timedelta64(history_minutes, "m")
+        self.forecast = np.timedelta64(forecast_minutes, "m")
+        self.freq = np.timedelta64(freq)
+        self.rng = rng or np.random.default_rng()
+        self.max_retries = max_retries
+        duration = self.history + self.forecast
+        min_timesteps = int(duration / self.freq) + 1
+        self.segments: List[Segment] = get_contiguous_segments(
+            self.datetimes, min_timesteps=min_timesteps, max_gap=self.freq
+        )
+        if not self.segments:
+            raise ValueError(
+                f"no contiguous segment of {min_timesteps} timesteps at "
+                f"{self.freq} in the datetime index"
+            )
+
+    def get_sample(self, start, end, t0) -> Sample:
+        sample: Sample = {}
+        for source in self.sources:
+            part = source.get_sample(start, end, t0)
+            overlap = sample.keys() & part.keys()
+            if overlap:
+                raise ValueError(
+                    f"{type(source).__name__} redefines sample keys {sorted(overlap)}"
+                )
+            sample.update(part)
+        sample["start_datetime"] = np.datetime64(start, "ns")
+        sample["end_datetime"] = np.datetime64(end, "ns")
+        sample["t0_datetime"] = np.datetime64(t0, "ns")
+        return sample
+
+    def sample(self, n: int) -> List[Sample]:
+        """``n`` examples from random windows, retrying BadData windows."""
+        out: List[Sample] = []
+        failures = 0
+        while len(out) < n:
+            window = get_random_segments(
+                self.segments, self.history + self.forecast, 1,
+                rng=self.rng, freq=self.freq,
+            )[0]
+            t0 = window.start + self.history
+            try:
+                out.append(self.get_sample(window.start, window.end, t0))
+            except BadData:
+                failures += 1
+                if failures > self.max_retries * max(n, 1):
+                    raise BadData(
+                        f"gave up after {failures} bad windows while "
+                        f"collecting {n} samples"
+                    )
+        return out
+
+
+def collate_samples(samples: Sequence[Sample]) -> Batch:
+    """Stack ``Sample`` dicts into the standard :class:`Batch` pytree.
+
+    The nb28→BatchML field mapping: ``sat_data`` (T,H,W) or (T,C,H,W) →
+    ``satellite.data`` (B,C,T,H,W); ``pv_yield`` → (B,T,1) single-system
+    examples; ``nwp`` (T,C,H,W) → ``nwp.data`` (B,C,T,H,W); datetime
+    features computed from the satellite index. GSP/sun/topographic groups
+    stay empty — nb28 predates them (they arrive with nowcasting_dataset
+    proper; the v15 reader owns that surface).
+    """
+    if not samples:
+        raise ValueError("no samples to collate")
+
+    def stack(key):
+        return np.stack([np.asarray(s[key]) for s in samples])
+
+    data: Dict[str, Dict[str, np.ndarray]] = {}
+    first = samples[0]
+
+    if "sat_data" in first:
+        sat = stack("sat_data")  # (B,T,H,W) or (B,T,C,H,W)
+        if sat.ndim == 4:
+            sat = sat[:, None]  # single channel → (B,1,T,H,W)
+        elif sat.ndim == 5:
+            sat = np.moveaxis(sat, 2, 1)  # (B,T,C,H,W) → (B,C,T,H,W)
+        else:
+            raise ValueError(f"sat_data must be 3-d or 4-d, got {sat.ndim - 1}-d")
+        sat_times = stack("sat_datetimes")
+        data["satellite"] = {
+            "data": sat.astype(np.float32),
+            "datetime_index": sat_times.astype("datetime64[ns]").astype(np.int64),
+        }
+        if "sat_x" in first:
+            data["satellite"]["x"] = stack("sat_x").astype(np.float32)
+        if "sat_y" in first:
+            data["satellite"]["y"] = stack("sat_y").astype(np.float32)
+        feats = datetime_features(sat_times.reshape(-1))
+        data["datetime"] = {
+            k: v.reshape(sat_times.shape) for k, v in feats.items()
+        }
+
+    if "nwp" in first:
+        nwp = stack("nwp")  # (B,T,C,H,W)
+        data["nwp"] = {
+            "data": np.moveaxis(nwp, 2, 1).astype(np.float32),
+            "target_time": stack("nwp_target_times")
+            .astype("datetime64[ns]")
+            .astype(np.int64),
+        }
+
+    if "pv_yield" in first:
+        data["pv"] = {
+            "pv_yield": stack("pv_yield")[..., None].astype(np.float32),
+            "pv_system_id": np.array(
+                [[s["pv_system_id"]] for s in samples], dtype=np.int32
+            ),
+            "pv_system_row_number": np.array(
+                [[s["pv_system_row_number"]] for s in samples], dtype=np.int32
+            ),
+        }
+
+    data["metadata"] = {
+        "t0_datetime_utc": np.array(
+            [s["t0_datetime"] for s in samples], dtype="datetime64[ns]"
+        ).astype(np.int64)
+    }
+    return Batch.from_dict(data)

@@ -1,0 +1,334 @@
+"""DataSource lineage (nb28 cells 83-110) — `data/sources.py`."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from predict_pv_yield_tpu.data.sources import (
+    BadData,
+    NWPDataSource,
+    PVDataSource,
+    SampleGenerator,
+    SatelliteDataSource,
+    collate_samples,
+    crop_square,
+    datetime_features,
+)
+
+
+def _grid(start: str, n: int, minutes: int = 5) -> np.ndarray:
+    t0 = np.datetime64(start, "ns")
+    return t0 + np.arange(n) * np.timedelta64(minutes, "m")
+
+
+class TestSatelliteDataSource:
+    def test_window_slice_inclusive_and_t0_unused(self):
+        times = _grid("2020-06-01T10:00", 20)
+        data = np.arange(20 * 4 * 4, dtype=np.float32).reshape(20, 4, 4)
+        src = SatelliteDataSource(data, times)
+        s = src.get_sample(times[3], times[7], t0=times[5])
+        assert s["sat_data"].shape == (5, 4, 4)
+        np.testing.assert_array_equal(s["sat_data"], data[3:8])
+        np.testing.assert_array_equal(s["sat_datetimes"], times[3:8])
+
+    def test_gap_in_window_raises_baddata(self):
+        times = np.concatenate([_grid("2020-06-01T10:00", 5),
+                                _grid("2020-06-01T11:00", 5)])
+        src = SatelliteDataSource(np.zeros((10, 2, 2)), times)
+        with pytest.raises(BadData, match="gap-free"):
+            src.get_chunk(times[3], times[6])
+
+    def test_centre_crop(self):
+        times = _grid("2020-06-01T10:00", 3)
+        data = np.arange(3 * 8 * 8, dtype=np.float32).reshape(3, 8, 8)
+        x = np.arange(8) * 2000.0 + 100_000.0  # eastings per column
+        y = np.arange(8) * 2000.0 + 500_000.0
+        src = SatelliteDataSource(data, times, x=x, y=y, image_size_pixels=4)
+        s = src.get_sample(times[0], times[2], t0=times[1],
+                           centre=(x[4], y[4]))
+        assert s["sat_data"].shape == (3, 4, 4)
+        np.testing.assert_array_equal(s["sat_x"], x[2:6])
+        np.testing.assert_array_equal(s["sat_y"], y[2:6])
+
+    def test_length_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="datetimes length"):
+            SatelliteDataSource(np.zeros((4, 2, 2)), _grid("2020-01-01", 5))
+
+
+class TestCropSquare:
+    def test_out_of_bounds_raises(self):
+        x = np.arange(6) * 1000.0
+        y = np.arange(6) * 1000.0
+        with pytest.raises(BadData, match="outside the archive"):
+            crop_square(np.zeros((6, 6)), x, y, centre_x=0.0, centre_y=0.0,
+                        size_pixels=4)
+
+
+class TestNWPDataSource:
+    def _source(self, n_init=8, **kwargs):
+        init = _grid("2020-06-01T00:00", n_init, minutes=60)
+        # data[i, j, 0] = 100*i + j so the (init, step) gather is legible
+        data = (100 * np.arange(n_init)[:, None] + np.arange(6)[None, :])
+        data = data[:, :, None, None, None] * np.ones((1, 1, 1, 2, 2))
+        return NWPDataSource(data.astype(np.float32), init, **kwargs), init
+
+    def test_freshest_run_per_target_and_frozen_future(self):
+        src, init = self._source(static_targets=False)
+        start, t0, end = init[2], init[3], init[5]
+        s = src.get_sample(start, end, t0)
+        # targets 02..05; history targets use their own hour's run, future
+        # (04,05) frozen on ceil(t0)=03:00's run → values 202, 303, 301, 302
+        assert s["nwp"].shape == (4, 1, 2, 2)
+        np.testing.assert_array_equal(
+            s["nwp"][:, 0, 0, 0], [200.0, 300.0, 301.0, 302.0]
+        )
+        np.testing.assert_array_equal(s["nwp_target_times"], init[2:6])
+
+    def test_static_targets_extend_frozen_run(self):
+        src, init = self._source()  # static_targets default
+        start, t0, end = init[2], init[3], init[5]
+        s = src.get_sample(start, end, t0)
+        # 3h window → ceil(3)+2 = 5 targets; the 5th is 06:00 from the
+        # frozen 03:00 run (step 3h → value 303)
+        assert s["nwp"].shape == (5, 1, 2, 2)
+        np.testing.assert_array_equal(
+            s["nwp"][:, 0, 0, 0], [200.0, 300.0, 301.0, 302.0, 303.0]
+        )
+        assert s["nwp_target_times"][-1] == init[6]
+        assert s["nwp_init_times"][-1] == init[3]
+
+    def test_static_targets_equal_length_across_misaligned_windows(self):
+        src, init = self._source()
+        m = np.timedelta64(5, "m")
+        shapes = set()
+        for offset in range(0, 12):  # start frac 0..55 min
+            start = init[1] + offset * m
+            end = start + np.timedelta64(90, "m")
+            t0 = start + np.timedelta64(30, "m")
+            shapes.add(src.get_sample(start, end, t0)["nwp"].shape)
+        assert len(shapes) == 1  # ceil(1.5)+2 = 4 targets, always
+        assert shapes.pop()[0] == 4
+
+    def test_step_overflow_raises_baddata(self):
+        init = _grid("2020-06-01T00:00", 1, minutes=60)
+        data = np.zeros((1, 2, 1, 2, 2), dtype=np.float32)  # only 2 steps
+        src = NWPDataSource(data, init)
+        with pytest.raises(BadData, match="exceeds the archive"):
+            src.get_sample(init[0], init[0] + np.timedelta64(4, "h"), init[0])
+
+    def test_get_chunk_floors_to_3h(self):
+        init = _grid("2020-06-01T00:00", 12, minutes=180)  # 3-hourly runs
+        data = np.arange(12, dtype=np.float32)[:, None, None, None, None] * np.ones(
+            (1, 2, 1, 2, 2), dtype=np.float32
+        )
+        src = NWPDataSource(data, init, step_duration=np.timedelta64(3, "h"))
+        chunk = src.get_chunk(
+            np.datetime64("2020-06-01T04:10"), np.datetime64("2020-06-01T10:59")
+        )
+        # floor3h(04:10)=03:00, floor3h(10:59)=09:00 → runs 03,06,09
+        np.testing.assert_array_equal(chunk["nwp_init_times"], init[1:4])
+
+
+class TestPVDataSource:
+    def test_nan_systems_dropped_and_one_chosen(self):
+        times = _grid("2020-06-01T10:00", 10)
+        power = np.random.default_rng(0).uniform(0, 1, size=(10, 3)).astype(np.float32)
+        power[4, 0] = np.nan  # system 0 has a hole
+        src = PVDataSource(
+            power, times, system_ids=np.array([11, 22, 33]),
+            x=np.array([1.0, 2.0, 3.0]), y=np.array([4.0, 5.0, 6.0]),
+            rng=np.random.default_rng(1),
+        )
+        s = src.get_sample(times[0], times[9], t0=times[5])
+        assert s["pv_system_row_number"] in (1, 2)
+        assert s["pv_system_id"] == [11, 22, 33][s["pv_system_row_number"]]
+        np.testing.assert_array_equal(
+            s["pv_yield"], power[:, s["pv_system_row_number"]]
+        )
+        assert s["pv_location_x"] == [1.0, 2.0, 3.0][s["pv_system_row_number"]]
+
+    def test_all_nan_raises_baddata(self):
+        times = _grid("2020-06-01T10:00", 4)
+        power = np.full((4, 2), np.nan, dtype=np.float32)
+        src = PVDataSource(power, times, system_ids=np.array([1, 2]))
+        with pytest.raises(BadData, match="missing data"):
+            src.get_chunk(times[0], times[3])
+
+
+class TestDatetimeFeatures:
+    def test_known_values(self):
+        f = datetime_features(np.array(["2020-01-01T06:00", "2020-07-01T18:00"],
+                                       dtype="datetime64[ns]"))
+        # 06:00 → sin(2π·6/24)=1; day 1 → sin(2π/366)
+        assert f["hour_of_day_sin"][0] == pytest.approx(1.0)
+        assert f["hour_of_day_cos"][0] == pytest.approx(0.0, abs=1e-6)
+        assert f["hour_of_day_sin"][1] == pytest.approx(-1.0)
+        assert f["day_of_year_sin"][0] == pytest.approx(np.sin(2 * np.pi / 366))
+        # 2020-07-01 is day 183 of the leap year
+        assert f["day_of_year_sin"][1] == pytest.approx(
+            np.sin(2 * np.pi * 183 / 366)
+        )
+
+
+class TestSampleGeneratorAndCollate:
+    def _build(self, n_frames=64):
+        times = _grid("2020-06-01T08:00", n_frames)
+        rng = np.random.default_rng(0)
+        sat = rng.uniform(0, 1023, size=(n_frames, 8, 8)).astype(np.float32)
+        x = np.arange(8) * 2000.0 + 100_000.0
+        y = np.arange(8) * 2000.0 + 500_000.0
+        init = _grid("2020-06-01T00:00", 24, minutes=60)
+        nwp = rng.standard_normal((24, 4, 2, 4, 4)).astype(np.float32)
+        power = rng.uniform(0, 1, size=(n_frames, 5)).astype(np.float32)
+        gen = SampleGenerator(
+            sources=[
+                SatelliteDataSource(sat, times, x=x, y=y),
+                NWPDataSource(nwp, init),
+                PVDataSource(power, times, system_ids=np.arange(5) + 100,
+                             rng=np.random.default_rng(2)),
+            ],
+            datetimes=times,
+            history_minutes=30,
+            forecast_minutes=60,
+            rng=np.random.default_rng(3),
+        )
+        return gen, times
+
+    def test_samples_collate_to_batch(self):
+        gen, times = self._build()
+        samples = gen.sample(4)
+        batch = collate_samples(samples)
+        assert batch.satellite.data.shape == (4, 1, 19, 8, 8)  # 90min/5 + 1
+        assert batch.satellite.datetime_index.dtype == np.int64
+        assert batch.nwp.data.shape[0] == 4 and batch.nwp.data.shape[1] == 2
+        assert batch.pv.pv_yield.shape == (4, 19, 1)
+        assert batch.datetime.hour_of_day_sin.shape == (4, 19)
+        assert batch.metadata.t0_datetime_utc.shape == (4,)
+        # t0 sits history_minutes after each window start
+        for s in samples:
+            assert s["t0_datetime"] - s["start_datetime"] == np.timedelta64(30, "m")
+            assert times[0] <= s["start_datetime"]
+            assert s["end_datetime"] <= times[-1]
+
+    def test_baddata_windows_are_retried(self):
+        times = _grid("2020-06-01T08:00", 64)
+        rng = np.random.default_rng(0)
+        power = rng.uniform(0, 1, size=(64, 1)).astype(np.float32)
+        power[32, 0] = np.nan  # poisons any window covering frame 32
+        gen = SampleGenerator(
+            sources=[PVDataSource(power, times, system_ids=np.array([7]),
+                                  rng=np.random.default_rng(1))],
+            datetimes=times,
+            history_minutes=30,
+            forecast_minutes=30,
+            rng=np.random.default_rng(4),
+        )
+        samples = gen.sample(6)
+        assert len(samples) == 6
+        for s in samples:  # no sampled window contains the NaN frame
+            assert not (
+                s["start_datetime"] <= times[32] <= s["end_datetime"]
+            )
+
+    def test_exhausted_retries_raise(self):
+        times = _grid("2020-06-01T08:00", 16)
+        power = np.full((16, 1), np.nan, dtype=np.float32)
+        gen = SampleGenerator(
+            sources=[PVDataSource(power, times, system_ids=np.array([7]))],
+            datetimes=times,
+            history_minutes=15,
+            forecast_minutes=15,
+            max_retries=2,
+        )
+        with pytest.raises(BadData, match="gave up"):
+            gen.sample(2)
+
+    def test_key_collision_raises(self):
+        gen, times = self._build()
+        gen.sources.append(gen.sources[0])  # duplicate satellite source
+        with pytest.raises(ValueError, match="redefines sample keys"):
+            gen.get_sample(times[0], times[18], times[6])
+
+    def test_prepare_dataset_samples_real_zarr_windows(self, tmp_path):
+        """tools/prepare_dataset.py --satellite-zarr: shards carry real
+        archive windows (exact value match at the recorded datetimes), the
+        rest of the batch stays synthetic but shape-complete."""
+        from predict_pv_yield_tpu.data.shards import read_shard, shard_filename
+        from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+        store = tmp_path / "sat.zarr"
+        n_frames, px = 80, 12
+        times = _grid("2020-06-01T08:00", n_frames)
+        rng = np.random.default_rng(0)
+        # distinct per-frame constants make window identification exact
+        frames = np.tile(
+            np.arange(n_frames, dtype=np.int16)[:, None, None], (1, px, px)
+        )
+        frames += rng.integers(0, 3, size=frames.shape, dtype=np.int16)
+        write_zarr(str(store / "data"), frames, chunks=(16, px, px))
+        write_zarr(str(store / "time"), times.astype("datetime64[ns]"),
+                   chunks=(n_frames,))
+        write_zarr(str(store / "x"),
+                   np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
+        write_zarr(str(store / "y"),
+                   np.arange(px) * 2000.0 + 500_000.0, chunks=(px,))
+
+        out = tmp_path / "prepared"
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = {
+            k: v
+            for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
+        result = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "prepare_dataset.py"),
+                "--out", str(out),
+                "--satellite-zarr", str(store),
+                "--n-train", "2", "--n-test", "1", "--batch-size", "2",
+                "--satellite-pixels", "8", "--nwp-pixels", "2",
+                "--history-minutes", "30", "--forecast-minutes", "30",
+            ],
+            env=env, capture_output=True, text=True,
+        )
+        assert result.returncode == 0, result.stderr
+
+        batch = read_shard(str(out / "train" / shard_filename(0, "raw")))
+        sat = np.asarray(batch.satellite.data)
+        assert sat.shape == (2, 1, 13, 8, 8)  # 60min/5+1 frames, cropped
+        dt = np.asarray(batch.satellite.datetime_index)
+        for b in range(2):
+            window_times = dt[b].astype("datetime64[ns]")
+            assert (np.diff(window_times) == np.timedelta64(5, "m")).all()
+            frame_idx = np.searchsorted(times, window_times)
+            np.testing.assert_array_equal(times[frame_idx], window_times)
+            # exact archive values at the cropped corner/centre coords
+            x_idx = np.searchsorted(
+                np.arange(px) * 2000.0 + 100_000.0, batch.satellite.x[b]
+            )
+            y_idx = np.searchsorted(
+                np.arange(px) * 2000.0 + 500_000.0, batch.satellite.y[b]
+            )
+            expected = frames[np.ix_(frame_idx, y_idx, x_idx)]
+            np.testing.assert_array_equal(sat[b, 0], expected.astype(np.float32))
+        # synthetic groups still present and shaped
+        assert batch.nwp.data.shape[0] == 2
+        assert batch.gsp.gsp_yield is not None
+        # configuration channel list follows the single-channel archive
+        import yaml
+        with open(out / "configuration.yaml") as fh:
+            config = yaml.safe_load(fh)
+        assert len(config["input_data"]["satellite"]["satellite_channels"]) == 1
+
+    def test_collate_channelled_satellite(self):
+        times = _grid("2020-06-01T08:00", 7)
+        sat = np.random.default_rng(0).standard_normal((7, 3, 4, 4)).astype(np.float32)
+        src = SatelliteDataSource(sat, times)
+        s = src.get_chunk(times[0], times[6])
+        s.update(start_datetime=times[0], end_datetime=times[6], t0_datetime=times[3])
+        batch = collate_samples([s, s])
+        assert batch.satellite.data.shape == (2, 3, 7, 4, 4)

@@ -49,11 +49,51 @@ def main() -> None:
         "per-source NetCDF batch tree (h5netcdf byte conventions, "
         "data/netcdf_writer.py) readable by the reference's own tooling",
     )
+    parser.add_argument(
+        "--satellite-zarr", default=None,
+        help="zarr group store to sample real satellite windows from "
+        "(arrays: --zarr-array imagery sliceable on time, --zarr-time "
+        "datetimes, optional x/y OSGB pixel coords). The satellite group, "
+        "datetime features and t0 metadata come from the archive via the "
+        "nb28 DataSource pipeline (data/sources.py); other groups stay "
+        "synthetic.",
+    )
+    parser.add_argument("--zarr-array", default="data")
+    parser.add_argument("--zarr-time", default="time")
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
     from predict_pv_yield_tpu.data.fake import fake_batch
     from predict_pv_yield_tpu.data.shards import write_shard
+
+    if not args.fake and not args.satellite_zarr:
+        parser.error("pass --fake or --satellite-zarr")
+
+    sat_source = None
+    if args.satellite_zarr:
+        from predict_pv_yield_tpu.data.sources import (
+            SampleGenerator,
+            SatelliteDataSource,
+        )
+        from predict_pv_yield_tpu.data.zarr_reader import open_zarr
+
+        array = open_zarr(args.satellite_zarr, args.zarr_array)
+        times = open_zarr(args.satellite_zarr, args.zarr_time)[:]
+        coords = {}
+        for name in ("x", "y"):
+            try:
+                coords[name] = open_zarr(args.satellite_zarr, name)[:]
+            except FileNotFoundError:
+                coords[name] = None
+        if array.shape[-1] < args.satellite_pixels:
+            parser.error(
+                f"archive is {array.shape[-1]}px wide < "
+                f"--satellite-pixels {args.satellite_pixels}"
+            )
+        sat_source = SatelliteDataSource(
+            array, times, x=coords["x"], y=coords["y"],
+            image_size_pixels=args.satellite_pixels,
+        )
 
     configuration = Configuration()
     configuration.process.batch_size = args.batch_size
@@ -62,6 +102,16 @@ def main() -> None:
     configuration.input_data = configuration.input_data.set_all_to_defaults()
     configuration.input_data.satellite.satellite_image_size_pixels = args.satellite_pixels
     configuration.input_data.nwp.nwp_image_size_pixels = args.nwp_pixels
+    if sat_source is not None:
+        # channel count follows the archive ((T,H,W) = 1, (T,C,H,W) = C)
+        n_ch = 1 if len(sat_source.data.shape) == 3 else sat_source.data.shape[1]
+        channels = list(configuration.input_data.satellite.satellite_channels)
+        if n_ch > len(channels):
+            parser.error(
+                f"archive has {n_ch} channels > the {len(channels)} named "
+                "satellite channels"
+            )
+        configuration.input_data.satellite.satellite_channels = channels[:n_ch]
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "configuration.yaml"), "w") as fh:
@@ -91,14 +141,41 @@ def main() -> None:
 
     for split, count in (("train", args.n_train), ("test", args.n_test)):
         directory = os.path.join(args.out, split)
+        generator = None
+        if sat_source is not None:
+            from predict_pv_yield_tpu.data.sources import collate_samples
+
+            generator = SampleGenerator(
+                [sat_source],
+                datetimes=sat_source.datetimes,
+                history_minutes=args.history_minutes,
+                forecast_minutes=args.forecast_minutes,
+                rng=np.random.default_rng((args.seed, split == "test", 1 << 20)),
+            )
         for i in range(count):
             rng = np.random.default_rng((args.seed, split == "test", i))
             batch = fake_batch(configuration, rng)
+            if generator is not None:
+                real = collate_samples(generator.sample(args.batch_size))
+                sat_fields = dict(
+                    data=real.satellite.data,
+                    datetime_index=real.satellite.datetime_index,
+                )
+                if real.satellite.x is not None:
+                    sat_fields.update(x=real.satellite.x, y=real.satellite.y)
+                batch = batch.replace(
+                    satellite=batch.satellite.replace(**sat_fields),
+                    datetime=real.datetime,
+                    metadata=real.metadata,
+                )
             if args.format == "netcdf":
                 # int16 satellite wire, as the real v15 archives ship it
-                raw = rng.integers(
-                    -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
-                )
+                if generator is None:
+                    raw = rng.integers(
+                        -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
+                    )
+                else:  # archives hold raw int16 counts; roundtrip exactly
+                    raw = np.round(batch.satellite.data).astype(np.int16)
                 batch = batch.replace(
                     satellite=batch.satellite.replace(data=raw)
                 )
