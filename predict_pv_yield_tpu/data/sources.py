@@ -360,6 +360,48 @@ class PVDataSource(DataSource):
         return sample
 
 
+class SunSource(DataSource):
+    """Computed solar angles at the example centre.
+
+    The reference's ``sun`` batch group is produced upstream by
+    nowcasting_dataset's pvlib sun data source; this is the native form —
+    angles are *computed* (first-party NOAA algorithm, ``sun.py``) on the
+    window's ``freq`` grid at an OSGB centre, not read from an archive.
+    ``t0`` is unused (the sun doesn't care what "now" is).
+    """
+
+    def __init__(
+        self,
+        easting: float,
+        northing: float,
+        freq: np.timedelta64 = np.timedelta64(5, "m"),
+        refraction: bool = False,
+    ):
+        self.easting = float(easting)
+        self.northing = float(northing)
+        self.freq = np.timedelta64(freq)
+        self.refraction = refraction
+
+    def get_sample(self, start, end, t0) -> Sample:
+        del t0
+        return self.get_chunk(start, end)
+
+    def get_chunk(self, start, end) -> Sample:
+        from predict_pv_yield_tpu.sun import sun_angles_osgb
+
+        start = np.datetime64(start, "ns")
+        end = np.datetime64(end, "ns")
+        n = int((end - start) / np.timedelta64(self.freq, "ns")) + 1
+        times = start + np.arange(n) * self.freq
+        elevation, azimuth = sun_angles_osgb(
+            times, self.easting, self.northing, refraction=self.refraction
+        )
+        return {
+            "sun_elevation_angle": elevation.astype(np.float32),
+            "sun_azimuth_angle": azimuth.astype(np.float32),
+        }
+
+
 def datetime_features(datetimes: np.ndarray) -> Dict[str, np.ndarray]:
     """Cyclical hour-of-day / day-of-year encodings of a datetime vector.
 
@@ -467,9 +509,10 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
     The nb28→BatchML field mapping: ``sat_data`` (T,H,W) or (T,C,H,W) →
     ``satellite.data`` (B,C,T,H,W); ``pv_yield`` → (B,T,1) single-system
     examples; ``nwp`` (T,C,H,W) → ``nwp.data`` (B,C,T,H,W); datetime
-    features computed from the satellite index. GSP/sun/topographic groups
-    stay empty — nb28 predates them (they arrive with nowcasting_dataset
-    proper; the v15 reader owns that surface).
+    features computed from the satellite index; computed solar angles →
+    ``sun``. GSP/topographic groups stay empty — nb28 predates them (they
+    arrive with nowcasting_dataset proper; the v15 reader owns that
+    surface).
     """
     if not samples:
         raise ValueError("no samples to collate")
@@ -509,6 +552,12 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
             "target_time": stack("nwp_target_times")
             .astype("datetime64[ns]")
             .astype(np.int64),
+        }
+
+    if "sun_elevation_angle" in first:
+        data["sun"] = {
+            "sun_elevation_angle": stack("sun_elevation_angle"),
+            "sun_azimuth_angle": stack("sun_azimuth_angle"),
         }
 
     if "pv_yield" in first:

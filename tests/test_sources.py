@@ -158,6 +158,23 @@ class TestPVDataSource:
             src.get_chunk(times[0], times[3])
 
 
+class TestSunSource:
+    def test_sun_sample_merges_and_collates(self):
+        from predict_pv_yield_tpu.data.sources import SunSource
+
+        times = _grid("2020-06-01T10:00", 13)
+        # ~central London easting/northing
+        src = SunSource(easting=530_000.0, northing=180_000.0)
+        s = src.get_sample(times[0], times[12], t0=times[6])
+        assert s["sun_elevation_angle"].shape == (13,)
+        assert (s["sun_elevation_angle"] > 30.0).all()  # June, late morning
+        assert (s["sun_azimuth_angle"] > 100.0).all()
+        s.update(start_datetime=times[0], end_datetime=times[12],
+                 t0_datetime=times[6])
+        batch = collate_samples([s])
+        assert batch.sun.sun_elevation_angle.shape == (1, 13)
+
+
 class TestDatetimeFeatures:
     def test_known_values(self):
         f = datetime_features(np.array(["2020-01-01T06:00", "2020-07-01T18:00"],
@@ -315,6 +332,13 @@ class TestSampleGeneratorAndCollate:
             )
             expected = frames[np.ix_(frame_idx, y_idx, x_idx)]
             np.testing.assert_array_equal(sat[b, 0], expected.astype(np.float32))
+        # real computed solar angles at the archive centre (June morning,
+        # central-England coords → sun well above the horizon)
+        sun = np.asarray(batch.sun.sun_elevation_angle)
+        assert sun.shape == (2, 13)
+        assert (sun > 10.0).all() and (sun < 65.0).all()
+        az = np.asarray(batch.sun.sun_azimuth_angle)
+        assert ((az > 60.0) & (az < 300.0)).all()  # morning→afternoon arc
         # synthetic groups still present and shaped
         assert batch.nwp.data.shape[0] == 2
         assert batch.gsp.gsp_yield is not None

@@ -94,6 +94,14 @@ def main() -> None:
             array, times, x=coords["x"], y=coords["y"],
             image_size_pixels=args.satellite_pixels,
         )
+        sun_source = None
+        if coords["x"] is not None and coords["y"] is not None:
+            from predict_pv_yield_tpu.data.sources import SunSource
+
+            # real solar angles at the archive centre (first-party NOAA)
+            sun_source = SunSource(
+                float(np.median(coords["x"])), float(np.median(coords["y"]))
+            )
 
     configuration = Configuration()
     configuration.process.batch_size = args.batch_size
@@ -145,8 +153,11 @@ def main() -> None:
         if sat_source is not None:
             from predict_pv_yield_tpu.data.sources import collate_samples
 
+            split_sources = [sat_source]
+            if sun_source is not None:
+                split_sources.append(sun_source)
             generator = SampleGenerator(
-                [sat_source],
+                split_sources,
                 datetimes=sat_source.datetimes,
                 history_minutes=args.history_minutes,
                 forecast_minutes=args.forecast_minutes,
@@ -168,6 +179,8 @@ def main() -> None:
                     datetime=real.datetime,
                     metadata=real.metadata,
                 )
+                if real.sun.sun_elevation_angle is not None:
+                    batch = batch.replace(sun=real.sun)
             if args.format == "netcdf":
                 # int16 satellite wire, as the real v15 archives ship it
                 if generator is None:
