@@ -67,10 +67,18 @@ class DataSource:
     ``get_sample`` extracts one example window ``[start, end]`` with "now"
     at ``t0``; ``get_chunk`` extracts a larger contiguous run for in-memory
     caching (the chunk-sequence path of ``get_zarr_chunk_sequences``).
+    ``centre`` is the example's OSGB ``(easting, northing)`` when the
+    generator runs location-driven extraction (nowcasting_dataset's
+    pick-a-system-then-extract-everything-around-it loop); sources that
+    don't vary by location ignore it.
     """
 
     def get_sample(
-        self, start: np.datetime64, end: np.datetime64, t0: np.datetime64
+        self,
+        start: np.datetime64,
+        end: np.datetime64,
+        t0: np.datetime64,
+        centre: Optional[Tuple[float, float]] = None,
     ) -> Sample:
         raise NotImplementedError
 
@@ -250,7 +258,8 @@ class NWPDataSource(DataSource):
         self.step_duration = np.timedelta64(step_duration)
         self.static_targets = static_targets
 
-    def get_sample(self, start, end, t0) -> Sample:
+    def get_sample(self, start, end, t0, centre=None) -> Sample:
+        del centre  # NWP arrays here are already example-sized
         target_times, chosen, steps = select_nwp_init_times(
             self.init_times, start=start, end=end, t0=t0
         )
@@ -333,11 +342,11 @@ class PVDataSource(DataSource):
         self.freq = np.timedelta64(freq)
         self.rng = rng or np.random.default_rng()
 
-    def get_sample(self, start, end, t0) -> Sample:
+    def get_sample(self, start, end, t0, centre=None) -> Sample:
         del t0  # not used (cell 107)
-        return self.get_chunk(start, end)
+        return self.get_chunk(start, end, centre=centre)
 
-    def get_chunk(self, start, end) -> Sample:
+    def get_chunk(self, start, end, centre=None) -> Sample:
         idx = _window_indices(self.datetimes, start, end, self.freq)
         window = self.power[idx[0] : idx[-1] + 1] if len(idx) else self.power[:0]
         if window.shape[0] == 0:
@@ -347,7 +356,14 @@ class PVDataSource(DataSource):
             raise BadData(
                 f"every PV system has missing data in [{start} .. {end}]"
             )
-        row = int(self.rng.choice(np.flatnonzero(clean)))
+        if centre is not None and self.x is not None and self.y is not None:
+            # location-driven extraction: the clean system nearest the
+            # example centre (nowcasting_dataset semantics), not a random one
+            d2 = (self.x - centre[0]) ** 2 + (self.y - centre[1]) ** 2
+            d2 = np.where(clean, d2, np.inf)
+            row = int(d2.argmin())
+        else:
+            row = int(self.rng.choice(np.flatnonzero(clean)))
         sample: Sample = {
             "pv_yield": window[:, row].astype(np.float32),
             "pv_system_id": int(self.system_ids[row]),
@@ -382,19 +398,22 @@ class SunSource(DataSource):
         self.freq = np.timedelta64(freq)
         self.refraction = refraction
 
-    def get_sample(self, start, end, t0) -> Sample:
+    def get_sample(self, start, end, t0, centre=None) -> Sample:
         del t0
-        return self.get_chunk(start, end)
+        return self.get_chunk(start, end, centre=centre)
 
-    def get_chunk(self, start, end) -> Sample:
+    def get_chunk(self, start, end, centre=None) -> Sample:
         from predict_pv_yield_tpu.sun import sun_angles_osgb
 
+        easting, northing = centre if centre is not None else (
+            self.easting, self.northing
+        )
         start = np.datetime64(start, "ns")
         end = np.datetime64(end, "ns")
         n = int((end - start) / np.timedelta64(self.freq, "ns")) + 1
         times = start + np.arange(n) * self.freq
         elevation, azimuth = sun_angles_osgb(
-            times, self.easting, self.northing, refraction=self.refraction
+            times, easting, northing, refraction=self.refraction
         )
         return {
             "sun_elevation_angle": elevation.astype(np.float32),
@@ -436,6 +455,13 @@ class SampleGenerator:
     placed ``history_minutes`` after each window start. :class:`BadData`
     from any source aborts that window; :meth:`sample` retries with fresh
     windows up to ``max_retries`` times.
+
+    ``locations`` (optional, (N, 2) OSGB easting/northing — typically the
+    PV-system metadata) turns on location-driven extraction: each window
+    draws one location uniformly and every source receives it as
+    ``centre`` (satellite crops around it, PV picks the nearest clean
+    system, sun angles are computed there) — nowcasting_dataset's
+    pick-a-location-then-extract-all-modalities loop.
     """
 
     def __init__(
@@ -447,8 +473,16 @@ class SampleGenerator:
         freq: np.timedelta64 = np.timedelta64(5, "m"),
         rng: Optional[np.random.Generator] = None,
         max_retries: int = 10,
+        locations: Optional[np.ndarray] = None,
     ):
         self.sources = list(sources)
+        self.locations = None if locations is None else np.asarray(
+            locations, dtype=np.float64
+        )
+        if self.locations is not None and (
+            self.locations.ndim != 2 or self.locations.shape[1] != 2
+        ):
+            raise ValueError("locations must be (N, 2) easting/northing")
         self.datetimes = _as_ns(datetimes)
         self.history = np.timedelta64(history_minutes, "m")
         self.forecast = np.timedelta64(forecast_minutes, "m")
@@ -466,10 +500,10 @@ class SampleGenerator:
                 f"{self.freq} in the datetime index"
             )
 
-    def get_sample(self, start, end, t0) -> Sample:
+    def get_sample(self, start, end, t0, centre=None) -> Sample:
         sample: Sample = {}
         for source in self.sources:
-            part = source.get_sample(start, end, t0)
+            part = source.get_sample(start, end, t0, centre=centre)
             overlap = sample.keys() & part.keys()
             if overlap:
                 raise ValueError(
@@ -479,6 +513,8 @@ class SampleGenerator:
         sample["start_datetime"] = np.datetime64(start, "ns")
         sample["end_datetime"] = np.datetime64(end, "ns")
         sample["t0_datetime"] = np.datetime64(t0, "ns")
+        if centre is not None:
+            sample["centre_osgb"] = (float(centre[0]), float(centre[1]))
         return sample
 
     def sample(self, n: int) -> List[Sample]:
@@ -491,8 +527,15 @@ class SampleGenerator:
                 rng=self.rng, freq=self.freq,
             )[0]
             t0 = window.start + self.history
+            centre = None
+            if self.locations is not None:
+                centre = tuple(
+                    self.locations[int(self.rng.integers(len(self.locations)))]
+                )
             try:
-                out.append(self.get_sample(window.start, window.end, t0))
+                out.append(
+                    self.get_sample(window.start, window.end, t0, centre=centre)
+                )
             except BadData:
                 failures += 1
                 if failures > self.max_retries * max(n, 1):

@@ -269,6 +269,48 @@ class TestSampleGeneratorAndCollate:
         with pytest.raises(ValueError, match="redefines sample keys"):
             gen.get_sample(times[0], times[18], times[6])
 
+    def test_location_driven_extraction(self):
+        """SampleGenerator(locations=...): one OSGB location per example
+        drives the satellite crop, the nearest-PV-system choice, and the
+        solar angles (nowcasting_dataset's extraction loop)."""
+        from predict_pv_yield_tpu.data.sources import SunSource
+
+        times = _grid("2020-06-01T08:00", 64)
+        rng = np.random.default_rng(0)
+        px = 16
+        sat = rng.uniform(0, 1023, size=(64, px, px)).astype(np.float32)
+        x = np.arange(px) * 2000.0 + 100_000.0
+        y = np.arange(px) * 2000.0 + 500_000.0
+        power = rng.uniform(0, 1, size=(64, 3)).astype(np.float32)
+        pv_x = np.array([x[3], x[8], x[12]])
+        pv_y = np.array([y[3], y[8], y[12]])
+        gen = SampleGenerator(
+            sources=[
+                SatelliteDataSource(sat, times, x=x, y=y, image_size_pixels=6),
+                PVDataSource(power, times, system_ids=np.array([10, 20, 30]),
+                             x=pv_x, y=pv_y),
+                SunSource(easting=0.0, northing=0.0),  # fallback, unused
+            ],
+            datetimes=times,
+            history_minutes=30,
+            forecast_minutes=30,
+            rng=np.random.default_rng(5),
+            locations=np.stack([pv_x, pv_y], axis=1),
+        )
+        samples = gen.sample(6)
+        for s in samples:
+            cx, cy = s["centre_osgb"]
+            # the chosen PV system is the one AT the drawn location
+            row = s["pv_system_row_number"]
+            assert (pv_x[row], pv_y[row]) == (cx, cy)
+            assert s["pv_location_x"] == cx
+            # satellite crop brackets the location
+            assert s["sat_x"][0] <= cx <= s["sat_x"][-1]
+            assert s["sat_y"][0] <= cy <= s["sat_y"][-1]
+            assert s["sat_data"].shape[-2:] == (6, 6)
+            # sun angles computed at the location: daytime June, GB-ish
+            assert (s["sun_elevation_angle"] > 0).all()
+
     def test_prepare_dataset_samples_real_zarr_windows(self, tmp_path):
         """tools/prepare_dataset.py --satellite-zarr: shards carry real
         archive windows (exact value match at the recorded datetimes), the
