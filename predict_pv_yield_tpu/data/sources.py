@@ -376,6 +376,138 @@ class PVDataSource(DataSource):
         return sample
 
 
+class GSPSource(DataSource):
+    """Grid-supply-point yield extraction at 30-minute cadence.
+
+    The GSP era's target modality (reference BatchML ``gsp`` group:
+    ``gsp_yield`` fraction-of-capacity, ``gsp_capacity`` MW, ``gsp_id``,
+    30-minute ``gsp_datetime_index``), fed upstream from PVLive dumps.
+    ``power_mw``: (T, G) half-hourly generation; ``capacity_mwp``: (T, G)
+    or (G,); ``datetimes``: sorted 30-minute grid. Yield is
+    ``power / capacity`` exactly as the v15 reader normalises the published
+    files.
+
+    ``get_sample`` anchors a static ``(history+forecast)//30 + 1``-point
+    grid at ``ceil30(start)`` — for hour-misaligned windows the last target
+    lies <30 min past ``end``, the same static-shape rule as
+    :class:`NWPDataSource`. The example's ``n_gsp_per_example`` GSPs are the
+    NaN-free ones nearest ``centre`` when given (the first is the target
+    GSP), else a random clean draw.
+    """
+
+    def __init__(
+        self,
+        power_mw: np.ndarray,
+        capacity_mwp: np.ndarray,
+        datetimes,
+        gsp_ids: np.ndarray,
+        x: Optional[np.ndarray] = None,
+        y: Optional[np.ndarray] = None,
+        n_gsp_per_example: int = 1,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.power = np.asarray(power_mw, dtype=np.float64)
+        capacity = np.asarray(capacity_mwp, dtype=np.float64)
+        if capacity.ndim == 1:
+            capacity = np.broadcast_to(capacity, self.power.shape)
+        if capacity.shape != self.power.shape:
+            raise ValueError(
+                f"capacity shape {capacity.shape} != power {self.power.shape}"
+            )
+        self.capacity = capacity
+        self.datetimes = _as_ns(datetimes)
+        if len(self.datetimes) != self.power.shape[0]:
+            raise ValueError("datetimes length != power_mw.shape[0]")
+        self.gsp_ids = np.asarray(gsp_ids)
+        if len(self.gsp_ids) != self.power.shape[1]:
+            raise ValueError("gsp_ids length != power_mw.shape[1]")
+        self.x = None if x is None else np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.n_gsp = int(n_gsp_per_example)
+        self.rng = rng or np.random.default_rng()
+
+    @classmethod
+    def from_pvlive_csv(cls, path: str, **kwargs) -> "GSPSource":
+        """Build from a long-format PVLive dump.
+
+        Columns: ``datetime_gmt``, ``gsp_id``, ``generation_mw``,
+        ``capacity_mwp`` (installedcapacity_mwp accepted). Pivots to the
+        wide (T, G) layout; missing (time, gsp) cells become NaN and are
+        dropped per-example by the clean-system rule.
+        """
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        cap_col = (
+            "capacity_mwp"
+            if "capacity_mwp" in df.columns
+            else "installedcapacity_mwp"
+        )
+        power = df.pivot_table(
+            index="datetime_gmt", columns="gsp_id", values="generation_mw"
+        )
+        capacity = df.pivot_table(
+            index="datetime_gmt", columns="gsp_id", values=cap_col
+        )
+        capacity = capacity.reindex_like(power)
+        return cls(
+            power.to_numpy(),
+            capacity.to_numpy(),
+            np.asarray(power.index, dtype="datetime64[ns]"),
+            power.columns.to_numpy(),
+            **kwargs,
+        )
+
+    def get_sample(self, start, end, t0, centre=None) -> Sample:
+        del t0  # targets cover the whole window; slicing is the model's job
+        return self.get_chunk(start, end, centre=centre)
+
+    def get_chunk(self, start, end, centre=None) -> Sample:
+        start = np.datetime64(start, "ns")
+        end = np.datetime64(end, "ns")
+        half_hour = np.timedelta64(30, "m")
+        rem = (start - np.datetime64(0, "ns")) % half_hour
+        anchor = start if rem == 0 else start + (half_hour - rem)
+        n = int((end - start) / np.timedelta64(half_hour, "ns")) + 1
+        targets = anchor + np.arange(n) * half_hour
+        idx = np.searchsorted(self.datetimes, targets)
+        if (idx >= len(self.datetimes)).any() or (
+            self.datetimes[np.minimum(idx, len(self.datetimes) - 1)] != targets
+        ).any():
+            raise BadData(
+                f"GSP archive lacks 30-minute points covering "
+                f"[{targets[0]} .. {targets[-1]}]"
+            )
+        power = self.power[idx]  # (T30, G)
+        capacity = self.capacity[idx]
+        clean = ~(
+            np.isnan(power).any(axis=0)
+            | np.isnan(capacity).any(axis=0)
+            | (capacity <= 0).any(axis=0)
+        )
+        n_clean = int(clean.sum())
+        if n_clean < self.n_gsp:
+            raise BadData(
+                f"only {n_clean} NaN-free GSPs in [{start} .. {end}], "
+                f"need {self.n_gsp}"
+            )
+        if centre is not None and self.x is not None and self.y is not None:
+            d2 = (self.x - centre[0]) ** 2 + (self.y - centre[1]) ** 2
+            d2 = np.where(clean, d2, np.inf)
+            rows = np.argsort(d2)[: self.n_gsp]
+        else:
+            rows = self.rng.choice(
+                np.flatnonzero(clean), size=self.n_gsp, replace=False
+            )
+        rows = np.asarray(rows, dtype=np.int64)
+        return {
+            "gsp_yield": (power[:, rows] / capacity[:, rows]).astype(np.float32),
+            "gsp_capacity": capacity[:, rows].astype(np.float32),
+            "gsp_id": self.gsp_ids[rows].astype(np.int32),
+            "gsp_datetime_index": targets,
+        }
+
+
 class SunSource(DataSource):
     """Computed solar angles at the example centre.
 
@@ -553,9 +685,9 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
     ``satellite.data`` (B,C,T,H,W); ``pv_yield`` → (B,T,1) single-system
     examples; ``nwp`` (T,C,H,W) → ``nwp.data`` (B,C,T,H,W); datetime
     features computed from the satellite index; computed solar angles →
-    ``sun``. GSP/topographic groups stay empty — nb28 predates them (they
-    arrive with nowcasting_dataset proper; the v15 reader owns that
-    surface).
+    ``sun``; 30-minute GSP targets → ``gsp``. The topographic group stays
+    empty — it needs a terrain archive this lineage doesn't model (the v15
+    reader owns that surface).
     """
     if not samples:
         raise ValueError("no samples to collate")
@@ -593,6 +725,16 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
         data["nwp"] = {
             "data": np.moveaxis(nwp, 2, 1).astype(np.float32),
             "target_time": stack("nwp_target_times")
+            .astype("datetime64[ns]")
+            .astype(np.int64),
+        }
+
+    if "gsp_yield" in first:
+        data["gsp"] = {
+            "gsp_yield": stack("gsp_yield"),
+            "gsp_capacity": stack("gsp_capacity"),
+            "gsp_id": stack("gsp_id"),
+            "gsp_datetime_index": stack("gsp_datetime_index")
             .astype("datetime64[ns]")
             .astype(np.int64),
         }

@@ -158,6 +158,108 @@ class TestPVDataSource:
             src.get_chunk(times[0], times[3])
 
 
+class TestGSPSource:
+    def _grid30(self, start: str, n: int):
+        return _grid(start, n, minutes=30)
+
+    def _source(self, **kwargs):
+        times = self._grid30("2020-06-01T00:00", 48)
+        rng = np.random.default_rng(0)
+        power = rng.uniform(0, 100, size=(48, 4))
+        capacity = np.array([200.0, 300.0, 400.0, 500.0])
+        defaults = dict(
+            power_mw=power, capacity_mwp=capacity, datetimes=times,
+            gsp_ids=np.array([7, 11, 13, 17]),
+            rng=np.random.default_rng(1),
+        )
+        defaults.update(kwargs)
+        from predict_pv_yield_tpu.data.sources import GSPSource
+
+        return GSPSource(**defaults), times, power, capacity
+
+    def test_yield_is_power_over_capacity_on_aligned_grid(self):
+        src, times, power, capacity = self._source()
+        s = src.get_sample(times[4], times[7], t0=times[5])
+        assert s["gsp_yield"].shape == (4, 1)
+        np.testing.assert_array_equal(s["gsp_datetime_index"], times[4:8])
+        row = int(np.flatnonzero(src.gsp_ids == s["gsp_id"][0])[0])
+        np.testing.assert_allclose(
+            s["gsp_yield"][:, 0],
+            (power[4:8, row] / capacity[row]).astype(np.float32),
+        )
+        np.testing.assert_allclose(s["gsp_capacity"][:, 0], capacity[row])
+
+    def test_misaligned_start_anchors_on_ceil30(self):
+        src, times, _, _ = self._source()
+        start = times[4] + np.timedelta64(10, "m")
+        end = start + np.timedelta64(90, "m")
+        s = src.get_chunk(start, end)
+        # ceil30(start) = times[5]; 90//30+1 = 4 targets; last is <30 min
+        # past end (static-shape rule)
+        np.testing.assert_array_equal(s["gsp_datetime_index"], times[5:9])
+        assert s["gsp_datetime_index"][-1] > end
+
+    def test_nan_and_zero_capacity_dropped(self):
+        capacity2d = np.tile([200.0, 300.0, 400.0, 500.0], (48, 1))
+        capacity2d[:, 1] = 0.0
+        src, times, power, _ = self._source(
+            n_gsp_per_example=2, capacity_mwp=capacity2d
+        )
+        src.power[10, 0] = np.nan
+        s = src.get_chunk(times[9], times[12])
+        assert set(s["gsp_id"]) <= {13, 17}
+        with pytest.raises(Exception, match="NaN-free"):
+            src.n_gsp = 3
+            src.get_chunk(times[9], times[12])
+
+    def test_centre_picks_nearest_first(self):
+        src, times, _, _ = self._source(
+            x=np.array([0.0, 1000.0, 2000.0, 3000.0]),
+            y=np.zeros(4),
+            n_gsp_per_example=2,
+        )
+        s = src.get_chunk(times[0], times[3], centre=(2100.0, 0.0))
+        assert list(s["gsp_id"]) == [13, 17]  # nearest, then next-nearest
+
+    def test_archive_gap_raises_baddata(self):
+        src, times, _, _ = self._source()
+        with pytest.raises(BadData, match="lacks 30-minute"):
+            src.get_chunk(times[46], times[47] + np.timedelta64(60, "m"))
+
+    def test_from_pvlive_csv(self, tmp_path):
+        import pandas as pd
+
+        from predict_pv_yield_tpu.data.sources import GSPSource
+
+        times = self._grid30("2020-06-01T00:00", 6)
+        rows = []
+        for t in times:
+            for gsp, cap in ((1, 100.0), (2, 250.0)):
+                rows.append(
+                    dict(datetime_gmt=str(t), gsp_id=gsp,
+                         generation_mw=10.0 * gsp, capacity_mwp=cap)
+                )
+        path = tmp_path / "pvlive.csv"
+        pd.DataFrame(rows).to_csv(path, index=False)
+        src = GSPSource.from_pvlive_csv(str(path))
+        s = src.get_chunk(times[1], times[4])
+        assert s["gsp_yield"].shape == (4, 1)
+        gsp = int(s["gsp_id"][0])
+        np.testing.assert_allclose(
+            s["gsp_yield"][:, 0], 10.0 * gsp / (100.0 if gsp == 1 else 250.0)
+        )
+
+    def test_collates_into_gsp_group(self):
+        src, times, _, _ = self._source()
+        s = src.get_chunk(times[2], times[5])
+        s.update(start_datetime=times[2], end_datetime=times[5],
+                 t0_datetime=times[3])
+        batch = collate_samples([s, s])
+        assert batch.gsp.gsp_yield.shape == (2, 4, 1)
+        assert batch.gsp.gsp_datetime_index.dtype == np.int64
+        assert batch.gsp.gsp_id.dtype == np.int32
+
+
 class TestSunSource:
     def test_sun_sample_merges_and_collates(self):
         from predict_pv_yield_tpu.data.sources import SunSource

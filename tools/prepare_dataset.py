@@ -60,6 +60,14 @@ def main() -> None:
     )
     parser.add_argument("--zarr-array", default="data")
     parser.add_argument("--zarr-time", default="time")
+    parser.add_argument(
+        "--gsp-csv", default=None,
+        help="long-format PVLive dump (datetime_gmt, gsp_id, generation_mw, "
+        "capacity_mwp) providing real 30-minute GSP targets for the "
+        "sampled windows (requires --satellite-zarr for the window grid)",
+    )
+    parser.add_argument("--n-gsp", type=int, default=1,
+                        help="GSPs per example when --gsp-csv is given")
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
@@ -102,6 +110,15 @@ def main() -> None:
             sun_source = SunSource(
                 float(np.median(coords["x"])), float(np.median(coords["y"]))
             )
+        gsp_source = None
+        if args.gsp_csv:
+            from predict_pv_yield_tpu.data.sources import GSPSource
+
+            gsp_source = GSPSource.from_pvlive_csv(
+                args.gsp_csv, n_gsp_per_example=args.n_gsp
+            )
+    elif args.gsp_csv:
+        parser.error("--gsp-csv requires --satellite-zarr")
 
     configuration = Configuration()
     configuration.process.batch_size = args.batch_size
@@ -120,6 +137,8 @@ def main() -> None:
                 "satellite channels"
             )
         configuration.input_data.satellite.satellite_channels = channels[:n_ch]
+    if args.gsp_csv:
+        configuration.input_data.gsp.n_gsp_per_example = args.n_gsp
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "configuration.yaml"), "w") as fh:
@@ -156,6 +175,8 @@ def main() -> None:
             split_sources = [sat_source]
             if sun_source is not None:
                 split_sources.append(sun_source)
+            if gsp_source is not None:
+                split_sources.append(gsp_source)
             generator = SampleGenerator(
                 split_sources,
                 datetimes=sat_source.datetimes,
@@ -181,6 +202,8 @@ def main() -> None:
                 )
                 if real.sun.sun_elevation_angle is not None:
                     batch = batch.replace(sun=real.sun)
+                if real.gsp.gsp_yield is not None:
+                    batch = batch.replace(gsp=real.gsp)
             if args.format == "netcdf":
                 # int16 satellite wire, as the real v15 archives ship it
                 if generator is None:
