@@ -192,23 +192,32 @@ class SatelliteDataSource(DataSource):
             raise BadData(f"no satellite frames in [{start} .. {end}]")
         window = np.asarray(self.data[idx[0] : idx[-1] + 1])
         x, y = self.x, self.y
-        if centre is not None or (
-            self.image_size_pixels is not None
-            and self.image_size_pixels < window.shape[-1]
-        ):
+        size = self.image_size_pixels
+        needs_crop = size is not None and (
+            size < window.shape[-1] or size < window.shape[-2]
+        )
+        if centre is not None or needs_crop:
+            if size is None:
+                raise ValueError(
+                    "a centre crop requires image_size_pixels to be set"
+                )
+            if window.shape[-1] < size or window.shape[-2] < size:
+                raise BadData(
+                    f"archive frames are {window.shape[-2]}x{window.shape[-1]}"
+                    f" px, smaller than the {size}px crop"
+                )
             if x is None or y is None:
                 if centre is not None:
                     raise ValueError(
                         "a centre crop requires x/y pixel coordinates"
                     )
                 # no coordinates: corner crop, nb28 cell 83 RandomSquareCrop
-                size = self.image_size_pixels
                 window = window[..., :size, :size]
             else:
                 if centre is None:  # archive-centre crop
                     centre = (float(np.median(x)), float(np.median(y)))
                 window, x, y = crop_square(
-                    window, x, y, centre[0], centre[1], self.image_size_pixels
+                    window, x, y, centre[0], centre[1], size
                 )
         sample: Sample = {
             "sat_data": window,

@@ -62,6 +62,16 @@ class ZarrArray:
         return f"ZarrArray(shape={self.shape}, chunks={self.chunks}, dtype={self.dtype})"
 
     @property
+    def attrs(self) -> dict:
+        """User attributes from ``.zattrs`` (e.g. CF ``units`` on a time
+        coordinate); empty dict when the file is absent."""
+        path = os.path.join(self.path, ".zattrs")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    @property
     def ndim(self) -> int:
         return len(self.shape)
 
@@ -170,12 +180,17 @@ def write_zarr(
     chunks: Tuple[int, ...],
     compress: bool = True,
     compressor: str = "zlib",
+    attrs: Optional[dict] = None,
 ) -> None:
     """Write a zarr v2 array (test fixtures / dataset preparation).
 
     ``compressor``: "zlib" or "blosc" (blosc-lz4 + byte shuffle, the layout
-    numcodecs' default Blosc codec writes for real OCF archives)."""
+    numcodecs' default Blosc codec writes for real OCF archives).
+    ``attrs`` lands in ``.zattrs`` (e.g. CF ``units`` for time axes)."""
     os.makedirs(path, exist_ok=True)
+    if attrs:
+        with open(os.path.join(path, ".zattrs"), "w") as fh:
+            json.dump(attrs, fh)
     if not compress:
         compressor_meta = None
     elif compressor == "blosc":

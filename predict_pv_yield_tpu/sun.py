@@ -84,11 +84,8 @@ def solar_position(
     ns = np.asarray(datetimes_utc, dtype="datetime64[ns]").astype(np.int64)
     minutes_utc = (ns / (60.0 * 1e9)) % 1440.0
     true_solar_min = (minutes_utc + eq_time + 4.0 * lon) % 1440.0
-    hour_angle = np.where(
-        true_solar_min / 4.0 < 0.0,
-        true_solar_min / 4.0 + 180.0,
-        true_solar_min / 4.0 - 180.0,
-    ) * _D2R
+    # NOAA writes a <0 branch here, but % 1440 keeps tst in [0, 1440)
+    hour_angle = (true_solar_min / 4.0 - 180.0) * _D2R
 
     cos_zenith = np.sin(lat) * np.sin(declination) + np.cos(lat) * np.cos(
         declination

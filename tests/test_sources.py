@@ -57,6 +57,28 @@ class TestSatelliteDataSource:
         with pytest.raises(ValueError, match="datetimes length"):
             SatelliteDataSource(np.zeros((4, 2, 2)), _grid("2020-01-01", 5))
 
+    def test_non_square_archive_crop_checks_both_axes(self):
+        """A crop larger than EITHER axis is BadData — the height axis used
+        to be unchecked, silently emitting wrong-height images."""
+        times = _grid("2020-06-01T10:00", 3)
+        data = np.zeros((3, 4, 8), dtype=np.float32)  # H=4 < W=8
+        src = SatelliteDataSource(data, times, image_size_pixels=6)
+        with pytest.raises(BadData, match="smaller than the 6px crop"):
+            src.get_chunk(times[0], times[2])
+        src4 = SatelliteDataSource(data, times, image_size_pixels=4)
+        s = src4.get_chunk(times[0], times[2])
+        assert s["sat_data"].shape == (3, 4, 4)
+
+    def test_centre_without_image_size_is_clear_error(self):
+        times = _grid("2020-06-01T10:00", 3)
+        px = 8
+        src = SatelliteDataSource(
+            np.zeros((3, px, px)), times,
+            x=np.arange(px) * 1.0, y=np.arange(px) * 1.0,
+        )
+        with pytest.raises(ValueError, match="image_size_pixels"):
+            src.get_chunk(times[0], times[2], centre=(3.0, 3.0))
+
 
 class TestCropSquare:
     def test_out_of_bounds_raises(self):
@@ -430,8 +452,13 @@ class TestSampleGeneratorAndCollate:
         )
         frames += rng.integers(0, 3, size=frames.shape, dtype=np.int16)
         write_zarr(str(store / "data"), frames, chunks=(16, px, px))
-        write_zarr(str(store / "time"), times.astype("datetime64[ns]"),
-                   chunks=(n_frames,))
+        # CF-encoded time axis (xarray's int + units layout) — the tool
+        # must decode via .zattrs, not misread raw ints as nanoseconds
+        minutes = (
+            times.astype("datetime64[ns]").astype(np.int64) // (60 * 10**9)
+        )
+        write_zarr(str(store / "time"), minutes, chunks=(n_frames,),
+                   attrs={"units": "minutes since 1970-01-01"})
         write_zarr(str(store / "x"),
                    np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
         write_zarr(str(store / "y"),
@@ -491,6 +518,12 @@ class TestSampleGeneratorAndCollate:
         with open(out / "configuration.yaml") as fh:
             config = yaml.safe_load(fh)
         assert len(config["input_data"]["satellite"]["satellite_channels"]) == 1
+        # train/test windows come from disjoint time partitions (the
+        # held-out archive tail) — no train/test leakage
+        test_batch = read_shard(str(out / "test" / shard_filename(0, "raw")))
+        train_max = np.asarray(batch.satellite.datetime_index).max()
+        test_min = np.asarray(test_batch.satellite.datetime_index).min()
+        assert train_max < test_min
 
     def test_collate_channelled_satellite(self):
         times = _grid("2020-06-01T08:00", 7)

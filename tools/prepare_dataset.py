@@ -68,6 +68,11 @@ def main() -> None:
     )
     parser.add_argument("--n-gsp", type=int, default=1,
                         help="GSPs per example when --gsp-csv is given")
+    parser.add_argument(
+        "--test-fraction", type=float, default=0.2,
+        help="held-out tail of the archive's time axis used for the test "
+        "split (prevents train/test window overlap; zarr mode only)",
+    )
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
@@ -86,17 +91,29 @@ def main() -> None:
         from predict_pv_yield_tpu.data.zarr_reader import open_zarr
 
         array = open_zarr(args.satellite_zarr, args.zarr_array)
-        times = open_zarr(args.satellite_zarr, args.zarr_time)[:]
+        time_array = open_zarr(args.satellite_zarr, args.zarr_time)
+        times = time_array[:]
+        if np.asarray(times).dtype.kind in "if":
+            # integer/float time axes carry CF units (xarray's encoding)
+            from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+            decoded = _decode_cf_time(times, time_array.attrs.get("units"))
+            if decoded is None:
+                parser.error(
+                    f"time array is {np.asarray(times).dtype} but its "
+                    '.zattrs carry no decodable CF "units"'
+                )
+            times = decoded.astype("datetime64[ns]")
         coords = {}
         for name in ("x", "y"):
             try:
                 coords[name] = open_zarr(args.satellite_zarr, name)[:]
             except FileNotFoundError:
                 coords[name] = None
-        if array.shape[-1] < args.satellite_pixels:
+        if min(array.shape[-2:]) < args.satellite_pixels:
             parser.error(
-                f"archive is {array.shape[-1]}px wide < "
-                f"--satellite-pixels {args.satellite_pixels}"
+                f"archive frames are {array.shape[-2]}x{array.shape[-1]}px, "
+                f"smaller than --satellite-pixels {args.satellite_pixels}"
             )
         sat_source = SatelliteDataSource(
             array, times, x=coords["x"], y=coords["y"],
@@ -177,9 +194,17 @@ def main() -> None:
                 split_sources.append(sun_source)
             if gsp_source is not None:
                 split_sources.append(gsp_source)
+            # windows come from disjoint time partitions: the archive tail
+            # is held out for test (no train/test window overlap)
+            cut = int(len(sat_source.datetimes) * (1.0 - args.test_fraction))
+            split_times = (
+                sat_source.datetimes[:cut]
+                if split == "train"
+                else sat_source.datetimes[cut:]
+            )
             generator = SampleGenerator(
                 split_sources,
-                datetimes=sat_source.datetimes,
+                datetimes=split_times,
                 history_minutes=args.history_minutes,
                 forecast_minutes=args.forecast_minutes,
                 rng=np.random.default_rng((args.seed, split == "test", 1 << 20)),
@@ -210,8 +235,22 @@ def main() -> None:
                     raw = rng.integers(
                         -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
                     )
-                else:  # archives hold raw int16 counts; roundtrip exactly
-                    raw = np.round(batch.satellite.data).astype(np.int16)
+                else:
+                    # the wire is raw int16 counts: refuse archives that are
+                    # not integral counts in range instead of wrapping
+                    vals = np.asarray(batch.satellite.data)
+                    if (
+                        vals.min() < np.iinfo(np.int16).min
+                        or vals.max() > np.iinfo(np.int16).max
+                        or not np.array_equal(vals, np.round(vals))
+                    ):
+                        parser.error(
+                            "--format netcdf writes the int16 satellite "
+                            "wire, but the archive holds non-integral or "
+                            "out-of-range values (already-decoded floats?) "
+                            "— use --format raw or npz"
+                        )
+                    raw = np.round(vals).astype(np.int16)
                 batch = batch.replace(
                     satellite=batch.satellite.replace(data=raw)
                 )
