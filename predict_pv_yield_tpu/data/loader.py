@@ -27,6 +27,8 @@ import queue
 import threading
 from typing import Iterator, Optional, Tuple
 
+import numpy as np
+
 from predict_pv_yield_tpu.config.dataset import load_yaml_configuration
 from predict_pv_yield_tpu.data.batch import Batch
 from predict_pv_yield_tpu.data.fake import FakeDataset
@@ -224,6 +226,131 @@ class NetCDFDataModule:
 
     def test_dataloader(self) -> PrefetchingLoader:
         return self._loader(self._dataset(self.n_val_data, "test"), False)
+
+
+class ZarrStreamDataModule:
+    """Train/val/test loaders sampling LIVE from a zarr satellite archive.
+
+    No prepare step: each batch draws random example windows straight from
+    the archive through the nb28 DataSource pipeline (``data/sources.py``) —
+    the native analog of experiment 001's ``NowcastingDataModule`` streaming
+    from zarr (reference ``experiments/001…py:66-89``). Satellite windows,
+    computed solar angles and (with ``gsp_csv``) real 30-minute GSP targets
+    are real; groups no source covers keep deterministic synthetic filler so
+    every model's input contract holds. The archive's time-axis tail
+    (``test_fraction``) is held out for val/test — train and test windows
+    never overlap.
+    """
+
+    def __init__(
+        self,
+        zarr_path: str,
+        zarr_array: str = "data",
+        zarr_time: str = "time",
+        gsp_csv: Optional[str] = None,
+        n_gsp: int = 1,
+        batch_size: int = 32,
+        history_minutes: int = 30,
+        forecast_minutes: int = 60,
+        satellite_image_size_pixels: int = 24,
+        n_train_data: int = 64,
+        n_val_data: int = 8,
+        test_fraction: float = 0.2,
+        num_workers: int = 2,
+        seed: int = 0,
+    ):
+        from predict_pv_yield_tpu.config.dataset import Configuration
+        from predict_pv_yield_tpu.data.sources import (
+            GSPSource,
+            SampleGenerator,
+            SunSource,
+            open_zarr_satellite,
+        )
+
+        self.batch_size = batch_size
+        self.n_train_data = n_train_data
+        self.n_val_data = n_val_data
+        self.num_workers = num_workers
+        self.seed = seed
+
+        sat = open_zarr_satellite(
+            zarr_path, zarr_array, zarr_time,
+            image_size_pixels=satellite_image_size_pixels,
+        )
+        if min(sat.data.shape[-2:]) < satellite_image_size_pixels:
+            raise ValueError(
+                f"archive frames are {sat.data.shape[-2]}x"
+                f"{sat.data.shape[-1]}px < satellite_image_size_pixels "
+                f"{satellite_image_size_pixels}"
+            )
+        sources = [sat]
+        if sat.x is not None and sat.y is not None:
+            sources.append(
+                SunSource(float(np.median(sat.x)), float(np.median(sat.y)))
+            )
+        if gsp_csv:
+            sources.append(
+                GSPSource.from_pvlive_csv(gsp_csv, n_gsp_per_example=n_gsp)
+            )
+
+        configuration = Configuration()
+        configuration.process.batch_size = batch_size
+        configuration.input_data.default_history_minutes = history_minutes
+        configuration.input_data.default_forecast_minutes = forecast_minutes
+        configuration.input_data = configuration.input_data.set_all_to_defaults()
+        configuration.input_data.satellite.satellite_image_size_pixels = (
+            satellite_image_size_pixels
+        )
+        n_ch = 1 if len(sat.data.shape) == 3 else sat.data.shape[1]
+        channels = list(configuration.input_data.satellite.satellite_channels)
+        if n_ch > len(channels):
+            raise ValueError(
+                f"archive has {n_ch} channels > the {len(channels)} named "
+                "satellite channels"
+            )
+        configuration.input_data.satellite.satellite_channels = channels[:n_ch]
+        if gsp_csv:
+            configuration.input_data.gsp.n_gsp_per_example = n_gsp
+        self.configuration = configuration
+
+        cut = int(len(sat.datetimes) * (1.0 - test_fraction))
+        self._generators = {}
+        for split, times in (
+            ("train", sat.datetimes[:cut]),
+            ("test", sat.datetimes[cut:]),
+        ):
+            self._generators[split] = SampleGenerator(
+                sources,
+                datetimes=times,
+                history_minutes=history_minutes,
+                forecast_minutes=forecast_minutes,
+            )
+
+    def _loader(self, split: str, n_batches: int, shuffle: bool):
+        from predict_pv_yield_tpu.data.sources import SampledBatchDataset
+
+        dataset = SampledBatchDataset(
+            self._generators[split],
+            batch_size=self.batch_size,
+            length=n_batches,
+            configuration=self.configuration,
+            seed=2 * self.seed + (split == "test"),
+        )
+        return PrefetchingLoader(
+            dataset,
+            num_workers=self.num_workers,
+            prefetch_factor=4,
+            shuffle=shuffle,
+        )
+
+    def train_dataloader(self) -> PrefetchingLoader:
+        return self._loader("train", self.n_train_data, True)
+
+    def val_dataloader(self) -> PrefetchingLoader:
+        return self._loader("test", self.n_val_data, False)
+
+    def test_dataloader(self) -> PrefetchingLoader:
+        return self._loader("test", self.n_val_data, False)
 
 
 def get_dataloaders(

@@ -351,6 +351,80 @@ class PVDataSource(DataSource):
         self.freq = np.timedelta64(freq)
         self.rng = rng or np.random.default_rng()
 
+    @classmethod
+    def from_passiv_csv(
+        cls, power_path: str, metadata_path: str, **kwargs
+    ) -> "PVDataSource":
+        """Build from PVOutput/Passiv-style dumps (the reference's PV era).
+
+        ``power_path``: long format with ``timestamp``/``datetime`` (UTC),
+        ``ss_id``/``system_id`` and ``generation_wh``/``instantaneous_power_w``
+        or a pre-normalised ``pv_yield`` column. ``metadata_path``: one row
+        per system with the id column, ``kwp`` capacity (when yield needs
+        deriving) and either OSGB ``x``/``y`` or WGS84
+        ``latitude``/``longitude`` (converted via the first-party geodesy).
+        Systems missing metadata are dropped; yields are power/kWp clipped
+        at 0 (night-time meter noise), matching the published archives'
+        fraction-of-capacity convention.
+        """
+        import pandas as pd
+
+        power_df = pd.read_csv(power_path)
+        meta = pd.read_csv(metadata_path)
+
+        def pick(df, *names):
+            for name in names:
+                if name in df.columns:
+                    return name
+            raise ValueError(f"none of {names} in columns {list(df.columns)}")
+
+        time_col = pick(power_df, "timestamp", "datetime", "datetime_gmt")
+        id_col = pick(power_df, "ss_id", "system_id", "pv_system_id")
+        meta_id = pick(meta, "ss_id", "system_id", "pv_system_id")
+        meta = meta.set_index(meta_id)
+
+        if "pv_yield" in power_df.columns:
+            value_col = "pv_yield"
+        else:
+            value_col = pick(
+                power_df, "instantaneous_power_w", "generation_wh", "power_w"
+            )
+        wide = power_df.pivot_table(
+            index=time_col, columns=id_col, values=value_col
+        )
+        # keep only systems with metadata, in metadata row order
+        known = [s for s in meta.index if s in wide.columns]
+        if not known:
+            raise ValueError("no power-data system ids appear in the metadata")
+        wide = wide[known]
+        values = wide.to_numpy(dtype=np.float64)
+        if value_col != "pv_yield":
+            kwp_col = pick(meta, "kwp", "capacity_kw", "kw")
+            watts_per_kwp = 1000.0
+            kwp = meta.loc[known, kwp_col].to_numpy(dtype=np.float64)
+            values = np.clip(values / (kwp * watts_per_kwp), 0.0, None)
+
+        if "x" in meta.columns and "y" in meta.columns:
+            x = meta.loc[known, "x"].to_numpy(dtype=np.float64)
+            y = meta.loc[known, "y"].to_numpy(dtype=np.float64)
+        else:
+            from predict_pv_yield_tpu.geo import osgb_from_latlon
+
+            lat_col = pick(meta, "latitude", "lat")
+            lon_col = pick(meta, "longitude", "lon")
+            x, y = osgb_from_latlon(
+                meta.loc[known, lat_col].to_numpy(dtype=np.float64),
+                meta.loc[known, lon_col].to_numpy(dtype=np.float64),
+            )
+        return cls(
+            values,
+            np.asarray(wide.index, dtype="datetime64[ns]"),
+            system_ids=np.asarray(known),
+            x=np.asarray(x, dtype=np.float64),
+            y=np.asarray(y, dtype=np.float64),
+            **kwargs,
+        )
+
     def get_sample(self, start, end, t0, centre=None) -> Sample:
         del t0  # not used (cell 107)
         return self.get_chunk(start, end, centre=centre)
@@ -658,20 +732,26 @@ class SampleGenerator:
             sample["centre_osgb"] = (float(centre[0]), float(centre[1]))
         return sample
 
-    def sample(self, n: int) -> List[Sample]:
-        """``n`` examples from random windows, retrying BadData windows."""
+    def sample(self, n: int, rng: Optional[np.random.Generator] = None) -> List[Sample]:
+        """``n`` examples from random windows, retrying BadData windows.
+
+        ``rng`` overrides the generator's own stream for this call —
+        :class:`SampledBatchDataset` passes a per-index rng so batch ``i``
+        is the same batch every epoch and in every worker.
+        """
+        rng = rng or self.rng
         out: List[Sample] = []
         failures = 0
         while len(out) < n:
             window = get_random_segments(
                 self.segments, self.history + self.forecast, 1,
-                rng=self.rng, freq=self.freq,
+                rng=rng, freq=self.freq,
             )[0]
             t0 = window.start + self.history
             centre = None
             if self.locations is not None:
                 centre = tuple(
-                    self.locations[int(self.rng.integers(len(self.locations)))]
+                    self.locations[int(rng.integers(len(self.locations)))]
                 )
             try:
                 out.append(
@@ -771,3 +851,125 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
         ).astype(np.int64)
     }
     return Batch.from_dict(data)
+
+
+def open_zarr_satellite(
+    store: str,
+    array: str = "data",
+    time: str = "time",
+    image_size_pixels: Optional[int] = None,
+) -> SatelliteDataSource:
+    """A :class:`SatelliteDataSource` over a zarr group store.
+
+    ``store`` holds the imagery under ``array`` (time on axis 0), datetimes
+    under ``time`` (datetime64, or integers/floats carrying CF ``units`` in
+    ``.zattrs`` — xarray's encoding), and optional ``x``/``y`` OSGB pixel
+    coordinates. Shared by ``tools/prepare_dataset.py`` and the
+    zarr-streaming datamodule.
+    """
+    from predict_pv_yield_tpu.data.zarr_reader import open_zarr
+
+    data = open_zarr(store, array)
+    time_array = open_zarr(store, time)
+    times = time_array[:]
+    if np.asarray(times).dtype.kind in "if":
+        from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+        decoded = _decode_cf_time(times, time_array.attrs.get("units"))
+        if decoded is None:
+            raise ValueError(
+                f"{store}/{time} is {np.asarray(times).dtype} but its "
+                '.zattrs carry no decodable CF "units"'
+            )
+        times = decoded.astype("datetime64[ns]")
+    coords = {}
+    for name in ("x", "y"):
+        try:
+            coords[name] = open_zarr(store, name)[:]
+        except FileNotFoundError:
+            coords[name] = None
+    return SatelliteDataSource(
+        data,
+        times,
+        x=coords["x"],
+        y=coords["y"],
+        image_size_pixels=image_size_pixels,
+    )
+
+
+def merge_real_groups(fake: Batch, real: Batch) -> Batch:
+    """Overlay extracted groups onto a shape-complete synthetic batch.
+
+    The extraction lineage provides satellite/sun/gsp/datetime/metadata;
+    groups no source covers (nwp-as-archive, topographic, hrv, pv when no
+    PV source ran) keep the synthetic filler so every model's input
+    contract is satisfied. Used by ``tools/prepare_dataset.py`` and the
+    zarr-streaming datamodule.
+    """
+    sat_fields = dict(
+        data=real.satellite.data, datetime_index=real.satellite.datetime_index
+    )
+    if real.satellite.x is not None:
+        sat_fields.update(x=real.satellite.x, y=real.satellite.y)
+    merged = fake.replace(
+        satellite=fake.satellite.replace(**sat_fields),
+        datetime=real.datetime,
+        metadata=real.metadata,
+    )
+    if real.sun.sun_elevation_angle is not None:
+        merged = merged.replace(sun=real.sun)
+    if real.gsp.gsp_yield is not None:
+        merged = merged.replace(gsp=real.gsp)
+    if real.pv.pv_yield is not None:
+        merged = merged.replace(pv=real.pv)
+    return merged
+
+
+class SampledBatchDataset:
+    """Map-style dataset of live-sampled archive batches.
+
+    Batch ``i`` draws ``batch_size`` windows with an rng seeded
+    ``(seed, i)`` — deterministic per index across epochs and prefetch
+    workers — collates them, and (when ``configuration`` is given) overlays
+    them onto a synthetic shape-complete batch via :func:`merge_real_groups`.
+    A lock serialises sampling: the source rngs (random PV/GSP choice) are
+    not thread-safe, and zlib/blosc chunk decompression releases the GIL
+    anyway, so prefetch overlap with device compute is preserved.
+    """
+
+    def __init__(
+        self,
+        generator: SampleGenerator,
+        batch_size: int,
+        length: int,
+        configuration=None,
+        seed: int = 0,
+    ):
+        import threading
+
+        self.generator = generator
+        self.batch_size = int(batch_size)
+        self.length = int(length)
+        self.configuration = configuration
+        self.seed = seed
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int) -> Batch:
+        if not 0 <= index < self.length:
+            raise IndexError(index)
+        rng = np.random.default_rng((self.seed, index))
+        with self._lock:
+            samples = self.generator.sample(self.batch_size, rng=rng)
+        real = collate_samples(samples)
+        if self.configuration is None:
+            return real
+        from predict_pv_yield_tpu.data.fake import fake_batch
+
+        return merge_real_groups(fake_batch(self.configuration, rng), real)
+
+    def __iter__(self):
+        for i in range(self.length):
+            yield self[i]

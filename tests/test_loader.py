@@ -119,3 +119,75 @@ def test_prefetching_loader_stress_random_delays():
         JitteryDataset(), num_workers=8, prefetch_factor=2, shuffle=True, seed=3
     )
     assert list(loader2) == orders[0]
+
+
+@pytest.fixture(scope="module")
+def zarr_store(tmp_path_factory):
+    """Tiny satellite zarr group + PVLive CSV for streaming tests."""
+    import pandas as pd
+
+    from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+    root = tmp_path_factory.mktemp("stream")
+    store = root / "sat.zarr"
+    n, px = 120, 12
+    t0 = np.datetime64("2020-06-01T08:00", "ns")
+    times = t0 + np.arange(n) * np.timedelta64(5, "m")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(-1, 1023, size=(n, px, px)).astype(np.int16)
+    write_zarr(str(store / "data"), frames, chunks=(16, px, px))
+    write_zarr(str(store / "time"), times, chunks=(n,))
+    write_zarr(str(store / "x"), np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
+    write_zarr(str(store / "y"), np.arange(px) * 2000.0 + 500_000.0, chunks=(px,))
+    gsp_times = np.datetime64("2020-06-01T07:30", "ns") + np.arange(24) * np.timedelta64(30, "m")
+    rows = [
+        dict(datetime_gmt=str(t), gsp_id=gsp, generation_mw=float(rng.uniform(0, cap * 0.7)),
+             capacity_mwp=cap)
+        for t in gsp_times
+        for gsp, cap in ((101, 120.0), (102, 340.0))
+    ]
+    csv = root / "pvlive.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return str(store), str(csv)
+
+
+class TestZarrStreamDataModule:
+    def test_streams_real_groups_with_synthetic_filler(self, zarr_store):
+        from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+
+        store, csv = zarr_store
+        dm = ZarrStreamDataModule(
+            zarr_path=store, gsp_csv=csv, batch_size=2,
+            history_minutes=30, forecast_minutes=30,
+            satellite_image_size_pixels=8, n_train_data=3, n_val_data=2,
+            num_workers=2,
+        )
+        batches = list(dm.train_dataloader())
+        assert len(batches) == 3
+        b = batches[0]
+        assert np.asarray(b.satellite.data).shape == (2, 1, 13, 8, 8)
+        assert np.asarray(b.gsp.gsp_yield).shape == (2, 3, 1)
+        assert (np.asarray(b.sun.sun_elevation_angle) > 0).all()  # June day
+        assert b.nwp.data is not None  # synthetic filler keeps contracts
+
+    def test_deterministic_epochs_and_heldout_val_tail(self, zarr_store):
+        from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+
+        store, csv = zarr_store
+        dm = ZarrStreamDataModule(
+            zarr_path=store, batch_size=2, history_minutes=30,
+            forecast_minutes=30, satellite_image_size_pixels=8,
+            n_train_data=2, n_val_data=1, num_workers=2,
+        )
+        first = np.asarray(list(dm.train_dataloader())[0].satellite.data)
+        again = np.asarray(list(dm.train_dataloader())[0].satellite.data)
+        np.testing.assert_array_equal(first, again)
+        train_max = max(
+            np.asarray(b.satellite.datetime_index).max()
+            for b in dm.train_dataloader()
+        )
+        val_min = min(
+            np.asarray(b.satellite.datetime_index).min()
+            for b in dm.val_dataloader()
+        )
+        assert train_max < val_min  # archive tail is held out

@@ -179,6 +179,42 @@ class TestPVDataSource:
         with pytest.raises(BadData, match="missing data"):
             src.get_chunk(times[0], times[3])
 
+    def test_from_passiv_csv(self, tmp_path):
+        import pandas as pd
+
+        times = _grid("2020-06-01T10:00", 8)
+        rows = []
+        rng = np.random.default_rng(0)
+        for t in times:
+            for ss in (1001, 1002):
+                rows.append(
+                    dict(timestamp=str(t), ss_id=ss,
+                         instantaneous_power_w=float(rng.uniform(0, 3000)))
+                )
+        power_csv = tmp_path / "power.csv"
+        pd.DataFrame(rows).to_csv(power_csv, index=False)
+        meta_csv = tmp_path / "meta.csv"
+        pd.DataFrame(
+            [
+                dict(ss_id=1001, kwp=4.0, latitude=51.5074, longitude=-0.1278),
+                dict(ss_id=1002, kwp=3.0, latitude=52.2053, longitude=0.1218),
+                dict(ss_id=9999, kwp=1.0, latitude=50.0, longitude=-5.0),
+            ]
+        ).to_csv(meta_csv, index=False)
+        src = PVDataSource.from_passiv_csv(str(power_csv), str(meta_csv))
+        assert list(src.system_ids) == [1001, 1002]  # 9999 has no power data
+        # yields = W / (kWp * 1000), in [0, ~0.75] for these draws
+        assert src.power.max() <= 3000.0 / 3000.0
+        s = src.get_chunk(times[0], times[7])
+        assert s["pv_yield"].shape == (8,)
+        # locations converted via the first-party geodesy: London easting
+        # ~530k, Cambridge ~545k — nearest-system selection must work
+        s_near = src.get_chunk(
+            times[0], times[7], centre=(float(src.x[1]), float(src.y[1]))
+        )
+        assert s_near["pv_system_id"] == 1002
+        assert 500_000 < src.x[0] < 560_000 and 150_000 < src.y[0] < 200_000
+
 
 class TestGSPSource:
     def _grid30(self, start: str, n: int):

@@ -86,46 +86,29 @@ def main() -> None:
     if args.satellite_zarr:
         from predict_pv_yield_tpu.data.sources import (
             SampleGenerator,
-            SatelliteDataSource,
+            open_zarr_satellite,
         )
-        from predict_pv_yield_tpu.data.zarr_reader import open_zarr
 
-        array = open_zarr(args.satellite_zarr, args.zarr_array)
-        time_array = open_zarr(args.satellite_zarr, args.zarr_time)
-        times = time_array[:]
-        if np.asarray(times).dtype.kind in "if":
-            # integer/float time axes carry CF units (xarray's encoding)
-            from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
-
-            decoded = _decode_cf_time(times, time_array.attrs.get("units"))
-            if decoded is None:
-                parser.error(
-                    f"time array is {np.asarray(times).dtype} but its "
-                    '.zattrs carry no decodable CF "units"'
-                )
-            times = decoded.astype("datetime64[ns]")
-        coords = {}
-        for name in ("x", "y"):
-            try:
-                coords[name] = open_zarr(args.satellite_zarr, name)[:]
-            except FileNotFoundError:
-                coords[name] = None
-        if min(array.shape[-2:]) < args.satellite_pixels:
-            parser.error(
-                f"archive frames are {array.shape[-2]}x{array.shape[-1]}px, "
-                f"smaller than --satellite-pixels {args.satellite_pixels}"
+        try:
+            sat_source = open_zarr_satellite(
+                args.satellite_zarr, args.zarr_array, args.zarr_time,
+                image_size_pixels=args.satellite_pixels,
             )
-        sat_source = SatelliteDataSource(
-            array, times, x=coords["x"], y=coords["y"],
-            image_size_pixels=args.satellite_pixels,
-        )
+        except ValueError as exc:
+            parser.error(str(exc))
+        if min(sat_source.data.shape[-2:]) < args.satellite_pixels:
+            parser.error(
+                f"archive frames are {sat_source.data.shape[-2]}x"
+                f"{sat_source.data.shape[-1]}px, smaller than "
+                f"--satellite-pixels {args.satellite_pixels}"
+            )
         sun_source = None
-        if coords["x"] is not None and coords["y"] is not None:
+        if sat_source.x is not None and sat_source.y is not None:
             from predict_pv_yield_tpu.data.sources import SunSource
 
             # real solar angles at the archive centre (first-party NOAA)
             sun_source = SunSource(
-                float(np.median(coords["x"])), float(np.median(coords["y"]))
+                float(np.median(sat_source.x)), float(np.median(sat_source.y))
             )
         gsp_source = None
         if args.gsp_csv:
@@ -213,22 +196,10 @@ def main() -> None:
             rng = np.random.default_rng((args.seed, split == "test", i))
             batch = fake_batch(configuration, rng)
             if generator is not None:
+                from predict_pv_yield_tpu.data.sources import merge_real_groups
+
                 real = collate_samples(generator.sample(args.batch_size))
-                sat_fields = dict(
-                    data=real.satellite.data,
-                    datetime_index=real.satellite.datetime_index,
-                )
-                if real.satellite.x is not None:
-                    sat_fields.update(x=real.satellite.x, y=real.satellite.y)
-                batch = batch.replace(
-                    satellite=batch.satellite.replace(**sat_fields),
-                    datetime=real.datetime,
-                    metadata=real.metadata,
-                )
-                if real.sun.sun_elevation_angle is not None:
-                    batch = batch.replace(sun=real.sun)
-                if real.gsp.gsp_yield is not None:
-                    batch = batch.replace(gsp=real.gsp)
+                batch = merge_real_groups(batch, real)
             if args.format == "netcdf":
                 # int16 satellite wire, as the real v15 archives ship it
                 if generator is None:
