@@ -125,8 +125,12 @@ class Trainer:
         max_steps: Optional[int] = None,
         check_val_every_n_epoch: int = 1,
         num_sanity_val_steps: int = 0,
-        limit_train_batches: Optional[int] = None,
-        limit_val_batches: Optional[int] = None,
+        limit_train_batches: Optional[float] = None,
+        limit_val_batches: Optional[float] = None,
+        limit_test_batches: Optional[float] = None,
+        overfit_batches: float = 0.0,
+        track_grad_norm: float = -1,
+        log_every_n_steps: int = 1,
         learning_rate: float = 5e-4,
         devices: Optional[List] = None,
         terminate_on_nan: bool = False,
@@ -165,6 +169,16 @@ class Trainer:
         self.num_sanity_val_steps = max(0, int(num_sanity_val_steps))
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        #: Lightning semantics: 0 disables; fraction of the epoch in (0, 1);
+        #: an int >= 1 is a batch count. Batches are cached host-side and
+        #: reused for train AND validation every epoch.
+        self.overfit_batches = overfit_batches
+        #: -1 disables; any p >= 0 logs the pre-update global p-norm of the
+        #: gradients as ``grad_{p}_norm`` (computed inside the jitted step —
+        #: free fusion, no extra host sync).
+        self.track_grad_norm = float(track_grad_norm)
+        self.log_every_n_steps = max(1, int(log_every_n_steps))
         self.learning_rate = learning_rate
         self.devices = devices
         self.terminate_on_nan = terminate_on_nan
@@ -354,6 +368,26 @@ class Trainer:
             return metrics["NMAE"], metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        p = self.track_grad_norm
+        if p >= 0:
+            # Lightning's track_grad_norm logs the global p-norm of the raw
+            # gradients before the optimiser step, keyed like
+            # ``grad_2.0_norm_total``. Computed inside the jitted step — XLA
+            # fuses it into the backward pass, no extra host sync.
+            leaves = jax.tree_util.tree_leaves(grads)
+            if p == 2.0:
+                norm = optax.global_norm(grads)
+            elif np.isinf(p):
+                norm = jnp.max(
+                    jnp.stack([jnp.max(jnp.abs(x)) for x in leaves])
+                )
+            elif p == 0.0:
+                norm = sum(jnp.sum(x != 0) for x in leaves).astype(jnp.float32)
+            else:
+                norm = jnp.power(
+                    sum(jnp.sum(jnp.abs(x) ** p) for x in leaves), 1.0 / p
+                )
+            metrics[f"grad_{p}_norm_total"] = norm
         return state.apply_gradients(grads=grads), metrics
 
     def _build_train_step(self, model):
@@ -396,6 +430,27 @@ class Trainer:
         import contextlib
 
         return contextlib.nullcontext()
+
+    def _resolve_limit(self, limit, loader) -> Optional[int]:
+        """Lightning batch-limit semantics: ``None``/``1.0`` → full epoch; an
+        int ≥ 1 → batch count; a float in [0, 1) → fraction of
+        ``len(loader)`` (0.0 → zero batches). A fraction other than 1.0
+        requires a sized loader — same constraint Lightning places on
+        iterable datasets."""
+        if limit is None:
+            return None
+        if isinstance(limit, float) and 0.0 <= limit <= 1.0:
+            if limit == 1.0:
+                return None
+            try:
+                n = len(loader)
+            except TypeError:
+                raise ValueError(
+                    f"fractional batch limit {limit} needs a sized loader; "
+                    "pass an int batch count for length-less loaders"
+                )
+            return int(n * limit)
+        return int(limit)
 
     def _iter_batches(self, loader, limit: Optional[int]):
         """Host iterator → device iterator with transfer/compute overlap.
@@ -556,6 +611,9 @@ class Trainer:
             raise ValueError("fit() needs a datamodule or train_dataloaders")
         self._datamodule = datamodule
 
+        if self.overfit_batches:
+            train_loader, val_loader = self._overfit_loaders(train_loader)
+
         if self.state is None:
             self.setup(model, self._example_batch(train_loader))
         model = self._model
@@ -611,6 +669,37 @@ class Trainer:
             log.info("%s", self.profiler.summary())
         return self.callback_metrics
 
+    def _overfit_loaders(self, train_loader):
+        """``overfit_batches`` (Lightning): pin the first N train batches
+        host-side and use them — identical, unshuffled — as BOTH the train
+        and the validation set every epoch. The canonical
+        can-the-model-memorise debugging mode."""
+        n = self._resolve_limit(
+            float(self.overfit_batches)
+            if isinstance(self.overfit_batches, float)
+            else int(self.overfit_batches),
+            train_loader,
+        )
+        cached: List[Batch] = []
+        iterator = iter(train_loader)
+        try:
+            while n is None or len(cached) < n:
+                try:
+                    cached.append(as_batch(next(iterator)))
+                except StopIteration:
+                    break
+        finally:
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                close()
+        if not cached:
+            raise ValueError("overfit_batches: train loader yielded no batches")
+        log.info(
+            "overfit_batches=%s: training AND validating on the same %d "
+            "cached batch(es)", self.overfit_batches, len(cached),
+        )
+        return cached, cached
+
     def _sanity_check(self, loader) -> None:
         """Run ``num_sanity_val_steps`` eval steps before training starts —
         shape/NaN problems surface in seconds instead of after the first
@@ -632,7 +721,7 @@ class Trainer:
         step_fn = self._compiled["train"]
         device_metrics: List[Dict] = []
         profiler = self.profiler
-        limit = self.limit_train_batches
+        limit = self._resolve_limit(self.limit_train_batches, loader)
         if self.max_steps is not None:
             remaining = self.max_steps - self.global_step
             if remaining <= 0:
@@ -670,7 +759,10 @@ class Trainer:
         device_metrics: List[Dict] = []
         horizon_mse_acc, horizon_mae_acc = [], []
         results_dfs = []
-        limit = self.limit_val_batches
+        limit = self._resolve_limit(
+            self.limit_test_batches if tag == "Test" else self.limit_val_batches,
+            loader,
+        )
 
         for batch_idx, (host_batch, device_batch) in enumerate(
             self._iter_batches(loader, limit)
@@ -793,10 +885,15 @@ class Trainer:
                 expanded.append(entry)
         host = expanded
         start = self.global_step - len(host)
+        every = self.log_every_n_steps
         for offset, step_metrics in enumerate(host):
+            step = max(start + offset, 0)
+            # Lightning's log_every_n_steps: per-step rows land every Nth
+            # global step; epoch aggregates below are always emitted.
+            if (step + 1) % every:
+                continue
             self.logger.log_metrics(
-                {f"{k}/{tag}": float(v) for k, v in step_metrics.items()},
-                max(start + offset, 0),
+                {f"{k}/{tag}": float(v) for k, v in step_metrics.items()}, step
             )
         epoch_metrics = {
             f"{k}/{tag}_epoch": float(np.mean([m[k] for m in host]))

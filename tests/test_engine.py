@@ -176,6 +176,48 @@ def test_lightning_parity_knobs(sharded_configuration, tmp_cwd):
     assert not np.allclose(unclipped, clipped)
 
 
+def test_fractional_limits_grad_norm_log_every(sharded_configuration, tmp_cwd):
+    """Float batch limits are epoch fractions (reference
+    configs/trainer/all_params.yaml:24-26 semantics), track_grad_norm logs
+    the in-step global grad norm, and log_every_n_steps thins per-step rows
+    without touching the epoch aggregates."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    logger = CSVLogger(save_dir=str(tmp_cwd))
+    trainer = Trainer(
+        max_epochs=1, profiler=None, logger=logger,
+        limit_train_batches=0.5, limit_val_batches=0.25,
+        track_grad_norm=2, log_every_n_steps=2,
+    )
+    metrics = trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    assert trainer.global_step == 4  # 0.5 of the 8-batch epoch
+
+    key = "grad_2.0_norm_total/Train_epoch"
+    assert key in metrics
+    assert np.isfinite(metrics[key]) and metrics[key] > 0
+
+    # per-step train rows land only on global steps 1 and 3 ((step+1) % 2 == 0)
+    train_steps = [r["step"] for r in logger._rows if "NMAE/Train" in r]
+    assert train_steps == [1, 3]
+    assert any("NMAE/Train_epoch" in r for r in logger._rows)
+
+    # a fraction on a length-less loader must fail loudly, not silently run
+    with pytest.raises(ValueError, match="fractional"):
+        trainer._resolve_limit(0.5, iter(()))
+
+
+def test_overfit_batches(sharded_configuration, tmp_cwd):
+    """overfit_batches pins the first N train batches and validates on the
+    SAME cached batches — even with no val loader passed (Lightning
+    semantics; fraction 0.25 of the 8-batch epoch -> 2 batches)."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    trainer = Trainer(max_epochs=2, profiler=None, overfit_batches=0.25)
+    metrics = trainer.fit(Conv3d(**config), train_dataloaders=ds)
+    assert trainer.global_step == 4  # 2 cached batches x 2 epochs
+    assert "NMAE/Validation_epoch" in metrics
+
+
 def test_steps_per_execution_respects_limit(sharded_configuration, tmp_cwd):
     """limit_train_batches is exact in fused-dispatch mode: a limit that is
     not a multiple of k runs the remainder as single steps."""
