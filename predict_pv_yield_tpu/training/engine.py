@@ -123,7 +123,10 @@ class Trainer:
         accumulate_grad_batches: int = 1,
         gradient_clip_val: float = 0.0,
         max_steps: Optional[int] = None,
+        min_steps: Optional[int] = None,
         check_val_every_n_epoch: int = 1,
+        val_check_interval: Optional[float] = None,
+        reload_dataloaders_every_epoch: bool = False,
         num_sanity_val_steps: int = 0,
         limit_train_batches: Optional[float] = None,
         limit_val_batches: Optional[float] = None,
@@ -165,7 +168,15 @@ class Trainer:
         #: portability — see ``lightning_compat``).
         self.gradient_clip_val = float(gradient_clip_val)
         self.max_steps = max_steps if max_steps and max_steps > 0 else None
+        #: early stopping (``should_stop``) is ignored until this many
+        #: optimiser steps have run (Lightning ``min_steps``).
+        self.min_steps = min_steps if min_steps and min_steps > 0 else None
         self.check_val_every_n_epoch = max(1, int(check_val_every_n_epoch))
+        #: Lightning semantics: 1.0/None → validate at epoch end only; a
+        #: fraction → also mid-epoch every ``int(len(loader)·f)`` train
+        #: batches; an int → every N train batches.
+        self.val_check_interval = val_check_interval
+        self.reload_dataloaders_every_epoch = bool(reload_dataloaders_every_epoch)
         self.num_sanity_val_steps = max(0, int(num_sanity_val_steps))
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
@@ -197,6 +208,7 @@ class Trainer:
         # run state
         self.current_epoch = 0
         self.global_step = 0
+        self._last_val_step = -1  # global_step at the most recent mid-epoch val
         self.should_stop = False
         self.sanity_checking = False
         self.state: Optional[TrainState] = None
@@ -635,13 +647,25 @@ class Trainer:
         try:
             for epoch in range(max_epochs):
                 self.current_epoch = epoch
-                train_metrics = self._train_epoch(train_loader)
+                if (
+                    self.reload_dataloaders_every_epoch
+                    and epoch > 0
+                    and datamodule is not None
+                    and not self.overfit_batches
+                ):
+                    train_loader, val_loader = self._resolve_loaders(
+                        datamodule, None, None
+                    )
+                train_metrics = self._train_epoch(train_loader, val_loader)
                 for cb in self.callbacks:
                     cb.on_train_epoch_end(self, model, train_metrics)
 
                 run_val = (
                     val_loader is not None
                     and (epoch + 1) % self.check_val_every_n_epoch == 0
+                    # a mid-epoch val that landed exactly on the last train
+                    # batch already covered the epoch boundary
+                    and self._last_val_step != self.global_step
                 )
                 if run_val:
                     val_metrics = self._eval_epoch(model, val_loader, tag="Validation")
@@ -656,7 +680,11 @@ class Trainer:
                 if self.max_steps and self.global_step >= self.max_steps:
                     log.info("max_steps %d reached", self.max_steps)
                     break
-                if self.should_stop and epoch + 1 >= self.min_epochs:
+                if (
+                    self.should_stop
+                    and epoch + 1 >= self.min_epochs
+                    and (self.min_steps is None or self.global_step >= self.min_steps)
+                ):
                     break
         finally:
             if self.jax_trace and is_main_process():
@@ -717,11 +745,32 @@ class Trainer:
         finally:
             self.sanity_checking = False
 
-    def _train_epoch(self, loader) -> Dict[str, float]:
+    def _maybe_midepoch_val(
+        self, val_every: Optional[int], prev_done: int, batches_done: int, val_loader
+    ):
+        """Run a full validation pass when the train-batch count crosses a
+        ``val_check_interval`` boundary (Lightning's mid-epoch validation;
+        callbacks fire so checkpoint monitors see the metrics). Bucket
+        comparison, not modulo — fused dispatch advances k batches at a time
+        and must not stride over a boundary."""
+        if not val_every or prev_done // val_every == batches_done // val_every:
+            return
+        metrics = self._eval_epoch(self._model, val_loader, tag="Validation")
+        for cb in self.callbacks:
+            cb.on_validation_epoch_end(self, self._model, metrics)
+        self._last_val_step = self.global_step
+
+    def _train_epoch(self, loader, val_loader=None) -> Dict[str, float]:
         step_fn = self._compiled["train"]
         device_metrics: List[Dict] = []
         profiler = self.profiler
         limit = self._resolve_limit(self.limit_train_batches, loader)
+        val_every = None
+        if val_loader is not None and self.val_check_interval is not None:
+            vi = self.val_check_interval
+            val_every = self._resolve_limit(
+                float(vi) if isinstance(vi, float) else int(vi), loader
+            )
         if self.max_steps is not None:
             remaining = self.max_steps - self.global_step
             if remaining <= 0:
@@ -730,6 +779,7 @@ class Trainer:
             # batches from the loader and yields the remainder ungrouped
             limit = remaining if limit is None else min(limit, remaining)
 
+        batches_done = 0
         if self.steps_per_execution > 1 and not self.fast_dev_run:
             multi_fn = self._compiled["train_multi"]
             for hosts, device, is_group in self._iter_batch_groups(loader, limit):
@@ -741,6 +791,10 @@ class Trainer:
                     self.state, metrics = fn(self.state, device)
                 device_metrics.append(metrics)  # (k,)-stacked when grouped
                 self.global_step += len(hosts)
+                batches_done += len(hosts)
+                self._maybe_midepoch_val(
+                    val_every, batches_done - len(hosts), batches_done, val_loader
+                )
             return self._flush_metrics(device_metrics, tag="Train")
 
         for _, device_batch in self._iter_batches(loader, limit):
@@ -751,6 +805,10 @@ class Trainer:
                 self.state, metrics = step_fn(self.state, device_batch)
             device_metrics.append(metrics)
             self.global_step += 1
+            batches_done += 1
+            self._maybe_midepoch_val(
+                val_every, batches_done - 1, batches_done, val_loader
+            )
 
         return self._flush_metrics(device_metrics, tag="Train")
 

@@ -206,6 +206,59 @@ def test_fractional_limits_grad_norm_log_every(sharded_configuration, tmp_cwd):
         trainer._resolve_limit(0.5, iter(()))
 
 
+def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
+    """val_check_interval=0.5 on an 8-batch epoch validates mid-epoch at
+    batch 4 and at the epoch boundary (not twice there); min_steps holds off
+    an early stop signalled from the very first validation."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    val_steps = []
+
+    class RecordVal:
+        def on_fit_start(self, trainer, model): pass
+        def on_train_epoch_end(self, trainer, model, metrics): pass
+        def on_fit_end(self, trainer, model): pass
+        def on_validation_epoch_end(self, trainer, model, metrics):
+            val_steps.append(trainer.global_step)
+            trainer.should_stop = True  # fires at the first val already
+
+    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ckpt"))
+    trainer = Trainer(
+        max_epochs=3, profiler=None, val_check_interval=0.5,
+        min_steps=12, callbacks=[RecordVal(), ckpt],
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    # 2 val passes per 8-batch epoch (after batch 4 and 8); the epoch-end
+    # pass is not duplicated. should_stop from step 4 is deferred by
+    # min_steps=12 -> exactly 2 epochs run.
+    assert val_steps == [4, 8, 12, 16]
+    assert trainer.global_step == 16
+    # two same-epoch validations hit the same checkpoint filename; the
+    # better score must replace the entry, not rmtree the fresh save
+    assert ckpt.best_model_path and os.path.exists(ckpt.best_model_path)
+    assert len(ckpt.best_k) == len({p for _, p in ckpt.best_k})
+
+
+def test_reload_dataloaders_every_epoch(sharded_configuration, tmp_cwd):
+    config = load_config("tests/configs/model/conv3d.yaml")
+    calls = []
+
+    class DM:
+        def train_dataloader(self):
+            calls.append("train")
+            return FakeDataset(configuration=sharded_configuration, length=2)
+
+        def val_dataloader(self):
+            return FakeDataset(configuration=sharded_configuration, length=1)
+
+    trainer = Trainer(
+        max_epochs=3, profiler=None, reload_dataloaders_every_epoch=True,
+    )
+    trainer.fit(Conv3d(**config), datamodule=DM())
+    # initial resolve + a fresh loader for epochs 1 and 2
+    assert calls.count("train") == 3
+
+
 def test_overfit_batches(sharded_configuration, tmp_cwd):
     """overfit_batches pins the first N train batches and validates on the
     SAME cached batches — even with no val loader passed (Lightning
