@@ -277,12 +277,6 @@ class ZarrStreamDataModule:
             zarr_path, zarr_array, zarr_time,
             image_size_pixels=satellite_image_size_pixels,
         )
-        if min(sat.data.shape[-2:]) < satellite_image_size_pixels:
-            raise ValueError(
-                f"archive frames are {sat.data.shape[-2]}x"
-                f"{sat.data.shape[-1]}px < satellite_image_size_pixels "
-                f"{satellite_image_size_pixels}"
-            )
         sources = [sat]
         if sat.x is not None and sat.y is not None:
             sources.append(
@@ -314,23 +308,41 @@ class ZarrStreamDataModule:
         self.configuration = configuration
 
         cut = int(len(sat.datetimes) * (1.0 - test_fraction))
-        self._generators = {}
-        for split, times in (
-            ("train", sat.datetimes[:cut]),
-            ("test", sat.datetimes[cut:]),
-        ):
-            self._generators[split] = SampleGenerator(
-                sources,
-                datetimes=times,
-                history_minutes=history_minutes,
-                forecast_minutes=forecast_minutes,
-            )
+        # lazily built per split: test_fraction=0 (train on the whole
+        # archive) must not crash at construction just because the empty
+        # tail can't seed a val/test generator nobody asked for
+        self._split_times = {
+            "train": sat.datetimes[:cut],
+            "test": sat.datetimes[cut:],
+        }
+        self._sources = sources
+        self._history_minutes = history_minutes
+        self._forecast_minutes = forecast_minutes
+        self._generators: dict = {}
+
+    def _generator(self, split: str):
+        from predict_pv_yield_tpu.data.sources import SampleGenerator
+
+        if split not in self._generators:
+            try:
+                self._generators[split] = SampleGenerator(
+                    self._sources,
+                    datetimes=self._split_times[split],
+                    history_minutes=self._history_minutes,
+                    forecast_minutes=self._forecast_minutes,
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"the {split} split of the archive cannot seed a sample "
+                    f"generator ({exc}); adjust test_fraction"
+                ) from exc
+        return self._generators[split]
 
     def _loader(self, split: str, n_batches: int, shuffle: bool):
         from predict_pv_yield_tpu.data.sources import SampledBatchDataset
 
         dataset = SampledBatchDataset(
-            self._generators[split],
+            self._generator(split),
             batch_size=self.batch_size,
             length=n_batches,
             configuration=self.configuration,

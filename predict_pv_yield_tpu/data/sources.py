@@ -28,6 +28,7 @@ gaps, all-NaN PV systems, out-of-range NWP steps) raise :class:`BadData`
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -70,7 +71,11 @@ class DataSource:
     ``centre`` is the example's OSGB ``(easting, northing)`` when the
     generator runs location-driven extraction (nowcasting_dataset's
     pick-a-system-then-extract-everything-around-it loop); sources that
-    don't vary by location ignore it.
+    don't vary by location ignore it. ``rng`` is the caller's random
+    stream for any per-example draw (random PV system / GSP choice) —
+    :class:`SampleGenerator` threads its per-call rng through so batch
+    ``i`` is reproducible end to end; sources fall back to their own
+    stream when it is absent.
     """
 
     def get_sample(
@@ -79,6 +84,7 @@ class DataSource:
         end: np.datetime64,
         t0: np.datetime64,
         centre: Optional[Tuple[float, float]] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> Sample:
         raise NotImplementedError
 
@@ -182,8 +188,8 @@ class SatelliteDataSource(DataSource):
         self.freq = np.timedelta64(freq)
         self.image_size_pixels = image_size_pixels
 
-    def get_sample(self, start, end, t0, centre: Optional[Tuple[float, float]] = None) -> Sample:
-        del t0  # not used (cell 89)
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
+        del t0, rng  # not used (cell 89)
         return self.get_chunk(start, end, centre=centre)
 
     def get_chunk(self, start, end, centre: Optional[Tuple[float, float]] = None) -> Sample:
@@ -267,8 +273,8 @@ class NWPDataSource(DataSource):
         self.step_duration = np.timedelta64(step_duration)
         self.static_targets = static_targets
 
-    def get_sample(self, start, end, t0, centre=None) -> Sample:
-        del centre  # NWP arrays here are already example-sized
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
+        del centre, rng  # NWP arrays here are already example-sized; no draws
         target_times, chosen, steps = select_nwp_init_times(
             self.init_times, start=start, end=end, t0=t0
         )
@@ -399,6 +405,21 @@ class PVDataSource(DataSource):
         wide = wide[known]
         values = wide.to_numpy(dtype=np.float64)
         if value_col != "pv_yield":
+            if value_col == "generation_wh":
+                # energy per interval, not instantaneous power: a 3 kWp
+                # system at 1500 W logs 125 Wh per 5-minute row — convert
+                # to mean watts over the row's interval before dividing by
+                # capacity, or yields come out ~interval/1h too small
+                times = np.asarray(wide.index, dtype="datetime64[ns]")
+                if len(times) < 2:
+                    raise ValueError(
+                        "generation_wh needs >=2 timestamps to infer the "
+                        "logging interval"
+                    )
+                interval_s = float(
+                    np.median(np.diff(times)).astype("timedelta64[s]").astype(np.int64)
+                )
+                values = values * (3600.0 / interval_s)
             kwp_col = pick(meta, "kwp", "capacity_kw", "kw")
             watts_per_kwp = 1000.0
             kwp = meta.loc[known, kwp_col].to_numpy(dtype=np.float64)
@@ -425,11 +446,11 @@ class PVDataSource(DataSource):
             **kwargs,
         )
 
-    def get_sample(self, start, end, t0, centre=None) -> Sample:
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
         del t0  # not used (cell 107)
-        return self.get_chunk(start, end, centre=centre)
+        return self.get_chunk(start, end, centre=centre, rng=rng)
 
-    def get_chunk(self, start, end, centre=None) -> Sample:
+    def get_chunk(self, start, end, centre=None, rng=None) -> Sample:
         idx = _window_indices(self.datetimes, start, end, self.freq)
         window = self.power[idx[0] : idx[-1] + 1] if len(idx) else self.power[:0]
         if window.shape[0] == 0:
@@ -446,7 +467,11 @@ class PVDataSource(DataSource):
             d2 = np.where(clean, d2, np.inf)
             row = int(d2.argmin())
         else:
-            row = int(self.rng.choice(np.flatnonzero(clean)))
+            row = int(
+                (rng if rng is not None else self.rng).choice(
+                    np.flatnonzero(clean)
+                )
+            )
         sample: Sample = {
             "pv_yield": window[:, row].astype(np.float32),
             "pv_system_id": int(self.system_ids[row]),
@@ -541,11 +566,11 @@ class GSPSource(DataSource):
             **kwargs,
         )
 
-    def get_sample(self, start, end, t0, centre=None) -> Sample:
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
         del t0  # targets cover the whole window; slicing is the model's job
-        return self.get_chunk(start, end, centre=centre)
+        return self.get_chunk(start, end, centre=centre, rng=rng)
 
-    def get_chunk(self, start, end, centre=None) -> Sample:
+    def get_chunk(self, start, end, centre=None, rng=None) -> Sample:
         start = np.datetime64(start, "ns")
         end = np.datetime64(end, "ns")
         half_hour = np.timedelta64(30, "m")
@@ -579,7 +604,7 @@ class GSPSource(DataSource):
             d2 = np.where(clean, d2, np.inf)
             rows = np.argsort(d2)[: self.n_gsp]
         else:
-            rows = self.rng.choice(
+            rows = (rng if rng is not None else self.rng).choice(
                 np.flatnonzero(clean), size=self.n_gsp, replace=False
             )
         rows = np.asarray(rows, dtype=np.int64)
@@ -613,8 +638,8 @@ class SunSource(DataSource):
         self.freq = np.timedelta64(freq)
         self.refraction = refraction
 
-    def get_sample(self, start, end, t0, centre=None) -> Sample:
-        del t0
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
+        del t0, rng
         return self.get_chunk(start, end, centre=centre)
 
     def get_chunk(self, start, end, centre=None) -> Sample:
@@ -715,10 +740,10 @@ class SampleGenerator:
                 f"{self.freq} in the datetime index"
             )
 
-    def get_sample(self, start, end, t0, centre=None) -> Sample:
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
         sample: Sample = {}
         for source in self.sources:
-            part = source.get_sample(start, end, t0, centre=centre)
+            part = source.get_sample(start, end, t0, centre=centre, rng=rng)
             overlap = sample.keys() & part.keys()
             if overlap:
                 raise ValueError(
@@ -755,7 +780,9 @@ class SampleGenerator:
                 )
             try:
                 out.append(
-                    self.get_sample(window.start, window.end, t0, centre=centre)
+                    self.get_sample(
+                        window.start, window.end, t0, centre=centre, rng=rng
+                    )
                 )
             except BadData:
                 failures += 1
@@ -882,6 +909,11 @@ def open_zarr_satellite(
                 '.zattrs carry no decodable CF "units"'
             )
         times = decoded.astype("datetime64[ns]")
+    if image_size_pixels is not None and min(data.shape[-2:]) < image_size_pixels:
+        raise ValueError(
+            f"archive frames are {data.shape[-2]}x{data.shape[-1]}px, "
+            f"smaller than the requested {image_size_pixels}px crop"
+        )
     coords = {}
     for name in ("x", "y"):
         try:
@@ -932,10 +964,14 @@ class SampledBatchDataset:
     ``(seed, i)`` — deterministic per index across epochs and prefetch
     workers — collates them, and (when ``configuration`` is given) overlays
     them onto a synthetic shape-complete batch via :func:`merge_real_groups`.
-    A lock serialises sampling: the source rngs (random PV/GSP choice) are
-    not thread-safe, and zlib/blosc chunk decompression releases the GIL
-    anyway, so prefetch overlap with device compute is preserved.
+    A class-level lock serialises sampling across ALL instances: train and
+    val datasets share the same generator/sources (whose fallback rngs are
+    not thread-safe), and mid-epoch validation overlaps the two prefetch
+    pools; zlib/blosc chunk decompression releases the GIL anyway, so
+    prefetch overlap with device compute is preserved.
     """
+
+    _lock = threading.Lock()  # shared: one process-wide sampling section
 
     def __init__(
         self,
@@ -945,14 +981,11 @@ class SampledBatchDataset:
         configuration=None,
         seed: int = 0,
     ):
-        import threading
-
         self.generator = generator
         self.batch_size = int(batch_size)
         self.length = int(length)
         self.configuration = configuration
         self.seed = seed
-        self._lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.length

@@ -129,14 +129,19 @@ class ModelCheckpoint(Callback):
         ):
             name = self.filename.format(epoch=epoch)
             path = os.path.join(self.dirpath, name)
+            # mid-epoch validation (val_check_interval) revisits the same
+            # {epoch} filename within one epoch — version the collision
+            # (Lightning's "-v1" rule) so a worse-but-qualifying later save
+            # cannot overwrite a better checkpoint already holding the name
+            taken = {p for _, p in self.best_k}
+            if path in taken:
+                version = 1
+                while f"{path}-v{version}" in taken:
+                    version += 1
+                path = f"{path}-v{version}"
             _save_state(path, engine.state)
             with open(os.path.join(path, "monitor.json"), "w") as fh:
                 json.dump({"monitor": self.monitor, "score": score, "epoch": epoch}, fh)
-            # mid-epoch validation (val_check_interval) revisits the same
-            # filename within one epoch — replace the stale entry rather than
-            # carrying two scores for one path (the worse twin would get the
-            # freshly-written directory rmtree'd as "stale")
-            self.best_k = [(s, p) for s, p in self.best_k if p != path]
             self.best_k.append((score, path))
             self.best_k.sort(key=lambda sp: sp[0], reverse=self.mode != "min")
             while len(self.best_k) > self.save_top_k:

@@ -653,8 +653,11 @@ class Trainer:
                     and datamodule is not None
                     and not self.overfit_batches
                 ):
+                    # refresh only the loaders that CAME from the datamodule
+                    # — an explicitly passed dataloader is the caller's to
+                    # manage (Lightning reloads per-source too)
                     train_loader, val_loader = self._resolve_loaders(
-                        datamodule, None, None
+                        datamodule, train_dataloaders, val_dataloaders
                     )
                 train_metrics = self._train_epoch(train_loader, val_loader)
                 for cb in self.callbacks:
@@ -765,12 +768,6 @@ class Trainer:
         device_metrics: List[Dict] = []
         profiler = self.profiler
         limit = self._resolve_limit(self.limit_train_batches, loader)
-        val_every = None
-        if val_loader is not None and self.val_check_interval is not None:
-            vi = self.val_check_interval
-            val_every = self._resolve_limit(
-                float(vi) if isinstance(vi, float) else int(vi), loader
-            )
         if self.max_steps is not None:
             remaining = self.max_steps - self.global_step
             if remaining <= 0:
@@ -778,6 +775,29 @@ class Trainer:
             # exact in both modes: _iter_batch_groups pulls at most `limit`
             # batches from the loader and yields the remainder ungrouped
             limit = remaining if limit is None else min(limit, remaining)
+
+        val_every = None
+        if (
+            val_loader is not None
+            and self.val_check_interval is not None
+            # check_val_every_n_epoch gates ALL validation, mid-epoch
+            # included (Lightning composes the two knobs this way)
+            and (self.current_epoch + 1) % self.check_val_every_n_epoch == 0
+        ):
+            vi = self.val_check_interval
+            if isinstance(vi, float):
+                # fraction of the EFFECTIVE epoch — after limit_train_batches
+                # / max_steps truncation — not of the raw loader length
+                try:
+                    n = limit if limit is not None else len(loader)
+                except TypeError:
+                    raise ValueError(
+                        f"fractional val_check_interval {vi} needs a sized "
+                        "loader; pass an int batch cadence instead"
+                    )
+                val_every = max(1, int(n * vi)) if vi < 1.0 else None
+            else:
+                val_every = int(vi)
 
         batches_done = 0
         if self.steps_per_execution > 1 and not self.fast_dev_run:
@@ -943,11 +963,13 @@ class Trainer:
                 expanded.append(entry)
         host = expanded
         start = self.global_step - len(host)
-        every = self.log_every_n_steps
+        # Lightning's log_every_n_steps thins the TRAINING loop only —
+        # validation/test always emit every per-step row.
+        every = self.log_every_n_steps if tag == "Train" else 1
         for offset, step_metrics in enumerate(host):
             step = max(start + offset, 0)
-            # Lightning's log_every_n_steps: per-step rows land every Nth
-            # global step; epoch aggregates below are always emitted.
+            # per-step rows land every Nth global step; epoch aggregates
+            # below are always emitted.
             if (step + 1) % every:
                 continue
             self.logger.log_metrics(

@@ -239,6 +239,105 @@ def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
     assert len(ckpt.best_k) == len({p for _, p in ckpt.best_k})
 
 
+def test_val_interval_composes_with_limits_and_epoch_gate(
+    sharded_configuration, tmp_cwd
+):
+    """The val_check_interval fraction resolves against the LIMITED epoch
+    length, and check_val_every_n_epoch gates mid-epoch passes too."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    val_steps = []
+
+    class RecordVal:
+        def on_fit_start(self, trainer, model): pass
+        def on_train_epoch_end(self, trainer, model, metrics): pass
+        def on_fit_end(self, trainer, model): pass
+        def on_validation_epoch_end(self, trainer, model, metrics):
+            val_steps.append(trainer.global_step)
+
+    trainer = Trainer(
+        max_epochs=2, profiler=None, val_check_interval=0.5,
+        limit_train_batches=4, check_val_every_n_epoch=2,
+        callbacks=[RecordVal()],
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    # epoch 0: no validation at all (gated to every 2nd epoch). epoch 1:
+    # 4-batch effective epoch -> val every int(4*0.5)=2 batches, at global
+    # steps 6 and 8; the step-8 pass covers the epoch boundary once.
+    assert val_steps == [6, 8]
+
+
+def test_log_every_n_steps_thins_train_only():
+    """Lightning applies log_every_n_steps to the training loop only —
+    validation/test per-step rows are never thinned."""
+    trainer = Trainer(profiler=None, log_every_n_steps=50)
+    rows = []
+
+    class RecordingLogger:
+        def log_metrics(self, metrics, step):
+            rows.append(dict(metrics))
+
+    trainer.logger = RecordingLogger()
+    trainer.global_step = 8
+    metrics = [{"NMAE": np.float32(i)} for i in range(8)]
+    trainer._flush_metrics(list(metrics), tag="Validation")
+    assert sum("NMAE/Validation" in r for r in rows) == 8
+    rows.clear()
+    trainer._flush_metrics(list(metrics), tag="Train")
+    # 8 train steps, none on a 50-step boundary -> only the epoch aggregate
+    assert sum("NMAE/Train" in r for r in rows) == 0
+    assert sum("NMAE/Train_epoch" in r for r in rows) == 1
+
+
+def test_checkpoint_version_suffix_preserves_better_save(tmp_cwd):
+    """A worse-but-qualifying later score in the same epoch gets a -v1
+    filename (Lightning's versioning) instead of overwriting the better
+    checkpoint already holding the {epoch} name."""
+    from predict_pv_yield_tpu.training.callbacks import load_state
+
+    class StubEngine:
+        sanity_checking = False
+        current_epoch = 0
+        state = {"w": np.arange(3.0, dtype=np.float32)}
+
+    engine = StubEngine()
+    ckpt = ModelCheckpoint(
+        dirpath=str(tmp_cwd / "ck"), save_top_k=2, save_last=False
+    )
+    ckpt.on_validation_epoch_end(engine, None, {"MSE/Validation_epoch": 0.1})
+    engine.state = {"w": np.arange(3.0, dtype=np.float32) + 100.0}
+    ckpt.on_validation_epoch_end(engine, None, {"MSE/Validation_epoch": 0.5})
+    assert ckpt.best_model_score == 0.1
+    assert ckpt.best_model_path.endswith("epoch_000")
+    paths = {p for _, p in ckpt.best_k}
+    assert len(paths) == 2 and any(p.endswith("-v1") for p in paths)
+    restored = load_state(ckpt.best_model_path, {"w": np.zeros(3, np.float32)})
+    np.testing.assert_array_equal(restored["w"], np.arange(3.0, dtype=np.float32))
+
+
+def test_reload_keeps_explicit_loaders(sharded_configuration, tmp_cwd):
+    """reload_dataloaders_every_epoch refreshes only datamodule-sourced
+    loaders; an explicitly passed train loader survives the reload even
+    when the datamodule cannot provide one."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    val_calls = []
+
+    class ValOnlyDM:
+        def val_dataloader(self):
+            val_calls.append(1)
+            return FakeDataset(configuration=sharded_configuration, length=1)
+
+    explicit = FakeDataset(configuration=sharded_configuration, length=2)
+    trainer = Trainer(
+        max_epochs=2, profiler=None, reload_dataloaders_every_epoch=True,
+    )
+    trainer.fit(
+        Conv3d(**config), datamodule=ValOnlyDM(), train_dataloaders=explicit
+    )
+    assert trainer.global_step == 4  # 2 epochs x 2 batches, no crash
+    assert len(val_calls) == 2  # initial resolve + the epoch-1 reload
+
+
 def test_reload_dataloaders_every_epoch(sharded_configuration, tmp_cwd):
     config = load_config("tests/configs/model/conv3d.yaml")
     calls = []

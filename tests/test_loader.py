@@ -175,13 +175,23 @@ class TestZarrStreamDataModule:
 
         store, csv = zarr_store
         dm = ZarrStreamDataModule(
-            zarr_path=store, batch_size=2, history_minutes=30,
+            zarr_path=store, gsp_csv=csv, batch_size=2, history_minutes=30,
             forecast_minutes=30, satellite_image_size_pixels=8,
             n_train_data=2, n_val_data=1, num_workers=2,
         )
-        first = np.asarray(list(dm.train_dataloader())[0].satellite.data)
-        again = np.asarray(list(dm.train_dataloader())[0].satellite.data)
-        np.testing.assert_array_equal(first, again)
+        first = list(dm.train_dataloader())[0]
+        again = list(dm.train_dataloader())[0]
+        np.testing.assert_array_equal(
+            np.asarray(first.satellite.data), np.asarray(again.satellite.data)
+        )
+        # the RANDOM target draws (which GSP) ride the per-index rng too —
+        # targets must be identical across epochs, not just imagery
+        np.testing.assert_array_equal(
+            np.asarray(first.gsp.gsp_id), np.asarray(again.gsp.gsp_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(first.gsp.gsp_yield), np.asarray(again.gsp.gsp_yield)
+        )
         train_max = max(
             np.asarray(b.satellite.datetime_index).max()
             for b in dm.train_dataloader()
@@ -191,3 +201,18 @@ class TestZarrStreamDataModule:
             for b in dm.val_dataloader()
         )
         assert train_max < val_min  # archive tail is held out
+
+    def test_whole_archive_training_without_test_tail(self, zarr_store):
+        """test_fraction=0 trains on the full archive; only asking for the
+        (empty) val split errors, and with a pointed message."""
+        from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+
+        store, _ = zarr_store
+        dm = ZarrStreamDataModule(
+            zarr_path=store, batch_size=2, history_minutes=30,
+            forecast_minutes=30, satellite_image_size_pixels=8,
+            n_train_data=1, n_val_data=1, num_workers=1, test_fraction=0.0,
+        )
+        assert len(list(dm.train_dataloader())) == 1
+        with pytest.raises(ValueError, match="test split.*test_fraction"):
+            dm.val_dataloader()

@@ -215,6 +215,26 @@ class TestPVDataSource:
         assert s_near["pv_system_id"] == 1002
         assert 500_000 < src.x[0] < 560_000 and 150_000 < src.y[0] < 200_000
 
+    def test_from_passiv_csv_generation_wh_is_energy_not_power(self, tmp_path):
+        """generation_wh logs Wh per interval — a 3 kWp system at a steady
+        1500 W writes 125 Wh per 5-minute row, and the yield must come out
+        0.5, not 125/3000."""
+        import pandas as pd
+
+        times = _grid("2020-06-01T10:00", 6)  # 5-minute cadence
+        rows = [
+            dict(timestamp=str(t), ss_id=1001, generation_wh=125.0)
+            for t in times
+        ]
+        power_csv = tmp_path / "power.csv"
+        pd.DataFrame(rows).to_csv(power_csv, index=False)
+        meta_csv = tmp_path / "meta.csv"
+        pd.DataFrame([dict(ss_id=1001, kwp=3.0, x=0.0, y=0.0)]).to_csv(
+            meta_csv, index=False
+        )
+        src = PVDataSource.from_passiv_csv(str(power_csv), str(meta_csv))
+        np.testing.assert_allclose(src.power, 0.5)
+
 
 class TestGSPSource:
     def _grid30(self, start: str, n: int):

@@ -96,12 +96,6 @@ def main() -> None:
             )
         except ValueError as exc:
             parser.error(str(exc))
-        if min(sat_source.data.shape[-2:]) < args.satellite_pixels:
-            parser.error(
-                f"archive frames are {sat_source.data.shape[-2]}x"
-                f"{sat_source.data.shape[-1]}px, smaller than "
-                f"--satellite-pixels {args.satellite_pixels}"
-            )
         sun_source = None
         if sat_source.x is not None and sat_source.y is not None:
             from predict_pv_yield_tpu.data.sources import SunSource
