@@ -135,6 +135,8 @@ class Trainer:
         track_grad_norm: float = -1,
         log_every_n_steps: int = 1,
         learning_rate: float = 5e-4,
+        auto_lr_find: bool = False,
+        weights_summary: Optional[str] = "top",
         devices: Optional[List] = None,
         terminate_on_nan: bool = False,
         debug_nans: bool = False,
@@ -191,6 +193,15 @@ class Trainer:
         self.track_grad_norm = float(track_grad_norm)
         self.log_every_n_steps = max(1, int(log_every_n_steps))
         self.learning_rate = learning_rate
+        #: run the LR range finder before fitting and adopt its suggestion
+        #: (Lightning ``auto_lr_find``); results land in
+        #: :attr:`lr_find_results` for inspection/plotting.
+        self.auto_lr_find = bool(auto_lr_find)
+        self.lr_find_results: Optional[Dict[str, Any]] = None
+        #: ``"top"`` logs per-top-level-module parameter counts at setup,
+        #: ``"full"`` every parameter array, ``None`` disables (Lightning
+        #: ``weights_summary``).
+        self.weights_summary = weights_summary
         self.devices = devices
         self.terminate_on_nan = terminate_on_nan
         self.prefetch_depth = prefetch_depth
@@ -307,8 +318,12 @@ class Trainer:
             lambda: nn.meta.unbox(init()), out_shardings=shardings
         )()
 
-    def setup(self, model, example_batch: Batch) -> None:
-        """Build mesh, init or restore parameters, construct the optimiser."""
+    def setup(self, model, example_batch: Batch, learning_rate=None) -> None:
+        """Build mesh, init or restore parameters, construct the optimiser.
+
+        ``learning_rate`` overrides the trainer's configured rate for this
+        state only — a float or an optax schedule (the LR range finder
+        passes its exponential sweep through here)."""
         model = self._prepare_model(model)
         self._model = model
         example = example_batch.numeric()
@@ -330,8 +345,13 @@ class Trainer:
                 "model/params_not_trainable": 0,
             }
         )
+        self._log_weights_summary(variables)
 
-        tx = optax.adam(self.learning_rate)  # reference base_model.py:255-257
+        # reference base_model.py:255-257 (Adam); a schedule is accepted for
+        # the LR range finder's exponential sweep
+        tx = optax.adam(
+            self.learning_rate if learning_rate is None else learning_rate
+        )
         if self.gradient_clip_val > 0:
             # Lightning clips the (accumulated) gradients by global norm
             # before the optimiser step; same order here.
@@ -352,6 +372,34 @@ class Trainer:
         }
         if self.steps_per_execution > 1:
             self._compiled["train_multi"] = self._build_multi_train_step(model)
+
+    def _log_weights_summary(self, variables) -> None:
+        """Per-module parameter-count table at setup (Lightning
+        ``weights_summary``: ``"top"`` aggregates per top-level module,
+        ``"full"`` lists every array)."""
+        if not self.weights_summary or not is_main_process():
+            return
+        from flax import traverse_util
+
+        params = variables.get("params", variables)
+        rows: List[tuple] = []
+        if self.weights_summary == "full":
+            for path, leaf in traverse_util.flatten_dict(params).items():
+                rows.append(("/".join(map(str, path)), leaf.size))
+        else:
+            for name, sub in params.items():
+                rows.append(
+                    (str(name),
+                     sum(x.size for x in jax.tree_util.tree_leaves(sub)))
+                )
+        if not rows:
+            return
+        width = max(len(name) for name, _ in rows)
+        lines = [f"  {name:<{width}}  {count:>12,}" for name, count in rows]
+        total = sum(count for _, count in rows)
+        lines.append(f"  {'TOTAL':<{width}}  {total:>12,}")
+        log.info("weights summary (%s):\n%s", self.weights_summary,
+                 "\n".join(lines))
 
     # ------------------------------------------------------------------
     def _forward_and_metrics(self, model, variables, batch: Batch):
@@ -614,6 +662,94 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def lr_find(
+        self,
+        model,
+        datamodule=None,
+        train_dataloaders=None,
+        *,
+        min_lr: float = 1e-8,
+        max_lr: float = 1.0,
+        num_training: int = 100,
+        early_stop_threshold: float = 4.0,
+    ) -> float:
+        """LR range test (Lightning ``auto_lr_find`` / ``tuner.lr_find``).
+
+        Runs up to ``num_training`` real train steps while the learning rate
+        sweeps exponentially ``min_lr → max_lr`` — the sweep is an optax
+        *schedule*, so the ordinary compiled train step is reused unchanged
+        (one compile, no per-step optimiser surgery). The loss curve is
+        EMA-smoothed (β=0.98, the fastai/Lightning rule) with early stop once
+        it exceeds ``early_stop_threshold ×`` the best seen; the suggestion
+        is the LR at the steepest descent of the smoothed curve. Results
+        (lr/loss series + suggestion) land in :attr:`lr_find_results`; the
+        sweep state is discarded so the next ``fit`` starts fresh.
+        """
+        train_loader, _ = self._resolve_loaders(
+            datamodule, train_dataloaders, None
+        )
+        if train_loader is None:
+            raise ValueError("lr_find() needs a datamodule or train_dataloaders")
+        span = max(num_training - 1, 1)
+        ratio = max_lr / min_lr
+
+        def schedule(step):
+            frac = jnp.minimum(step, span) / span
+            return min_lr * ratio ** frac
+
+        self.setup(
+            model, self._example_batch(train_loader), learning_rate=schedule
+        )
+        step_fn = self._compiled["train"]
+
+        lrs: List[float] = []
+        losses: List[float] = []
+        beta = 0.98
+        smoothed, best = 0.0, float("inf")
+        step, diverged = 0, False
+        while step < num_training and not diverged:
+            advanced = False
+            for _, device_batch in self._iter_batches(train_loader, None):
+                advanced = True
+                self.state, metrics = step_fn(self.state, device_batch)
+                loss = float(jax.device_get(metrics["NMAE"]))
+                if not np.isfinite(loss):
+                    diverged = True
+                    break
+                smoothed = beta * smoothed + (1.0 - beta) * loss
+                corrected = smoothed / (1.0 - beta ** (step + 1))
+                lrs.append(float(min_lr * ratio ** (min(step, span) / span)))
+                losses.append(corrected)
+                step += 1
+                if corrected > early_stop_threshold * best:
+                    diverged = True
+                    break
+                best = min(best, corrected)
+                if step >= num_training:
+                    break
+            if not advanced:
+                raise ValueError("lr_find() got an empty train loader")
+
+        if len(losses) >= 3:
+            # steepest descent of the smoothed curve; skip the noisy head
+            # (≤10 points) and the divergence tail point
+            grad = np.gradient(np.asarray(losses))
+            lo = min(10, len(grad) - 2)
+            idx = int(np.argmin(grad[lo: len(grad) - 1])) + lo
+        else:
+            idx = int(np.argmin(losses))
+        suggestion = float(lrs[idx])
+        self.lr_find_results = {
+            "lr": lrs, "loss": losses, "suggestion": suggestion
+        }
+        # drop the sweep state: the next fit() builds fresh
+        self.state = None
+        self._compiled = {}
+        self.global_step = 0
+        self._last_val_step = -1
+        return suggestion
+
+    # ------------------------------------------------------------------
     def fit(self, model, datamodule=None, train_dataloaders=None, val_dataloaders=None):
         """Full training loop (reference ``trainer.fit``, ``training.py:83``)."""
         train_loader, val_loader = self._resolve_loaders(
@@ -622,6 +758,14 @@ class Trainer:
         if train_loader is None:
             raise ValueError("fit() needs a datamodule or train_dataloaders")
         self._datamodule = datamodule
+
+        if self.auto_lr_find and self.state is None:
+            self.learning_rate = self.lr_find(
+                model, train_dataloaders=train_loader
+            )
+            log.info(
+                "auto_lr_find: adopting learning_rate=%.3e", self.learning_rate
+            )
 
         if self.overfit_batches:
             train_loader, val_loader = self._overfit_loaders(train_loader)

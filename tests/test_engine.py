@@ -338,6 +338,41 @@ def test_reload_keeps_explicit_loaders(sharded_configuration, tmp_cwd):
     assert len(val_calls) == 2  # initial resolve + the epoch-1 reload
 
 
+def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
+    """The LR range test sweeps min_lr->max_lr over real train steps,
+    suggests the steepest-descent LR, and auto_lr_find adopts it in fit;
+    weights_summary logs the per-module parameter table at setup."""
+    import logging
+
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=4)
+
+    trainer = Trainer(max_epochs=1, profiler=None)
+    suggestion = trainer.lr_find(
+        Conv3d(**config), train_dataloaders=ds,
+        min_lr=1e-6, max_lr=1.0, num_training=12,
+    )
+    results = trainer.lr_find_results
+    assert 1e-6 <= suggestion <= 1.0
+    assert results["suggestion"] == suggestion
+    assert len(results["lr"]) == len(results["loss"]) <= 12
+    # the sweep actually moved the lr exponentially
+    assert results["lr"][0] == pytest.approx(1e-6)
+    assert results["lr"][-1] > results["lr"][0]
+    # sweep state was discarded
+    assert trainer.state is None and trainer.global_step == 0
+
+    auto = Trainer(
+        max_epochs=1, profiler=None, auto_lr_find=True, limit_train_batches=1,
+    )
+    with caplog.at_level(logging.INFO):
+        auto.fit(Conv3d(**config), train_dataloaders=ds)
+    assert auto.learning_rate != 5e-4  # suggestion adopted
+    assert auto.lr_find_results is not None
+    assert any("weights summary" in r.message for r in caplog.records)
+    assert any("auto_lr_find" in r.message for r in caplog.records)
+
+
 def test_reload_dataloaders_every_epoch(sharded_configuration, tmp_cwd):
     config = load_config("tests/configs/model/conv3d.yaml")
     calls = []
