@@ -749,6 +749,24 @@ class Trainer:
         self._last_val_step = -1
         return suggestion
 
+    def tune(
+        self, model, datamodule=None, train_dataloaders=None, **lr_find_kwargs
+    ) -> Dict[str, Any]:
+        """Lightning ``trainer.tune()``: run the enabled tuners.
+
+        Only the LR finder exists — ``auto_scale_batch_size`` is meaningless
+        here because the dataset contract yields whole pre-built batches
+        (reference ``dataloader.py:82-91``: ``batch_size=None`` DataLoader).
+        Adopts the suggestion into :attr:`learning_rate` like Lightning does.
+        """
+        out: Dict[str, Any] = {}
+        if self.auto_lr_find:
+            self.learning_rate = self.lr_find(
+                model, datamodule, train_dataloaders, **lr_find_kwargs
+            )
+            out["lr_find"] = self.lr_find_results
+        return out
+
     # ------------------------------------------------------------------
     def fit(self, model, datamodule=None, train_dataloaders=None, val_dataloaders=None):
         """Full training loop (reference ``trainer.fit``, ``training.py:83``)."""

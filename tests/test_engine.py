@@ -372,6 +372,16 @@ def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
     assert any("weights summary" in r.message for r in caplog.records)
     assert any("auto_lr_find" in r.message for r in caplog.records)
 
+    # trainer.tune(): no-op without auto_lr_find; adopts the suggestion with
+    tuned = Trainer(max_epochs=1, profiler=None).tune(Conv3d(**config))
+    assert tuned == {}
+    tuner = Trainer(max_epochs=1, profiler=None, auto_lr_find=True)
+    tuned = tuner.tune(
+        Conv3d(**config), train_dataloaders=ds,
+        min_lr=1e-6, max_lr=1e-2, num_training=6,
+    )
+    assert tuner.learning_rate == tuned["lr_find"]["suggestion"]
+
 
 def test_reload_dataloaders_every_epoch(sharded_configuration, tmp_cwd):
     config = load_config("tests/configs/model/conv3d.yaml")
