@@ -51,6 +51,71 @@ def test_run_cli_multirun_sweep_with_relative_data_path(tmp_path, monkeypatch, c
     assert (tmp_path / "logs").exists()
 
 
+def test_run_cli_zarr_stream_training(tmp_path, monkeypatch):
+    """``datamodule=zarr_stream`` through run.py: train live from a zarr
+    archive + PVLive CSV, and the REAL gsp ids/capacities land in the
+    validation-results CSVs."""
+    import numpy as np
+    import pandas as pd
+
+    import run as run_module
+    from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+    store = tmp_path / "sat.zarr"
+    n, px = 120, 12
+    t0 = np.datetime64("2020-06-01T08:00", "ns")
+    times = t0 + np.arange(n) * np.timedelta64(5, "m")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(-1, 1023, size=(n, px, px)).astype(np.int16)
+    write_zarr(str(store / "data"), frames, chunks=(16, px, px))
+    write_zarr(str(store / "time"), times, chunks=(n,))
+    write_zarr(str(store / "x"), np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
+    write_zarr(str(store / "y"), np.arange(px) * 2000.0 + 500_000.0, chunks=(px,))
+    gsp_times = (
+        np.datetime64("2020-06-01T07:30", "ns")
+        + np.arange(24) * np.timedelta64(30, "m")
+    )
+    rows = [
+        dict(datetime_gmt=str(t), gsp_id=gsp,
+             generation_mw=float(rng.uniform(0, cap * 0.7)), capacity_mwp=cap)
+        for t in gsp_times
+        for gsp, cap in ((101, 120.0), (102, 340.0))
+    ]
+    csv = tmp_path / "pvlive.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    monkeypatch.chdir(tmp_path)
+    run_module.main([
+        "model=conv3d",
+        "logger=csv",
+        "datamodule=zarr_stream",
+        f"datamodule.zarr_path={store}",
+        f"datamodule.gsp_csv={csv}",
+        "datamodule.batch_size=2",
+        "datamodule.history_minutes=30",
+        "datamodule.forecast_minutes=30",
+        "datamodule.satellite_image_size_pixels=8",
+        "datamodule.n_train_data=1",
+        "datamodule.n_val_data=1",
+        "datamodule.num_workers=1",
+        "trainer.max_epochs=1",
+        "model.image_size_pixels=8",
+        "model.number_sat_channels=1",
+        "model.history_minutes=30",
+        "model.forecast_minutes=30",
+        "model.number_of_conv3d_layers=2",
+        "model.include_nwp=false",
+    ])
+
+    run_dirs = sorted((tmp_path / "logs" / "runs").rglob("results_epoch_0.csv"))
+    assert run_dirs, "validation-results CSV not written"
+    results = pd.read_csv(run_dirs[0])
+    # the STREAMED targets, not synthetic filler: the PVLive ids/capacities
+    assert set(results["gsp_id"]) <= {101, 102}
+    assert set(np.round(results["capacity_mwp"], 3)) <= {120.0, 340.0}
+    assert np.isfinite(results["actual_gsp_pv_outturn_mw"]).all()
+
+
 def test_run_cli_rejects_unknown_experiment(tmp_path, monkeypatch):
     import run as run_module
 
