@@ -177,6 +177,15 @@ class Trainer:
         #: Lightning semantics: 1.0/None → validate at epoch end only; a
         #: fraction → also mid-epoch every ``int(len(loader)·f)`` train
         #: batches; an int → every N train batches.
+        if isinstance(val_check_interval, float) and not (
+            0.0 <= val_check_interval <= 1.0
+        ):
+            # Lightning raises too — a float 2.0 is NOT "every 2 batches",
+            # and silently never validating would be worse
+            raise ValueError(
+                f"val_check_interval={val_check_interval}: a float must be "
+                "an epoch fraction in [0, 1]; pass an int batch cadence"
+            )
         self.val_check_interval = val_check_interval
         self.reload_dataloaders_every_epoch = bool(reload_dataloaders_every_epoch)
         self.num_sanity_val_steps = max(0, int(num_sanity_val_steps))
@@ -245,13 +254,20 @@ class Trainer:
         return str(self.precision) in ("16", "bf16", "16-mixed", "bf16-mixed")
 
     # ------------------------------------------------------------------
+    def _adopt_configuration(self, source) -> None:
+        """Thread the dataset configuration's channel selection into the
+        fused preprocessing stage (wrong channel stats otherwise). ``source``
+        is anything carrying a ``configuration`` attribute — a datamodule or
+        a dataset/loader."""
+        configuration = getattr(source, "configuration", None)
+        if configuration is not None:
+            self._satellite_channels = tuple(
+                configuration.input_data.satellite.satellite_channels
+            )
+
     def _resolve_loaders(self, datamodule, train_loader, val_loader):
         if datamodule is not None:
-            configuration = getattr(datamodule, "configuration", None)
-            if configuration is not None:
-                self._satellite_channels = tuple(
-                    configuration.input_data.satellite.satellite_channels
-                )
+            self._adopt_configuration(datamodule)
             if train_loader is None and hasattr(datamodule, "train_dataloader"):
                 train_loader = datamodule.train_dataloader()
             if val_loader is None and hasattr(datamodule, "val_dataloader"):
@@ -690,11 +706,15 @@ class Trainer:
         )
         if train_loader is None:
             raise ValueError("lr_find() needs a datamodule or train_dataloaders")
-        span = max(num_training - 1, 1)
         ratio = max_lr / min_lr
+        # optax.MultiSteps advances the optimiser count once per
+        # accumulate_grad_batches micro-batches — sweep in UPDATE units so
+        # the recorded lr matches the lr actually applied
+        k = max(1, int(self.accumulate_grad_batches))
+        span = max(-(-num_training // k) - 1, 1)
 
-        def schedule(step):
-            frac = jnp.minimum(step, span) / span
+        def schedule(count):
+            frac = jnp.minimum(count, span) / span
             return min_lr * ratio ** frac
 
         self.setup(
@@ -718,7 +738,9 @@ class Trainer:
                     break
                 smoothed = beta * smoothed + (1.0 - beta) * loss
                 corrected = smoothed / (1.0 - beta ** (step + 1))
-                lrs.append(float(min_lr * ratio ** (min(step, span) / span)))
+                lrs.append(
+                    float(min_lr * ratio ** (min(step // k, span) / span))
+                )
                 losses.append(corrected)
                 step += 1
                 if corrected > early_stop_threshold * best:
@@ -730,6 +752,11 @@ class Trainer:
             if not advanced:
                 raise ValueError("lr_find() got an empty train loader")
 
+        if not losses:
+            raise ValueError(
+                "lr_find diverged on the very first step (non-finite loss "
+                f"at min_lr={min_lr:g}) — check the data and model init"
+            )
         if len(losses) >= 3:
             # steepest descent of the smoothed curve; skip the noisy head
             # (≤10 points) and the divergence tail point
@@ -777,7 +804,12 @@ class Trainer:
             raise ValueError("fit() needs a datamodule or train_dataloaders")
         self._datamodule = datamodule
 
-        if self.auto_lr_find and self.state is None:
+        if (
+            self.auto_lr_find
+            and not self.fast_dev_run  # Lightning skips tuners in dev runs
+            and self.state is None
+            and self.lr_find_results is None  # tune() may have run already
+        ):
             self.learning_rate = self.lr_find(
                 model, train_dataloaders=train_loader
             )
@@ -845,11 +877,7 @@ class Trainer:
                 if self.max_steps and self.global_step >= self.max_steps:
                     log.info("max_steps %d reached", self.max_steps)
                     break
-                if (
-                    self.should_stop
-                    and epoch + 1 >= self.min_epochs
-                    and (self.min_steps is None or self.global_step >= self.min_steps)
-                ):
+                if self.should_stop and self._early_stop_ok():
                     break
         finally:
             if self.jax_trace and is_main_process():
@@ -910,6 +938,13 @@ class Trainer:
         finally:
             self.sanity_checking = False
 
+    def _early_stop_ok(self) -> bool:
+        """The min_epochs/min_steps floors that gate a ``should_stop``."""
+        return (
+            self.current_epoch + 1 >= self.min_epochs
+            and (self.min_steps is None or self.global_step >= self.min_steps)
+        )
+
     def _maybe_midepoch_val(
         self, val_every: Optional[int], prev_done: int, batches_done: int, val_loader
     ):
@@ -928,7 +963,6 @@ class Trainer:
     def _train_epoch(self, loader, val_loader=None) -> Dict[str, float]:
         step_fn = self._compiled["train"]
         device_metrics: List[Dict] = []
-        profiler = self.profiler
         limit = self._resolve_limit(self.limit_train_batches, loader)
         if self.max_steps is not None:
             remaining = self.max_steps - self.global_step
@@ -966,10 +1000,7 @@ class Trainer:
             multi_fn = self._compiled["train_multi"]
             for hosts, device, is_group in self._iter_batch_groups(loader, limit):
                 fn = multi_fn if is_group else step_fn
-                if profiler:
-                    with profiler.time("train_step"):
-                        self.state, metrics = fn(self.state, device)
-                else:
+                with self._time_phase("train_step"):
                     self.state, metrics = fn(self.state, device)
                 device_metrics.append(metrics)  # (k,)-stacked when grouped
                 self.global_step += len(hosts)
@@ -977,13 +1008,15 @@ class Trainer:
                 self._maybe_midepoch_val(
                     val_every, batches_done - len(hosts), batches_done, val_loader
                 )
+                # a mid-epoch validation callback may request a stop —
+                # honour it at the next batch boundary (Lightning epoch-loop
+                # `done` semantics), not thousands of batches later
+                if self.should_stop and self._early_stop_ok():
+                    break
             return self._flush_metrics(device_metrics, tag="Train")
 
         for _, device_batch in self._iter_batches(loader, limit):
-            if profiler:
-                with profiler.time("train_step"):
-                    self.state, metrics = step_fn(self.state, device_batch)
-            else:
+            with self._time_phase("train_step"):
                 self.state, metrics = step_fn(self.state, device_batch)
             device_metrics.append(metrics)
             self.global_step += 1
@@ -991,6 +1024,8 @@ class Trainer:
             self._maybe_midepoch_val(
                 val_every, batches_done - 1, batches_done, val_loader
             )
+            if self.should_stop and self._early_stop_ok():
+                break
 
         return self._flush_metrics(device_metrics, tag="Train")
 
@@ -1052,6 +1087,24 @@ class Trainer:
             )
         return epoch_metrics
 
+    def _host_local_array(self, array) -> np.ndarray:
+        """Fetch a device array as THIS process's host-local rows.
+
+        Single-process: plain ``device_get``. Multi-process: a globally
+        data-sharded output is not fully addressable here, so concatenate
+        the addressable shards in batch order (deduplicated — model-axis
+        replicas hold the same rows), which matches the host-local truths
+        and capacities of the batch this process contributed."""
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(array))
+        unique = {}
+        for shard in array.addressable_shards:
+            start = shard.index[0].start or 0
+            unique.setdefault(start, shard.data)
+        return np.concatenate(
+            [np.asarray(unique[k]) for k in sorted(unique)], axis=0
+        )
+
     def _plot_batch(self, model, host_batch: Batch, y_hat, batch_idx: int) -> None:
         """Upload a truth-vs-forecast summary plot for the first validation
         batches (reference ``base_model.py:194-220`` writes ``temp_{i}.html``
@@ -1067,7 +1120,7 @@ class Trainer:
             figure = plot_batch_results(
                 model_name=type(model).model_name,
                 y=y,
-                y_hat=np.asarray(jax.device_get(y_hat))[: model.batch_size],
+                y_hat=self._host_local_array(y_hat)[: model.batch_size],
             )
             path = f"temp_{batch_idx}.html"
             figure.write_html(path)
@@ -1090,7 +1143,7 @@ class Trainer:
             return None
         capacity = np.asarray(gsp.gsp_capacity)[:, -forecast_len_30:, 0]
         truths = np.asarray(gsp.gsp_yield)[:, -forecast_len_30:, 0] * capacity
-        predictions = np.asarray(jax.device_get(y_hat)) * capacity
+        predictions = self._host_local_array(y_hat) * capacity
         t0 = (
             np.asarray(host_batch.metadata.t0_datetime_utc)
             if host_batch.metadata.t0_datetime_utc is not None
@@ -1129,7 +1182,13 @@ class Trainer:
         # validation/test always emit every per-step row.
         every = self.log_every_n_steps if tag == "Train" else 1
         for offset, step_metrics in enumerate(host):
-            step = max(start + offset, 0)
+            # train rows land on their own global step; val/test rows all
+            # carry the CURRENT global step (Lightning) — back-dating them
+            # onto the last-N train steps (or clamping to 0 in standalone
+            # validate) would be meaningless
+            step = (
+                max(start + offset, 0) if tag == "Train" else self.global_step
+            )
             # per-step rows land every Nth global step; epoch aggregates
             # below are always emitted.
             if (step + 1) % every:
@@ -1165,6 +1224,8 @@ class Trainer:
     def test(self, model=None, datamodule=None, dataloaders=None):
         datamodule = datamodule or self._datamodule
         loader = dataloaders
+        if datamodule is not None:
+            self._adopt_configuration(datamodule)
         if loader is None and datamodule is not None and hasattr(datamodule, "test_dataloader"):
             loader = datamodule.test_dataloader()
         if loader is None:
@@ -1175,11 +1236,12 @@ class Trainer:
         return self._eval_epoch(model, loader, tag="Test")
 
     def predict(self, model=None, dataloaders=None):
+        self._adopt_configuration(dataloaders)
         if self.state is None:
             self.setup(model, self._example_batch(dataloaders))
         step_fn = self._compiled["eval"]
         outputs = []
         for _, device_batch in self._iter_batches(dataloaders, None):
             _, _, _, y_hat = step_fn(self.state, device_batch)
-            outputs.append(np.asarray(jax.device_get(y_hat)))
+            outputs.append(self._host_local_array(y_hat))
         return outputs

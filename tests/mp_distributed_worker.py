@@ -102,6 +102,19 @@ def main() -> None:
     scan_nmae = np.asarray(jax.device_get(stacked_metrics["NMAE"]))
     assert scan_nmae.shape == (2,) and np.isfinite(scan_nmae).all()
 
+    # Validation-results path on the multi-host mesh: y_hat comes back
+    # globally data-sharded and NOT fully addressable here, so
+    # _host_local_array must hand back exactly THIS process's rows for the
+    # MW de-normalisation to line up with the host-local capacities.
+    trainer.state = state
+    _, _, _, y_hat = trainer._compiled["eval"](trainer.state, device_batch)
+    local_pred = trainer._host_local_array(y_hat)
+    assert local_pred.shape[0] == global_batch_size // 2, local_pred.shape
+    assert np.isfinite(local_pred).all()
+    df = trainer._validation_results(model, local_batch, y_hat, batch_idx=0)
+    expected_rows = (global_batch_size // 2) * model.forecast_len_30
+    assert df is not None and len(df) == expected_rows, (len(df), expected_rows)
+
     # Params are replicated → addressable everywhere; digest must agree.
     leaves = jax.tree_util.tree_leaves(state.params)
     flat = np.concatenate([np.asarray(leaf, np.float32).ravel() for leaf in leaves])

@@ -230,13 +230,18 @@ def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
     trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
     # 2 val passes per 8-batch epoch (after batch 4 and 8); the epoch-end
     # pass is not duplicated. should_stop from step 4 is deferred by
-    # min_steps=12 -> exactly 2 epochs run.
-    assert val_steps == [4, 8, 12, 16]
-    assert trainer.global_step == 16
+    # min_steps=12, then honoured MID-EPOCH at the step-12 validation
+    # (Lightning epoch-loop `done` semantics) — the epoch does not run out.
+    assert val_steps == [4, 8, 12]
+    assert trainer.global_step == 12
     # two same-epoch validations hit the same checkpoint filename; the
-    # better score must replace the entry, not rmtree the fresh save
+    # collision must be versioned, never double-listed
     assert ckpt.best_model_path and os.path.exists(ckpt.best_model_path)
     assert len(ckpt.best_k) == len({p for _, p in ckpt.best_k})
+
+    # a float > 1 is a misconfiguration, not "every N batches"
+    with pytest.raises(ValueError, match="val_check_interval"):
+        Trainer(val_check_interval=2.0)
 
 
 def test_val_interval_composes_with_limits_and_epoch_gate(
