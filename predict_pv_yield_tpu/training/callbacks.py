@@ -110,7 +110,9 @@ class ModelCheckpoint(Callback):
         return a < b if self.mode == "min" else a > b
 
     def on_validation_epoch_end(self, engine, model, metrics: Dict[str, float]) -> None:
-        if engine.sanity_checking:
+        # Lightning disables checkpointing in fast_dev_run — dev smoke runs
+        # must stay free of on-disk side effects
+        if engine.sanity_checking or getattr(engine, "fast_dev_run", False):
             return
         score = metrics.get(self.monitor)
         epoch = engine.current_epoch
@@ -172,7 +174,8 @@ class EarlyStopping(Callback):
         self.wait = 0
 
     def on_validation_epoch_end(self, engine, model, metrics: Dict[str, float]) -> None:
-        if engine.sanity_checking:
+        # Lightning disables early stopping in fast_dev_run too
+        if engine.sanity_checking or getattr(engine, "fast_dev_run", False):
             return
         score = metrics.get(self.monitor)
         if score is None:

@@ -343,6 +343,25 @@ def test_reload_keeps_explicit_loaders(sharded_configuration, tmp_cwd):
     assert len(val_calls) == 2  # initial resolve + the epoch-1 reload
 
 
+def test_fast_dev_run_no_side_effects(sharded_configuration, tmp_cwd):
+    """fast_dev_run = 1 train + 1 val batch with checkpointing, early
+    stopping and tuners disabled (Lightning dev-run contract)."""
+    config = load_config("tests/configs/model/conv3d.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=4)
+    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ck"))
+    stopper = EarlyStopping(patience=1)
+    trainer = Trainer(
+        max_epochs=5, profiler=None, fast_dev_run=True, auto_lr_find=True,
+        callbacks=[ckpt, stopper],
+    )
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    assert trainer.global_step == 1
+    assert not os.path.exists(tmp_cwd / "ck")  # no checkpoint writes
+    assert not trainer.should_stop  # early stopping off
+    assert trainer.lr_find_results is None  # tuner skipped
+    assert trainer.learning_rate == 5e-4
+
+
 def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
     """The LR range test sweeps min_lr->max_lr over real train steps,
     suggests the steepest-descent LR, and auto_lr_find adopts it in fit;
