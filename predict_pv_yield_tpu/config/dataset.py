@@ -177,14 +177,19 @@ def _apply(obj, data: dict):
             setattr(obj, key, value)
 
 
-def load_yaml_configuration(filename: str) -> Configuration:
+def load_yaml_configuration(filename) -> Configuration:
     """Load a dataset ``configuration.yaml``.
 
     Native equivalent of ``nowcasting_dataset.config.load.load_yaml_configuration``
-    (used at reference ``dataloader.py:26,78-80``).
+    (used at reference ``dataloader.py:26,78-80``). Accepts a local path or
+    already-fetched YAML ``bytes`` (the datamodule reads remote stores via
+    fsspec and hands the payload through).
     """
-    with open(filename, "r") as fh:
-        raw = yaml.safe_load(fh) or {}
+    if isinstance(filename, bytes):
+        raw = yaml.safe_load(filename) or {}
+    else:
+        with open(filename, "r") as fh:
+            raw = yaml.safe_load(fh) or {}
     configuration = Configuration()
     _apply(configuration, raw)
     return configuration

@@ -59,8 +59,6 @@ class PrefetchingLoader:
         return len(self.dataset)
 
     def _order(self):
-        import numpy as np
-
         indices = list(range(len(self.dataset)))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self._epoch))
@@ -156,9 +154,37 @@ class NetCDFDataModule:
         self.fake_data = fake_data
         self.shuffle_train = shuffle_train
 
-        filename = os.path.join(data_path, "configuration.yaml")
+        # remote stores use URL joins + fsspec (the reference's
+        # load_yaml_configuration opened gs:// URLs directly)
+        remote = "://" in data_path
+        filename = (
+            data_path.rstrip("/") + "/configuration.yaml"
+            if remote
+            else os.path.join(data_path, "configuration.yaml")
+        )
         _LOG.debug("loading dataset configuration %s", filename)
-        if os.path.exists(filename):
+        if remote:
+            import fsspec
+
+            try:
+                with fsspec.open(filename, "rb") as fh:
+                    payload = fh.read()
+            except (FileNotFoundError, OSError) as exc:
+                if fake_data:
+                    payload = None
+                    _LOG.warning("%s not readable (%s); using defaults", filename, exc)
+                else:
+                    raise FileNotFoundError(filename) from exc
+            if payload is not None:
+                self.configuration = load_yaml_configuration(payload)
+            else:
+                from predict_pv_yield_tpu.config.dataset import Configuration
+
+                self.configuration = Configuration()
+                self.configuration.input_data = (
+                    self.configuration.input_data.set_all_to_defaults()
+                )
+        elif os.path.exists(filename):
             self.configuration = load_yaml_configuration(filename)
         elif fake_data:
             # Fake runs don't need a real dataset on disk; fall back to the
@@ -197,12 +223,26 @@ class NetCDFDataModule:
 
     @staticmethod
     def _is_netcdf(src_path: str) -> bool:
-        """Detect the reference's NetCDF layouts (local paths only; remote
-        stores are assumed to be npz shards unless a source dir exists)."""
-        if "://" in src_path or not os.path.isdir(src_path):
-            return False
+        """Detect the reference's NetCDF layouts so the published datasets
+        route to :class:`NetCDFBatchDataset`. Remote stores are probed once
+        with fsspec (one listing per split at construction)."""
         from predict_pv_yield_tpu.data.netcdf_reader import _V15_SOURCES
 
+        if "://" in src_path:
+            import fsspec
+
+            try:
+                fs, root = fsspec.core.url_to_fs(src_path)
+                names = [
+                    os.path.basename(str(p).rstrip("/")) for p in fs.ls(root)
+                ]
+            except (FileNotFoundError, OSError):
+                return False
+            return any(s in names for s in _V15_SOURCES) or any(
+                n.endswith(".nc") for n in names
+            )
+        if not os.path.isdir(src_path):
+            return False
         if any(os.path.isdir(os.path.join(src_path, s)) for s in _V15_SOURCES):
             return True
         try:
@@ -262,7 +302,6 @@ class ZarrStreamDataModule:
         from predict_pv_yield_tpu.config.dataset import Configuration
         from predict_pv_yield_tpu.data.sources import (
             GSPSource,
-            SampleGenerator,
             SunSource,
             open_zarr_satellite,
         )

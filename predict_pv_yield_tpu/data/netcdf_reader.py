@@ -143,6 +143,34 @@ def _mmap_contiguous(path: str, dataset) -> Optional[np.ndarray]:
                      shape=dataset.shape)
 
 
+def _dim_labels(dataset) -> Tuple[str, ...]:
+    """Dimension names of an h5py dataset via attached dimension scales,
+    ``phony_{axis}`` where none are recorded. Shared by the direct reader
+    and the schema probe — the two MUST classify dims identically or the
+    mmap fast path would transpose axes differently from its fallback."""
+    dims: List[str] = []
+    for axis in range(dataset.ndim):
+        label = ""
+        try:
+            label = dataset.dims[axis].label
+            if not label and len(dataset.dims[axis]) > 0:
+                label = dataset.dims[axis][0].name.rsplit("/", 1)[-1]
+        except Exception:
+            pass
+        dims.append(label or f"phony_{axis}")
+    return tuple(dims)
+
+
+def _parse_char_values(name: str, values: np.ndarray) -> np.ndarray:
+    """Char arrays: time-named variables parse to int64 ns datetimes, the
+    rest decode to str (shared by the direct reader and the schema path)."""
+    parsed = None
+    lowered = name.lower()
+    if "time" in lowered or lowered.startswith("t0"):
+        parsed = _parse_string_datetimes(values)
+    return parsed if parsed is not None else values.astype("U")
+
+
 def _read_hdf5(path: str) -> Dict[str, Variable]:
     import h5py
 
@@ -159,16 +187,7 @@ def _read_hdf5(path: str) -> Dict[str, Variable]:
                 _PHONY_DIM_SENTINEL
             ):
                 continue
-            dims: List[str] = []
-            for axis in range(dataset.ndim):
-                label = ""
-                try:
-                    label = dataset.dims[axis].label
-                    if not label and len(dataset.dims[axis]) > 0:
-                        label = dataset.dims[axis][0].name.rsplit("/", 1)[-1]
-                except Exception:
-                    pass
-                dims.append(label or f"phony_{axis}")
+            dims = _dim_labels(dataset)
             values = None
             if dataset.nbytes >= 1 << 20:  # big payloads: bypass the HDF5 lock
                 values = _mmap_contiguous(path, dataset)
@@ -179,11 +198,7 @@ def _read_hdf5(path: str) -> Dict[str, Variable]:
                 if decoded is not None:
                     values = decoded
             if values.dtype.kind == "S":  # char arrays
-                parsed = None
-                lowered = name.lower()
-                if "time" in lowered or lowered.startswith("t0"):
-                    parsed = _parse_string_datetimes(values)
-                values = parsed if parsed is not None else values.astype("U")
+                values = _parse_char_values(name, values)
             out[name] = (tuple(dims), values)
     return out
 
@@ -218,16 +233,24 @@ def _read_classic(path: str) -> Dict[str, Variable]:
         pos += (n + 3) & ~3  # pad to 4
         return value
 
-    def skip_attributes() -> None:
+    def read_attributes() -> Dict[str, bytes]:
+        """Char-typed attribute values by name (``units`` drives CF time
+        decoding — xarray's scipy engine writes classic files with the same
+        encoded datetimes as the HDF5 path, and raw minute offsets must not
+        masquerade as ns-since-epoch)."""
         nonlocal pos
+        attrs: Dict[str, bytes] = {}
         tag, nelems = u32(), u32()
         if tag == 0:  # ABSENT
-            return
+            return attrs
         for _ in range(nelems):
-            name()
+            attr_name = name()
             nc_type, n = u32(), u32()
             size = n * _NC_TYPES[nc_type].itemsize
+            if nc_type == 2:  # NC_CHAR
+                attrs[attr_name] = bytes(data[pos : pos + size])
             pos += (size + 3) & ~3
+        return attrs
 
     numrecs = u32()
     dim_tag, n_dims = u32(), u32()
@@ -235,7 +258,7 @@ def _read_classic(path: str) -> Dict[str, Variable]:
     if dim_tag == _NC_DIMENSION:
         for _ in range(n_dims):
             dims.append((name(), u32()))
-    skip_attributes()  # global attributes
+    read_attributes()  # global attributes (unused)
 
     var_tag, n_vars = u32(), u32()
     out: Dict[str, Variable] = {}
@@ -246,34 +269,36 @@ def _read_classic(path: str) -> Dict[str, Variable]:
             var_name = name()
             ndims = u32()
             dimids = [u32() for _ in range(ndims)]
-            skip_attributes()
+            attrs = read_attributes()
             nc_type = u32()
             u32()  # vsize (includes padding; recomputed below)
             (begin,) = struct.unpack_from(offset_fmt, data, pos)
             pos += struct.calcsize(offset_fmt)
-            headers.append((var_name, dimids, nc_type, begin))
-        for var_name, dimids, nc_type, begin in headers:
+            headers.append((var_name, dimids, nc_type, begin, attrs))
+        for var_name, dimids, nc_type, begin, attrs in headers:
             dtype = _NC_TYPES[nc_type]
             dim_names = tuple(dims[i][0] for i in dimids)
             shape = tuple(dims[i][1] for i in dimids)
             if shape and shape[0] == 0:  # record variable
-                record_vars.append((var_name, dim_names, shape, dtype, begin))
+                record_vars.append(
+                    (var_name, dim_names, shape, dtype, begin, attrs)
+                )
             else:
                 count = int(np.prod(shape, dtype=np.int64)) if shape else 1
                 values = np.frombuffer(
                     data, dtype, count=count, offset=begin
                 ).reshape(shape)
-                out[var_name] = (dim_names, _native_order(values))
+                out[var_name] = (dim_names, _decode_classic(values, attrs))
 
     if record_vars:
         slab_sizes = []
-        for _, _, shape, dtype, _ in record_vars:
+        for _, _, shape, dtype, _, _ in record_vars:
             per_record = int(np.prod(shape[1:], dtype=np.int64)) * dtype.itemsize
             if len(record_vars) > 1:
                 per_record = (per_record + 3) & ~3
             slab_sizes.append(per_record)
         record_size = sum(slab_sizes)
-        for (var_name, dim_names, shape, dtype, begin), slab in zip(
+        for (var_name, dim_names, shape, dtype, begin, attrs), slab in zip(
             record_vars, slab_sizes
         ):
             count = int(np.prod(shape[1:], dtype=np.int64))
@@ -285,8 +310,18 @@ def _read_classic(path: str) -> Dict[str, Variable]:
             ]
             values = np.stack(records).reshape((numrecs, *shape[1:])) if numrecs \
                 else np.empty((0, *shape[1:]), dtype)
-            out[var_name] = (dim_names, _native_order(values))
+            out[var_name] = (dim_names, _decode_classic(values, attrs))
     return out
+
+
+def _decode_classic(values: np.ndarray, attrs: Dict[str, bytes]) -> np.ndarray:
+    values = _native_order(values)
+    units = attrs.get("units")
+    if units is not None:  # CF-encoded datetimes (same rule as _read_hdf5)
+        decoded = _decode_cf_time(values, units)
+        if decoded is not None:
+            return decoded
+    return values
 
 
 def _native_order(values: np.ndarray) -> np.ndarray:
@@ -594,16 +629,7 @@ def _probe_schema(path: str) -> Optional[_SourceSchema]:
             dtype = dataset.dtype
             if dtype.kind not in "iufS" or dtype.byteorder == ">":
                 return None
-            dims = []
-            for axis in range(dataset.ndim):
-                label = ""
-                try:
-                    label = dataset.dims[axis].label
-                    if not label and len(dataset.dims[axis]) > 0:
-                        label = dataset.dims[axis][0].name.rsplit("/", 1)[-1]
-                except Exception:
-                    pass
-                dims.append(label or f"phony_{axis}")
+            dims = _dim_labels(dataset)
             # The units string embeds a per-FILE epoch (xarray derives it
             # from each file's first timestamp), so its VALUE cannot be
             # cached — but its byte LOCATION in the object header is stable
@@ -689,11 +715,7 @@ def _read_with_schema(path: str, schema: _SourceSchema) -> Optional[Dict[str, Va
             if decoded is not None:
                 values = decoded
         if values.dtype.kind == "S":
-            parsed = None
-            lowered = name.lower()
-            if "time" in lowered or lowered.startswith("t0"):
-                parsed = _parse_string_datetimes(values)
-            values = parsed if parsed is not None else values.astype("U")
+            values = _parse_char_values(name, values)
         out[name] = (dims, values)
     return out
 
@@ -753,9 +775,14 @@ class NetCDFBatchDataset:
             fs, base = self._remote_fs()  # fsspec-gated, as data/shards.py
             for attempt in range(5):
                 try:
+                    import shutil
+
                     with fs.open(os.path.join(base, relative), "rb") as src:
                         with open(local + ".tmp", "wb") as dst:
-                            dst.write(src.read())
+                            # stream — N worker threads each holding a whole
+                            # ~100 MB batch file in RAM was measurable on the
+                            # 1-CPU rig
+                            shutil.copyfileobj(src, dst, length=1 << 20)
                     os.replace(local + ".tmp", local)
                     break
                 except FileNotFoundError:

@@ -162,7 +162,7 @@ def _nc_name(name: str) -> bytes:
     return struct.pack(">I", len(encoded)) + _pad4(encoded)
 
 
-def _write_classic(path, fixed_vars, record_vars=(), numrecs=0):
+def _write_classic(path, fixed_vars, record_vars=(), numrecs=0, attrs_by_var=None):
     """Minimal netCDF3 classic writer (independent re-implementation of the
     format, so the parser is cross-checked rather than self-validated)."""
     dims = []  # (name, size); record dim has size 0
@@ -193,11 +193,22 @@ def _write_classic(path, fixed_vars, record_vars=(), numrecs=0):
         header += _nc_name(name) + struct.pack(">I", size)
     header += struct.pack(">II", 0, 0)  # no global attrs
 
+    def encode_attrs(var_name):
+        attrs = (attrs_by_var or {}).get(var_name, {})
+        if not attrs:
+            return struct.pack(">II", 0, 0)  # ABSENT
+        raw = struct.pack(">II", 0x0C, len(attrs))
+        for attr_name, text in attrs.items():
+            payload = text.encode()
+            raw += _nc_name(attr_name) + struct.pack(">II", 2, len(payload))
+            raw += _pad4(payload)
+        return raw
+
     def encode_header(name, ids, values, is_record, begin):
         raw = _nc_name(name) + struct.pack(">I", len(ids))
         for i in ids:
             raw += struct.pack(">I", i)
-        raw += struct.pack(">II", 0, 0)  # no attrs
+        raw += encode_attrs(name)
         per = values[0].nbytes if is_record else values.nbytes
         raw += struct.pack(">II", nc_type[values.dtype], (per + 3) & ~3)
         return raw + struct.pack(">I", begin)
@@ -262,6 +273,36 @@ def test_classic_netcdf_parser(tmp_path):
     assert variables["rec"][0] == ("time", "d")
 
 
+def test_classic_cf_time_units_decode(tmp_path):
+    """xarray's scipy engine (the writer that actually produces classic
+    files) stores datetimes as CF offsets + a per-variable ``units`` attr;
+    the classic parser must decode them to ns-since-epoch exactly like the
+    HDF5 path, not hand raw minute offsets downstream."""
+    path = str(tmp_path / "classic_time.nc")
+    offsets = (np.arange(4, dtype=np.int32) * 5).astype(np.int32)
+    plain = np.arange(4, dtype=np.float32)
+    _write_classic(
+        path,
+        fixed_vars=[
+            ("sat_datetime_index", ("time",), offsets),
+            ("other", ("time",), plain),
+        ],
+        attrs_by_var={
+            "sat_datetime_index": {
+                "units": "minutes since 2019-01-01 12:00:00"
+            },
+            "other": {"units": "degrees"},  # non-CF units stay raw
+        },
+    )
+    variables = read_netcdf_variables(path)
+    expected = (
+        np.datetime64("2019-01-01T12:00", "ns").astype(np.int64)
+        + offsets.astype(np.int64) * 60_000_000_000
+    )
+    np.testing.assert_array_equal(variables["sat_datetime_index"][1], expected)
+    np.testing.assert_allclose(variables["other"][1], plain)
+
+
 def test_datamodule_autodetects_netcdf(tmp_path):
     """The datamodule serves the reference's published NetCDF layout
     unmodified (VERDICT round-1 'real-archive compatibility' gap)."""
@@ -282,6 +323,31 @@ def test_datamodule_autodetects_netcdf(tmp_path):
     batch = next(iter(dm.train_dataloader()))
     assert batch.satellite.data.shape == (B, T, H, W, C)
     assert batch.satellite.channel_last
+    assert batch.satellite.data.dtype == np.int16
+
+
+def test_datamodule_remote_store(tmp_path):
+    """A remote data_path (file:// stands in for gs://) works end to end:
+    configuration.yaml is read through fsspec, the store is probed as the
+    v15 NetCDF layout, and batches come back through the remote fetcher —
+    the reference's gs:// workflow (``cloud='gcp'``)."""
+    pytest.importorskip("fsspec")
+    from predict_pv_yield_tpu.data.loader import NetCDFDataModule
+
+    _v15_tree(tmp_path)
+    import shutil
+
+    shutil.copytree(tmp_path / "train", tmp_path / "test")
+    (tmp_path / "configuration.yaml").write_text(
+        "process:\n  batch_size: 2\n"
+    )
+    dm = NetCDFDataModule(
+        data_path=f"file://{tmp_path}", temp_path=str(tmp_path / "cache"),
+        n_train_data=1, n_val_data=1, num_workers=0,
+    )
+    assert dm.configuration.process.batch_size == 2
+    batch = next(iter(dm.train_dataloader()))
+    assert batch.satellite.data.shape == (B, T, H, W, C)
     assert batch.satellite.data.dtype == np.int16
 
 
