@@ -29,15 +29,18 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import yaml
 
-GLOBAL_PACKAGE_MARKER = "@package _global_"
+#: hydra's package directive: a comment line of exactly this form in the
+#: file header (a file merely MENTIONING the marker in prose must not be
+#: silently merged at the config root)
+_GLOBAL_PACKAGE_RE = re.compile(r"^\s*#\s*@package\s+_global_\s*$")
 
 
 def _load_yaml(path: str) -> Tuple[Dict[str, Any], bool]:
     """Load a YAML file; returns (data, is_global_package)."""
     with open(path, "r") as fh:
         text = fh.read()
-    is_global = GLOBAL_PACKAGE_MARKER in text.split("\n", 3)[0:3][0] or (
-        GLOBAL_PACKAGE_MARKER in text[:200]
+    is_global = any(
+        _GLOBAL_PACKAGE_RE.match(line) for line in text.split("\n", 10)[:10]
     )
     data = yaml.safe_load(text) or {}
     return data, is_global
@@ -104,11 +107,21 @@ def _load_group(
     return data
 
 
+#: PyYAML implements YAML 1.1, whose float regex requires a decimal point
+#: before the exponent — ``yaml.safe_load("1e-5")`` returns the STRING
+#: "1e-5" while hydra (YAML 1.2) parses a float. String learning rates
+#: crash optimisers, so post-correct the 1.2 forms.
+_SCI_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def parse_override_value(raw: str) -> Any:
     try:
-        return yaml.safe_load(raw)
+        value = yaml.safe_load(raw)
     except yaml.YAMLError:
         return raw
+    if isinstance(value, str) and _SCI_FLOAT_RE.match(value):
+        return float(value)
+    return value
 
 
 def _set_path(cfg: Dict[str, Any], dotted: str, value: Any) -> None:

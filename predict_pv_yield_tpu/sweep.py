@@ -33,7 +33,9 @@ def _space_choices(search_space: Dict[str, Any]) -> List[Tuple[str, List[Any]]]:
         elif spec.get("type") in ("int", "float"):
             low, high = spec["low"], spec["high"]
             steps = spec.get("steps", 8)
-            if spec["type"] == "int":
+            if steps <= 1 or low == high:
+                values = [int(low)] if spec["type"] == "int" else [float(low)]
+            elif spec["type"] == "int":
                 values = sorted({int(round(low + i * (high - low) / (steps - 1))) for i in range(steps)})
             else:
                 values = [low + i * (high - low) / (steps - 1) for i in range(steps)]
@@ -95,21 +97,42 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
     (best_value, best_overrides, all_trials)."""
     from predict_pv_yield_tpu.training.pipeline import train
 
+    import os
+
+    from predict_pv_yield_tpu.utils import extras
+
     sweep_cfg = config.get("sweep") or {}
     metric = config.get("optimized_metric", "MSE/Validation_epoch")
     direction = sweep_cfg.get("direction", "minimize")
     n_trials = int(sweep_cfg.get("n_trials", 20))
+    n_startup = int(sweep_cfg.get("n_startup_trials", 10))
     seed = int(sweep_cfg.get("seed", 0))
     search_space = sweep_cfg.get("search_space", {})
     choices = _space_choices(search_space)
+    trial_counter = itertools.count()
 
     def evaluate(assignment: Dict[str, Any]) -> Optional[float]:
         trial_overrides = base_overrides + [
-            f"{key}={value}" for key, value in assignment.items()
+            # PyYAML round-trip: None must go back as "null", not "None"
+            f"{key}={'null' if value is None else value}"
+            for key, value in assignment.items()
         ]
         trial_config = compose_fn(overrides=trial_overrides)
         trial_config["optimized_metric"] = metric
-        value = train(trial_config)
+        # debug/fast_dev_run rewrites apply PER TRIAL (the reference runs
+        # utils.extras inside every hydra multirun job)
+        extras(trial_config)
+        # hydra sweep semantics (configs/hydra/default.yaml:
+        # ``subdir: ${hydra.job.num}``): each trial runs in its own
+        # subdirectory so checkpoints/logs never overwrite across trials
+        job_dir = str(next(trial_counter))
+        os.makedirs(job_dir, exist_ok=True)
+        launch_dir = os.getcwd()
+        os.chdir(job_dir)
+        try:
+            value = train(trial_config)
+        finally:
+            os.chdir(launch_dir)
         log.info("trial %s -> %s=%s", assignment, metric, value)
         return None if value is None else float(value)
 
@@ -133,35 +156,41 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
                 return float("inf") if direction == "minimize" else float("-inf")
             return value
 
-        sampler = optuna.samplers.TPESampler(seed=seed)
+        sampler = optuna.samplers.TPESampler(
+            seed=seed, n_startup_trials=n_startup
+        )
         study = optuna.create_study(direction=direction, sampler=sampler)
         study.optimize(objective, n_trials=n_trials)
+        if not any(v is not None for _, v in trials):
+            # every trial failed: study.best_value would be ±inf and
+            # best_params a failed configuration — signal no result like
+            # the first-party branch does
+            return None, None, trials
         best = study.best_params, study.best_value
     else:
         # First-party sampler: exhaustive if small, else TPE (_tpe_choose).
         rng = random.Random(seed)
-        combos = list(itertools.product(*(values for _, values in choices)))
-        if len(combos) <= n_trials:
-            for combo in combos:
+        # size via product of lengths — NEVER materialise the cartesian
+        # product (8 dims x 8 steps is 16.7M tuples)
+        space_size = math.prod(len(values) for _, values in choices)
+        if space_size <= n_trials:
+            for combo in itertools.product(*(values for _, values in choices)):
                 assignment = {key: value for (key, _), value in zip(choices, combo)}
                 trials.append((assignment, evaluate(assignment)))
         else:
             minimize = direction == "minimize"
             seen = set()
             for _ in range(n_trials):
-                assignment = _tpe_choose(choices, trials, rng, minimize)
+                assignment = _tpe_choose(
+                    choices, trials, rng, minimize, n_startup=n_startup
+                )
                 key = tuple(assignment[k] for k, _ in choices)
-                if key in seen:
-                    # A full training trial is too expensive to repeat on a
-                    # known point; fall back to an unseen random combo (the
-                    # discretised space is larger than n_trials here, so one
-                    # exists).
-                    unseen = [
-                        c for c in combos
-                        if c not in seen
-                    ]
-                    key = rng.choice(unseen)
-                    assignment = {k: v for (k, _), v in zip(choices, key)}
+                # A full training trial is too expensive to repeat on a
+                # known point; resample random unseen combos (the space is
+                # larger than n_trials here, so one exists).
+                while key in seen:
+                    key = tuple(rng.choice(values) for _, values in choices)
+                assignment = {k: v for (k, _), v in zip(choices, key)}
                 seen.add(key)
                 trials.append((assignment, evaluate(assignment)))
         scored = [(a, v) for a, v in trials if v is not None]

@@ -353,7 +353,9 @@ class Trainer:
         self._replicated = replicated(self.mesh)
 
         variables = self._init_params(model, example)
-        n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
+        from predict_pv_yield_tpu.utils import count_parameters
+
+        n_params = count_parameters(variables)
         self.logger.log_hyperparams(
             {
                 "model/params_total": n_params,

@@ -130,12 +130,9 @@ def log_hyperparameters(
     if "callbacks" in config:
         hparams["callbacks"] = config["callbacks"]
 
-    if trainer.state is not None:
-        total = count_parameters(trainer.state.params)
-        hparams["model/params_total"] = total
-        hparams["model/params_trainable"] = total
-        hparams["model/params_not_trainable"] = 0
-
+    # parameter counts are logged by engine.setup() once the state exists
+    # (the pipeline calls this BEFORE fit, when trainer.state is still None
+    # — matching the reference, where Lightning logs them at fit time)
     trainer.logger.log_hyperparams(hparams)
 
 

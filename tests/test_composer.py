@@ -59,6 +59,36 @@ def test_value_overrides_and_types():
     assert "debug" not in cfg
 
 
+def test_scientific_notation_overrides_are_floats():
+    """PyYAML (YAML 1.1) keeps "1e-5" a string; hydra (YAML 1.2) parses a
+    float — a string learning rate crashes the optimiser, so the composer
+    post-corrects (sweeps format float dims exactly this way)."""
+    from predict_pv_yield_tpu.config.composer import parse_override_value
+
+    assert parse_override_value("1e-5") == 1e-5
+    assert parse_override_value("2.5e3") == 2500.0
+    assert parse_override_value("-1E+2") == -100.0
+    assert parse_override_value("1e-5x") == "1e-5x"  # not a number
+    assert parse_override_value("null") is None
+    cfg = _compose(["+model.lr=1e-5"])
+    assert cfg["model"]["lr"] == 1e-5
+
+
+def test_package_marker_in_prose_is_not_global(tmp_path):
+    """Only a real ``# @package _global_`` directive line promotes a file
+    to a root overlay — mentioning the marker in a comment must not."""
+    from predict_pv_yield_tpu.config.composer import _load_yaml
+
+    direct = tmp_path / "direct.yaml"
+    direct.write_text("# @package _global_\ntrainer:\n  max_epochs: 1\n")
+    prose = tmp_path / "prose.yaml"
+    prose.write_text(
+        "# note: this is not a '@package _global_' file\nkey: 1\n"
+    )
+    assert _load_yaml(str(direct))[1] is True
+    assert _load_yaml(str(prose))[1] is False
+
+
 def test_interpolation():
     cfg = _compose()
     assert cfg["work_dir"] == os.getcwd()

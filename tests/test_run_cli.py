@@ -49,6 +49,14 @@ def test_run_cli_multirun_sweep_with_relative_data_path(tmp_path, monkeypatch, c
     assert "sweep best value:" in out
     # the hydra-style run directory was created under the launch dir
     assert (tmp_path / "logs").exists()
+    # hydra sweep semantics: each trial ran in its own ${hydra.job.num}
+    # subdir, so per-trial checkpoints never overwrite each other
+    run_dir = next(
+        p for p in sorted((tmp_path / "logs").rglob("0")) if p.is_dir()
+    ).parent
+    assert (run_dir / "0").is_dir() and (run_dir / "1").is_dir()
+    assert (run_dir / "0" / "checkpoints").is_dir()
+    assert (run_dir / "1" / "checkpoints").is_dir()
 
 
 def test_run_cli_zarr_stream_training(tmp_path, monkeypatch):

@@ -148,7 +148,9 @@ def test_optuna_branch_with_mock(monkeypatch):
                     self.best_params = dict(trial.params)
 
     fake = types.ModuleType("optuna")
-    fake.samplers = types.SimpleNamespace(TPESampler=lambda seed: ("tpe", seed))
+    fake.samplers = types.SimpleNamespace(
+        TPESampler=lambda seed, n_startup_trials: ("tpe", seed, n_startup_trials)
+    )
     created = {}
 
     def create_study(direction, sampler):
@@ -188,7 +190,7 @@ def test_optuna_branch_with_mock(monkeypatch):
     }
     best_value, best_params, trials = run_sweep(compose_fn, [], config)
     assert created["direction"] == "minimize"
-    assert created["sampler"] == ("tpe", 7)
+    assert created["sampler"] == ("tpe", 7, 10)  # seed + n_startup_trials
     assert best_value == 0.1
     assert best_params == {"model.a": True}
     assert len(trials) == 6
