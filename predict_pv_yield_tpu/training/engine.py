@@ -887,7 +887,10 @@ class Trainer:
 
         for cb in self.callbacks:
             cb.on_fit_end(self, model)
-        self.logger.finalize()
+        # non-terminal flush: finalize() ends SaaS runs for good (wandb
+        # rejects logging after finish), and a test phase may follow —
+        # the pipeline's finish() owns the terminal call
+        self.logger.save()
         if self.profiler is not None and is_main_process():
             log.info("%s", self.profiler.summary())
         return self.callback_metrics
@@ -1124,6 +1127,8 @@ class Trainer:
                 y=y,
                 y_hat=self._host_local_array(y_hat)[: model.batch_size],
             )
+            if figure is None:  # empty host-local shard: nothing to plot
+                return
             path = f"temp_{batch_idx}.html"
             figure.write_html(path)
             self.logger.log_artifact(
@@ -1220,7 +1225,7 @@ class Trainer:
         metrics = self._eval_epoch(model, val_loader, tag="Validation")
         for cb in self.callbacks:
             cb.on_validation_epoch_end(self, model, metrics)
-        self.logger.finalize()
+        self.logger.save()  # terminal finalize belongs to pipeline finish()
         return metrics
 
     def test(self, model=None, datamodule=None, dataloaders=None):

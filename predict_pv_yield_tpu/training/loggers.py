@@ -17,6 +17,7 @@ from __future__ import annotations
 import csv
 import json
 import logging
+import math
 import os
 import shutil
 import time
@@ -65,6 +66,12 @@ class Logger:
     def log_artifact(self, path: str, name: Optional[str] = None) -> None:
         pass
 
+    def save(self) -> None:
+        """Flush logged data to durable storage WITHOUT ending the run —
+        the engine calls this at fit/validate boundaries; ``finalize`` is
+        terminal (SaaS backends close their server-side run) and belongs to
+        the pipeline's ``finish`` alone."""
+
     def finalize(self, status: str = "success") -> None:
         pass
 
@@ -94,6 +101,10 @@ class CSVLogger(Logger):
         for key in row:
             if key not in self._keys:
                 self._keys.append(key)
+        # periodic durability: a killed run must not lose the whole file
+        # (rows are rewritten because the header is the union of keys)
+        if len(self._rows) % 50 == 0:
+            self.save()
 
     def save(self) -> None:
         if not self._rows or not is_main_process():
@@ -108,8 +119,12 @@ class CSVLogger(Logger):
         if not is_main_process():
             return
         os.makedirs(self.log_dir, exist_ok=True)
-        if os.path.abspath(os.path.dirname(path)) != os.path.abspath(self.log_dir):
-            shutil.copy(path, os.path.join(self.log_dir, name or os.path.basename(path)))
+        target = os.path.join(self.log_dir, name or os.path.basename(path))
+        # a source already inside log_dir still needs the rename when the
+        # caller asked for a different artifact name (per-epoch plots reuse
+        # temp_{i}.html — skipping would collapse them onto one file)
+        if os.path.abspath(path) != os.path.abspath(target):
+            shutil.copy(path, target)
 
     def finalize(self, status: str = "success") -> None:
         self.save()
@@ -138,7 +153,26 @@ class JSONLLogger(Logger):
         if not is_main_process():
             return
         fh = self._ensure()
-        fh.write(json.dumps({"step": step, **metrics}) + "\n")
+        # NaN/inf are not JSON (json.dumps would emit bare NaN tokens that
+        # strict parsers reject) — encode them as null; prefix applies like
+        # the sister loggers
+        row = {
+            "step": step,
+            **{
+                self.prefix + k: (
+                    float(v)
+                    if isinstance(v, (int, float)) and math.isfinite(v)
+                    else None
+                )
+                for k, v in metrics.items()
+            },
+        }
+        fh.write(json.dumps(row) + "\n")
+        fh.flush()  # the docstring promises crash-safety
+
+    def save(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
 
     def finalize(self, status: str = "success") -> None:
         if self._fh is not None:
@@ -173,6 +207,10 @@ class TensorBoardLogger(Logger):
         writer = self._ensure()
         for key, value in metrics.items():
             writer.add_scalar(self.prefix + key, float(value), step)
+
+    def save(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
 
     def finalize(self, status: str = "success") -> None:
         if self._writer is not None:
@@ -253,7 +291,17 @@ class _OptionalBackendLogger(Logger):
         elif is_main_process():
             self._backend_log_artifact(path, name)
 
+    def save(self):
+        # non-terminal flush only: SaaS clients upload continuously and
+        # their "finish" calls are terminal (a finished wandb run rejects
+        # further logging), so save() must never touch the backend run
+        if self._fallback:
+            self._fallback.save()
+
     def finalize(self, status="success"):
+        if getattr(self, "_finalized", False):
+            return  # terminal backend calls must not run twice
+        self._finalized = True
         if self._fallback:
             self._fallback.finalize(status)
         elif is_main_process():
@@ -339,7 +387,10 @@ class MLFlowLogger(_OptionalBackendLogger):
         if tracking_uri:
             mlflow.set_tracking_uri(tracking_uri)
         mlflow.set_experiment(self.kwargs.get("experiment_name", "default"))
-        mlflow.start_run()
+        # mlflow.start_run() raises if a run is already active in-process
+        # (a user script's own run, or a prior logger whose finalize was
+        # skipped by an exception) — nest instead of aborting
+        mlflow.start_run(nested=mlflow.active_run() is not None)
         return mlflow
 
     def _backend_log_metrics(self, metrics, step):
@@ -406,6 +457,11 @@ class LoggerCollection:
     def log_artifact(self, path, name=None):
         for lg in self.loggers:
             lg.log_artifact(path, name)
+
+    def save(self):
+        for lg in self.loggers:
+            if hasattr(lg, "save"):  # duck-typed custom loggers
+                lg.save()
 
     def finalize(self, status="success"):
         for lg in self.loggers:

@@ -89,6 +89,8 @@ def save_validation_results_to_logger(
     if logger is not None and hasattr(logger, "log_artifact"):
         try:
             logger.log_artifact(path)
-        except Exception:  # logging must never kill training
-            logging.getLogger(__name__).warning("could not upload %s", path)
+        except Exception as exc:  # logging must never kill training
+            logging.getLogger(__name__).warning(
+                "could not upload %s: %s", path, exc, exc_info=True
+            )
     return path

@@ -41,16 +41,19 @@ class HTMLFigure:
 
 
 def _fig_to_html(fig, title: str) -> HTMLFigure:
+    import html as html_module
+
     buffer = io.BytesIO()
     fig.savefig(buffer, format="png", dpi=110, bbox_inches="tight")
     import matplotlib.pyplot as plt
 
     plt.close(fig)
     encoded = base64.b64encode(buffer.getvalue()).decode()
+    safe_title = html_module.escape(title)
     html = (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
-        f"<title>{title}</title></head><body>"
-        f"<h3>{title}</h3><img src='data:image/png;base64,{encoded}'/>"
+        f"<title>{safe_title}</title></head><body>"
+        f"<h3>{safe_title}</h3><img src='data:image/png;base64,{encoded}'/>"
         "</body></html>"
     )
     return HTMLFigure(html)
@@ -80,6 +83,9 @@ def plot_batch_results(
     y = np.asarray(y)
     y_hat = np.asarray(y_hat)
     n = min(len(y), max_examples)
+    if n == 0:
+        # an empty host-local shard of a partial batch has nothing to plot
+        return None
     cols = 4
     rows = (n + cols - 1) // cols
     fig, axes = plt.subplots(rows, cols, figsize=(3.2 * cols, 2.2 * rows), squeeze=False)

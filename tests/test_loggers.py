@@ -184,6 +184,7 @@ def test_mlflow_logger_uses_installed_client(monkeypatch, tmp_path):
         "log_metrics", "log_params", "log_artifact", "end_run",
     ):
         setattr(mlflow_module, name, getattr(mlflow, name))
+    mlflow_module.active_run = lambda: None  # no run active yet
     monkeypatch.setitem(sys.modules, "mlflow", mlflow_module)
 
     logger = MLFlowLogger(
@@ -197,6 +198,7 @@ def test_mlflow_logger_uses_installed_client(monkeypatch, tmp_path):
 
     names = [c[0] for c in calls]
     assert names[:3] == ["set_tracking_uri", "set_experiment", "start_run"]
+    assert ("start_run", (), {"nested": False}) in calls
     assert ("log_metrics", ({"MSE/Validation": 0.25},), {"step": 7}) in calls
     assert ("log_params", ({"batch_size": "32"},), {}) in calls
     assert ("log_artifact", ("/tmp/x.csv",), {}) in calls
@@ -255,12 +257,17 @@ def test_wandb_logger_uses_installed_client(monkeypatch):
     assert logger._fallback is None
     logger.log_metrics({"m": 2.0}, step=1)
     logger.log_hyperparams({"h": 3})
+    # save() is NON-terminal: a finished wandb run rejects further logging,
+    # so the engine's fit-boundary flush must never touch the client
+    logger.save()
+    assert not any(name == "finish" for name, _, _ in calls)
     logger.finalize()
+    logger.finalize()  # terminal backend call runs exactly once
 
     assert ("init", ("p",), {}) in calls
     assert ("log", ({"m": 2.0},), {"step": 1}) in calls
     assert ("config.update", ({"h": 3},), {"allow_val_change": True}) in calls
-    assert ("finish", (), {}) in calls
+    assert [name for name, _, _ in calls].count("finish") == 1
 
 
 def test_saas_fallback_warns_and_writes_jsonl(tmp_path, caplog, monkeypatch):
