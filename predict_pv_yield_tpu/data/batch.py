@@ -164,7 +164,16 @@ class Batch:
         (reference ``base_model.py:84-85``)."""
         def build(struct_cls, sub: Dict[str, Any]):
             names = {f.name for f in struct_cls.__dataclass_fields__.values()}
-            return struct_cls(**{k: v for k, v in (sub or {}).items() if k in names})
+            unknown = (sub or {}).keys() - names
+            if unknown:
+                # the reference's BatchML(**x) raises on unexpected fields —
+                # silently dropping a typo'd key would train without that
+                # input and surface (at best) as a NoneType error far away
+                raise TypeError(
+                    f"{struct_cls.__name__} got unknown fields "
+                    f"{sorted(unknown)}; known: {sorted(names)}"
+                )
+            return struct_cls(**(sub or {}))
 
         return cls(
             satellite=build(SatelliteBatch, data.get("satellite", {})),

@@ -66,36 +66,67 @@ def decode_satellite(
         data = jnp.where(missing, 0.0, data)
     if crop is not None:
         height, width = data.shape[-2:]
+        if crop > height or crop > width:
+            # negative slice starts would silently return a tiny corner
+            # crop; shapes are static so this raises at trace time
+            raise ValueError(
+                f"crop {crop}px exceeds the {height}x{width}px image"
+            )
         top = (height - crop) // 2
         left = (width - crop) // 2
         data = data[..., top : top + crop, left : left + crop]
     return data
 
 
+def _decode_group(group, channel_names, crop: Optional[int]):
+    """One imagery group's decode: ``None`` data → unchanged; float in
+    channel-last wire layout → transpose only; float canonical → unchanged;
+    int16 → the fused decode/normalise/crop. Shared by the satellite and
+    HRV groups so the four-way branch exists once."""
+    data = group.data
+    if data is None:
+        return group
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        if group.channel_last:
+            return group.replace(
+                data=jnp.transpose(data, (0, 4, 1, 2, 3)), channel_last=False
+            )
+        return group
+    mean, std = channel_stats(channel_names)
+    decoded = decode_satellite(
+        data, mean, std, crop=crop, channel_last=group.channel_last
+    )
+    return group.replace(data=decoded, channel_last=False)
+
+
 def preprocess_batch(
     batch: Batch,
     channel_names=None,
     crop: Optional[int] = None,
+    hrv_crop: Optional[int] = None,
 ) -> Batch:
     """Decode/normalise a device Batch whose satellite field is raw int16.
 
     No-op for already-float satellite data (prepared v15-style datasets ship
-    normalised floats; raw zarr-sourced shards ship int16).
+    normalised floats; raw zarr-sourced shards ship int16). ``crop`` applies
+    to the main satellite group only — HRV lives on its own finer-resolution
+    grid, where the same pixel count spans a different ground extent, so it
+    takes its own ``hrv_crop``.
     """
-    batch = _decode_hrv(batch, crop)  # HRV group decodes independently of
-    # the main satellite group (it may be int16 while satellite is float
-    # or absent entirely in HRV-only configurations)
+    # HRV group decodes independently of the main satellite group (it may
+    # be int16 while satellite is float or absent entirely)
+    if batch.hrvsatellite.data is not None:
+        batch = batch.replace(
+            hrvsatellite=_decode_group(batch.hrvsatellite, ["HRV"], hrv_crop)
+        )
     sat = batch.satellite.data
     channel_last = batch.satellite.channel_last
     if sat is None:
         return batch
     if jnp.issubdtype(sat.dtype, jnp.floating):
-        if channel_last:  # float wire in channel-last layout: transpose only
-            sat = jnp.transpose(sat, (0, 4, 1, 2, 3))
-            return batch.replace(
-                satellite=batch.satellite.replace(data=sat, channel_last=False)
-            )
-        return batch
+        group = _decode_group(batch.satellite, None, crop)
+        # identity-preserving no-op for already-canonical float data
+        return batch if group is batch.satellite else batch.replace(satellite=group)
     n_channels = sat.shape[-1] if channel_last else sat.shape[1]
     if channel_names is None:
         # No dataset configuration available: fall back by channel count.
@@ -118,33 +149,8 @@ def preprocess_batch(
             f"satellite data has {n_channels} channels but channel_names "
             f"has {len(channel_names)}"
         )
-    mean, std = channel_stats(channel_names)
-    decoded = decode_satellite(sat, mean, std, crop=crop, channel_last=channel_last)
     return batch.replace(
-        satellite=batch.satellite.replace(data=decoded, channel_last=False)
-    )
-
-
-def _decode_hrv(batch: Batch, crop: Optional[int]) -> Batch:
-    """Same fused decode for the HRV group when it ships raw int16 (HRV is
-    its own batch group with its own grid; channel stats are the HRV row)."""
-    hrv = batch.hrvsatellite.data
-    if hrv is None:
-        return batch
-    channel_last = batch.hrvsatellite.channel_last
-    if jnp.issubdtype(hrv.dtype, jnp.floating):
-        if channel_last:
-            hrv = jnp.transpose(hrv, (0, 4, 1, 2, 3))
-            return batch.replace(
-                hrvsatellite=batch.hrvsatellite.replace(
-                    data=hrv, channel_last=False
-                )
-            )
-        return batch
-    mean, std = channel_stats(["HRV"])
-    decoded = decode_satellite(hrv, mean, std, crop=crop, channel_last=channel_last)
-    return batch.replace(
-        hrvsatellite=batch.hrvsatellite.replace(data=decoded, channel_last=False)
+        satellite=_decode_group(batch.satellite, channel_names, crop)
     )
 
 

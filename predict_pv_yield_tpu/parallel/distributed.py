@@ -30,15 +30,27 @@ def initialize_distributed(
 ) -> None:
     """Bootstrap multi-host JAX.
 
-    On Cloud TPU the arguments are discovered from the metadata server and
-    may be omitted; elsewhere pass them explicitly or via the standard
+    Pass the three arguments explicitly, or set the
     ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
-    environment variables. No-op for single-process runs.
+    environment variables (all three are read HERE — jax itself does not
+    honour the latter two). On a Cloud TPU pod / SLURM / K8s cluster,
+    ``jax.distributed.initialize`` auto-discovers whatever is still None
+    from the cluster environment. No-op only when nothing at all is
+    configured (a plain single-process run) — there is no silent fallback
+    once any argument or env var is present.
     """
-    env_procs = os.environ.get("JAX_NUM_PROCESSES")
-    if num_processes is None and env_procs is not None:
-        num_processes = int(env_procs)
-    if num_processes in (None, 1) and coordinator_address is None:
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and env.get("JAX_NUM_PROCESSES") is not None:
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID") is not None:
+        process_id = int(env["JAX_PROCESS_ID"])
+    if (
+        coordinator_address is None
+        and process_id is None
+        and num_processes in (None, 1)
+    ):
         log.debug("single-process run; skipping jax.distributed.initialize")
         return
     jax.distributed.initialize(
@@ -65,8 +77,8 @@ def host_local_batch_slice(global_batch_size: int) -> slice:
     per_host, remainder = divmod(global_batch_size, jax.process_count())
     if remainder:
         raise ValueError(
-            f"global batch {global_batch_size} must divide process count "
-            f"{jax.process_count()}"
+            f"global batch {global_batch_size} must be divisible by the "
+            f"process count {jax.process_count()}"
         )
     start = jax.process_index() * per_host
     return slice(start, start + per_host)

@@ -42,6 +42,13 @@ def build_mesh(
     devices = list(devices)
     if data_parallel is None:
         data_parallel = len(devices) // model_parallel
+    if data_parallel < 1 or data_parallel * model_parallel > len(devices):
+        # a zero-device mesh reshapes fine and only explodes much later
+        # inside XLA sharding errors — fail at the misconfiguration
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} (data x model) does not "
+            f"fit on {len(devices)} devices"
+        )
     n = data_parallel * model_parallel
     grid = np.asarray(devices[:n]).reshape(data_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

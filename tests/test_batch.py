@@ -18,6 +18,17 @@ def test_shapes_from_configuration(configuration):
     assert shapes["metadata"]["t0_datetime_utc"] == (2,)
 
 
+def test_from_dict_rejects_unknown_fields():
+    """BatchML(**x) raises on unexpected fields; silently dropping a typo'd
+    key would train without that input (round-3 review)."""
+    import pytest
+
+    from predict_pv_yield_tpu.data.batch import Batch
+
+    with pytest.raises(TypeError, match="unknown fields.*pv_yeild"):
+        Batch.from_dict({"pv": {"pv_yeild": None}})
+
+
 def test_fake_dataset_deterministic(configuration):
     ds = FakeDataset(configuration=configuration, length=3)
     a = ds[1]

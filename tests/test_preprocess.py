@@ -4,6 +4,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from predict_pv_yield_tpu.consts import SAT_MEAN, SAT_STD, SAT_VARIABLE_NAMES
 from predict_pv_yield_tpu.data.batch import Batch, SatelliteBatch
@@ -33,6 +34,13 @@ def test_decode_missing_and_crop():
     decoded = decode_satellite(jnp.asarray(raw), mean, std, crop=4)
     assert decoded.shape == (1, 2, 1, 4, 4)
     assert float(jnp.abs(decoded).max()) == 0.0  # missing → 0 after normalise
+
+
+def test_crop_larger_than_image_raises():
+    raw = np.full((1, 2, 1, 8, 8), 3, dtype=np.int16)
+    mean, std = channel_stats(SAT_VARIABLE_NAMES[:2])
+    with pytest.raises(ValueError, match="crop 12px exceeds"):
+        decode_satellite(jnp.asarray(raw), mean, std, crop=12)
 
 
 def test_preprocess_batch_noop_for_float():
