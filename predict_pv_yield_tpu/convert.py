@@ -174,7 +174,10 @@ def load_lightning_checkpoint(path: str) -> Dict:
     """Read a Lightning ``.ckpt`` (torch pickle) and return its state_dict."""
     import torch
 
-    checkpoint = torch.load(path, map_location="cpu")
+    # weights_only=True (the torch>=2.6 default) refuses the pickled
+    # hyper_parameters/Namespace objects real Lightning checkpoints carry;
+    # these files are trusted local inputs supplied by the user
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = checkpoint.get("state_dict", checkpoint)
     return strip_lightning_prefix(state_dict)
 

@@ -321,8 +321,19 @@ class FlowInMemDataset:
             thread.start()
 
     def _producer(self):
+        import time as _time
+
         while True:
-            batch = self.loader.load_super_batch(self.batch_type)
+            try:
+                batch = self.loader.load_super_batch(self.batch_type)
+            except Exception as exc:
+                # a transient load failure (gappy archive window, retry
+                # exhaustion) must not kill the refresh thread for good —
+                # training would silently continue on stale super batches
+                # forever; log and retry
+                log.warning("super-batch producer failed (%s); retrying", exc)
+                _time.sleep(1.0)
+                continue
             self._queue.put(batch)
 
     def _refresh_one(self):

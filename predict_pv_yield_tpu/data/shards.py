@@ -35,7 +35,9 @@ def shard_filename(index: int, fmt: str = "npz") -> str:
 
 def _batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
     arrays: Dict[str, np.ndarray] = {}
-    for group in ("satellite", "hrvsatellite", "nwp", "pv", "gsp", "sun", "topographic", "datetime", "metadata"):
+    # iterate the Batch schema itself: a hard-coded name list would
+    # silently drop any future group from every written shard
+    for group in batch.__dataclass_fields__:
         sub = getattr(batch, group)
         for field in sub.__dataclass_fields__:
             value = getattr(sub, field)
@@ -170,8 +172,16 @@ class ShardDataset:
             base = self.src_path
             if exists(os.path.join(base, shard_filename(index, "raw"))):
                 self._fmt = "raw"
-            else:
+            elif exists(os.path.join(base, shard_filename(index, "npz"))):
                 self._fmt = "npz"
+            else:
+                # neither candidate exists for the probe index: don't latch
+                # a guess that would misreport every later miss as the
+                # wrong format
+                raise FileNotFoundError(
+                    f"no {shard_filename(index, 'raw')} or "
+                    f"{shard_filename(index, 'npz')} under {base}"
+                )
         return shard_filename(index, self._fmt)
 
     def __getitem__(self, index: int) -> Batch:

@@ -46,6 +46,14 @@ class ZarrArray:
         self.fill_value = meta.get("fill_value", 0)
         if self.fill_value is None:
             self.fill_value = 0
+        if meta.get("filters"):
+            # every other unsupported feature fails loudly; silently
+            # skipping a filter inverse (delta, FixedScaleOffset, ...)
+            # would decode numerically wrong data
+            raise ValueError(
+                f"unsupported zarr filters {meta['filters']!r} "
+                "(first-party reader decodes unfiltered chunks only)"
+            )
         compressor = meta.get("compressor")
         self._codec: Optional[str] = None
         if compressor is not None:
@@ -60,6 +68,13 @@ class ZarrArray:
 
     def __repr__(self) -> str:
         return f"ZarrArray(shape={self.shape}, chunks={self.chunks}, dtype={self.dtype})"
+
+    def __len__(self) -> int:
+        # numpy drop-in contract: len() is the leading axis (flow loaders
+        # and sources use it interchangeably with ndarray)
+        if not self.shape:
+            raise TypeError("len() of a 0-d ZarrArray")
+        return int(self.shape[0])
 
     @property
     def attrs(self) -> dict:
@@ -120,6 +135,8 @@ class ZarrArray:
             else:
                 raise IndexError(f"unsupported index {k!r}")
 
+        # numpy contract: a[5:2] is empty, not an error
+        stops = [max(stop, start) for start, stop in zip(starts, stops)]
         out_shape = tuple(stop - start for start, stop in zip(starts, stops))
         out = np.empty(out_shape, dtype=self.dtype)
 

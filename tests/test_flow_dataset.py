@@ -240,3 +240,24 @@ def test_lazy_predictions_match_dense(archive):
     rng = np.random.default_rng(0)
     example = super_batch_to_example(lazy, rng=rng)
     assert example[OPTICAL_FLOW_PREDICTIONS].shape == (128, 128)
+
+
+def test_loader_accepts_zarr_array(tmp_path):
+    """tools/train_flow_forecaster passes a ZarrArray straight in — the
+    loader's len()/slice usage must work on the duck array, not only numpy
+    (a confirmed crash in round-3 review)."""
+    from predict_pv_yield_tpu.data.flow_dataset import SatelliteFlowLoader
+    from predict_pv_yield_tpu.data.zarr_reader import open_zarr, write_zarr
+
+    n = 20
+    times = np.datetime64("2019-07-01T10:00", "ns") + np.arange(n) * np.timedelta64(5, "m")
+    frames = np.arange(n * 16, dtype=np.int16).reshape(n, 4, 4)
+    write_zarr(str(tmp_path / "hrv"), frames, chunks=(4, 4, 4))
+    loader = SatelliteFlowLoader(
+        data=open_zarr(str(tmp_path / "hrv")),
+        datetimes=times,
+        num_forecast_timesteps=4,
+    )
+    window, window_times = loader.load_satellite_window("training")
+    assert window.shape == (5, 4, 4)
+    assert len(window_times) == 5

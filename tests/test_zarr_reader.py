@@ -66,3 +66,24 @@ def test_unsupported_compressor(tmp_path):
     )
     with pytest.raises(ValueError, match="blosc"):
         ZarrArray(str(path))
+
+
+def test_len_empty_slice_and_filters(tmp_path):
+    """numpy drop-in contract: len() is the leading axis and a start>stop
+    slice is empty; declared filters fail loudly instead of silently
+    decoding un-unfiltered bytes (round-3 review)."""
+    import json
+
+    from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+    data = np.arange(24, dtype=np.int16).reshape(6, 4)
+    write_zarr(str(tmp_path / "a"), data, chunks=(2, 4))
+    z = open_zarr(str(tmp_path / "a"))
+    assert len(z) == 6
+    assert z[5:2].shape == (0, 4)
+    meta_path = tmp_path / "a" / ".zarray"
+    meta = json.loads(meta_path.read_text())
+    meta["filters"] = [{"id": "delta", "dtype": "<i2"}]
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="filters"):
+        open_zarr(str(tmp_path / "a"))
