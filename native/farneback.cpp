@@ -202,7 +202,9 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
       float sx = x + dx, sy = y + dy;
       float a11, a12, a22, db1, db2;
       // cv2 only warp-samples when floor(sample) is strictly interior;
-      // otherwise A-bar = A1 and the b difference is dropped.
+      // otherwise A-bar = A1 and only the WARPED b2 taps are zeroed, so
+      // the pixel still contributes 0.5*b1 (FarnebackUpdateMatrices:
+      // r2=r3=0 then r2=(R0-r2)*0.5).
       int xf = (int)std::floor(sx), yf = (int)std::floor(sy);
       if (xf >= 0 && xf <= W - 2 && yf >= 0 && yf <= H - 2) {
         a11 = 0.5f * (p1.A11[i] + bilinear(p2.A11.data(), H, W, sy, sx));
@@ -214,8 +216,8 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
         a11 = p1.A11[i];
         a12 = p1.A12[i];
         a22 = p1.A22[i];
-        db1 = 0.f;
-        db2 = 0.f;
+        db1 = 0.5f * p1.b1[i];
+        db2 = 0.5f * p1.b2[i];
       }
       db1 += a11 * dx + a12 * dy;
       db2 += a12 * dx + a22 * dy;
@@ -245,8 +247,9 @@ void update_flow(const PolyExp& p1, const PolyExp& p2, int H, int W,
     std::memcpy(f, sm.data(), N * sizeof(float));
   }
   for (int i = 0; i < N; ++i) {
-    float det = g11[i] * g22[i] - g12[i] * g12[i];
-    if (std::fabs(det) < 1e-9f) det = det < 0 ? -1e-9f : 1e-9f;
+    // cv2's unconditional additive regularisation (1/(det + 1e-3)) — a
+    // sign-preserving clamp measured up to 1.07 px border error vs cv2
+    float det = g11[i] * g22[i] - g12[i] * g12[i] + 1e-3f;
     flow[i] = (g22[i] * h1[i] - g12[i] * h2[i]) / det;
     flow[N + i] = (g11[i] * h2[i] - g12[i] * h1[i]) / det;
   }
@@ -392,7 +395,10 @@ void remap_image(const float* image, const float* flow, int H, int W,
       int i = y * W + x;
       float sx = x - flow[2 * i];
       float sy = y - flow[2 * i + 1];
-      if (sx < 0.f || sy < 0.f || sx > W - 1.f || sy > H - 1.f) {
+      // cv2 BORDER_CONSTANT NaNs a sample whose bilinear support crosses
+      // the edge — including EXACTLY the last row/column (the 0-weight
+      // NaN tap still propagates), so the far bound is exclusive
+      if (sx < 0.f || sy < 0.f || sx >= W - 1.f || sy >= H - 1.f) {
         out[i] = std::nanf("");
       } else {
         out[i] = bilinear(image, H, W, sy, sx);

@@ -33,6 +33,15 @@ _T0_NS = 1_622_505_600_000_000_000
 _NS_PER_MIN = 60_000_000_000
 
 
+def _cadence_minutes(name: str) -> int:
+    """Timestep of a datetime axis by field name (Batch schema cadences)."""
+    if "gsp" in name:
+        return 30
+    if name in ("target_time", "init_time"):
+        return 60  # NWP hourly target grid
+    return 5  # satellite / hrvsatellite 5-minute imagery
+
+
 def fake_batch(configuration, rng: np.random.Generator) -> Batch:
     """One random Batch with the static shapes implied by ``configuration``."""
     shapes = batch_shapes(configuration)
@@ -65,14 +74,18 @@ def fake_batch(configuration, rng: np.random.Generator) -> Batch:
                 # them (940-way, reference model_sat_nwp.py:148-151).
                 high = 940 if name == "pv_system_row_number" else 340
                 arr = rng.integers(0, high, size=shape, dtype=np.int32)
-            else:  # int64 datetimes: 30-minute grid from the fake origin
+            else:  # int64 datetimes: each axis advances at ITS cadence
+                # (satellite/hrv 5-min, gsp 30-min, nwp targets 60-min) so
+                # cross-modality time alignment on fake data behaves like
+                # the schema says, not all-30-min
                 steps = rng.integers(0, 2**16, size=shape[:1], dtype=np.int64)
                 base = _T0_NS + steps * (30 * _NS_PER_MIN)
                 if len(shape) == 1:
                     arr = base
                 else:
+                    cadence = _cadence_minutes(name)
                     idx = np.arange(shape[1], dtype=np.int64)
-                    arr = base[:, None] + idx[None, :] * (30 * _NS_PER_MIN)
+                    arr = base[:, None] + idx[None, :] * (cadence * _NS_PER_MIN)
             data[group][name] = arr
     return Batch.from_dict(data)
 
@@ -132,7 +145,22 @@ def fake_batch_on_device(configuration, seed: int = 0, sharding=None):
                     arr = jax.random.uniform(field_key, shape, jnp.float32)
                 elif name == "gsp_capacity":
                     arr = jax.random.uniform(field_key, shape, jnp.float32, 10.0, 500.0)
+                elif name == "sun_elevation_angle":
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, -10.0, 60.0)
+                elif name == "sun_azimuth_angle":
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, 0.0, 360.0)
+                elif name == "topo_data":
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, 0.0, 600.0)
+                elif name.endswith("_sin") or name.endswith("_cos"):
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, -1.0, 1.0)
+                elif name == "x":
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, 0.0, 650_000.0)
+                elif name == "y":
+                    arr = jax.random.uniform(field_key, shape, jnp.float32, 0.0, 1_000_000.0)
                 else:
+                    # imagery / nwp: roughly unit-normal like decoded data —
+                    # the same distributions as the host fake_batch so
+                    # device benchmarks see representative numerics
                     arr = jax.random.normal(field_key, shape, jnp.float32)
                 data[group][name] = arr
         return Batch.from_dict(data)

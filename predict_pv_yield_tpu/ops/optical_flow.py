@@ -356,7 +356,11 @@ def _update_flow(
         & (y_floor >= 0) & (y_floor <= height - 2)
     )
     A_avg = jnp.where(oob[..., None, None], A1, 0.5 * (A1 + A2w))
-    b_diff = jnp.where(oob[..., None], 0.0, -0.5 * (b2w - b1))
+    # cv2's OOB else-branch zeroes only the WARPED b2 taps, so the pixel
+    # still contributes 0.5*b1 (FarnebackUpdateMatrices: r2=r3=0 then
+    # r2=(R0-r2)*0.5) — zeroing the whole difference measured up to
+    # 0.009 px border error vs cv2; this form is exact (4e-5 px)
+    b_diff = -0.5 * (jnp.where(oob[..., None], 0.0, b2w) - b1)
     delta_b = b_diff + jnp.einsum("nhwij,nhwj->nhwi", A_avg, flow)
 
     scale = jnp.asarray(_border_scale(height, width))[None]
@@ -385,13 +389,12 @@ def _update_flow(
     smoothed = sep_blur(fields, kernel)
     g11, g12, g22, h1, h2 = (smoothed[:, i] for i in range(5))
 
-    det = g11 * g22 - g12 * g12
-    # sign-preserving clamp, identical to the native twin
-    # (farneback.cpp:249) so near-singular windows can't flip sign between
-    # the two cross-validating implementations
-    det = jnp.where(
-        jnp.abs(det) < 1e-9, jnp.where(det < 0, -1e-9, 1e-9), det
-    )
+    # cv2's unconditional additive regularisation (FarnebackUpdateFlow_*:
+    # 1/(g11*g22 - g12² + 1e-3)) — a sign-preserving 1e-9 clamp measured up
+    # to 1.07 px border error where the damping ramp shrinks det; +1e-3
+    # brings the border band to exact parity (4e-5 px). The native twin
+    # (farneback.cpp) applies the same constant.
+    det = g11 * g22 - g12 * g12 + 1e-3
     new_x = (g22 * h1 - g12 * h2) / det
     new_y = (g11 * h2 - g12 * h1) / det
     return jnp.stack([new_x, new_y], axis=-1)

@@ -40,11 +40,15 @@ def remap_batched(images: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
     sample_y = grid_y[None] - flows[..., 1]
     sample_x = grid_x[None] - flows[..., 0]
 
+    # cv2.remap(BORDER_CONSTANT=NaN, INTER_LINEAR) NaNs a sample whenever
+    # its bilinear support crosses the edge — INCLUDING exactly the last
+    # row/column (the zero-weight NaN tap still propagates in float math),
+    # so the far bound is exclusive
     in_bounds = (
         (sample_y >= 0.0)
-        & (sample_y <= height - 1.0)
+        & (sample_y < height - 1.0)
         & (sample_x >= 0.0)
-        & (sample_x <= width - 1.0)
+        & (sample_x < width - 1.0)
     )
 
     from predict_pv_yield_tpu.ops.optical_flow import bilinear_gather_batched

@@ -38,11 +38,12 @@ def ssim(
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     if data_range is None:
-        finite1 = jnp.nan_to_num(im1)
-        finite2 = jnp.nan_to_num(im2)
-        data_range = jnp.maximum(finite1.max(), finite2.max()) - jnp.minimum(
-            finite1.min(), finite2.min()
-        )
+        # skimage never derives the range from the data: for float inputs
+        # the reference-era version used the dtype range, 2.0 (the notebook
+        # calls structural_similarity with no data_range) — newer skimage
+        # raises instead. Matching the era the reference ran reproduces its
+        # numbers; pass data_range explicitly for anything else.
+        data_range = 2.0
 
     n = win_size * win_size
     cov_norm = n / (n - 1)  # sample covariance, as in skimage

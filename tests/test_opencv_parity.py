@@ -82,9 +82,12 @@ def _our_flow(im1, im2, **overrides):
 @pytest.mark.parametrize(
     "fixture,size,margin,mean_tol,max_tol",
     [
-        ("band_limited", 256, 40, 0.005, 0.05),
-        ("textured", 128, 32, 0.005, 0.02),
-        ("textured", 64, 16, 0.005, 0.02),
+        # margin 2 (just the bilinear edge taps): the OOB-warp b-term and
+        # cv2's +1e-3 det regularisation brought the BORDER band to exact
+        # parity too (round-3 review; measured ~2e-5 px max at margin 2)
+        ("band_limited", 256, 2, 1e-4, 1e-3),
+        ("textured", 128, 2, 1e-4, 1e-3),
+        ("textured", 64, 2, 1e-4, 1e-3),
     ],
 )
 def test_farneback_matches_opencv(fixture, size, margin, mean_tol, max_tol):
@@ -108,9 +111,9 @@ def test_farneback_matches_opencv_across_params():
     ):
         ref = _cv_flow(im1, im2, **overrides)
         ours = _our_flow(im1, im2, **overrides)
-        diff = np.abs(ours - ref)[24:-24, 24:-24]
-        assert diff.mean() < 0.02, (overrides, diff.mean())
-        assert diff.max() < 0.25, (overrides, diff.max())
+        diff = np.abs(ours - ref)[2:-2, 2:-2]
+        assert diff.mean() < 1e-4, (overrides, diff.mean())
+        assert diff.max() < 1e-3, (overrides, diff.max())
 
 
 def _cv_remap(image, flow):
@@ -159,9 +162,9 @@ def test_native_cpp_matches_opencv():
     ref = _cv_flow(im1, im2)
     params = {k: v for k, v in REFERENCE_PARAMS.items() if k != "pyr_scale"}
     ours = native.farneback_flow_native(im1, im2, **params)
-    diff = np.abs(ours - ref)[32:-32, 32:-32]
-    assert diff.mean() < 0.005, diff.mean()
-    assert diff.max() < 0.02, diff.max()
+    diff = np.abs(ours - ref)[2:-2, 2:-2]
+    assert diff.mean() < 1e-4, diff.mean()
+    assert diff.max() < 1e-3, diff.max()
 
 
 def test_flow_predictions_match_opencv_triangle():
@@ -173,8 +176,8 @@ def test_flow_predictions_match_opencv_triangle():
     # flows themselves match cv2 pair-by-pair
     for i in range(3):
         ref = _cv_flow(frames[i], frames[i + 1], winsize=20)
-        diff = np.abs(flows[i] - ref)[16:-16, 16:-16]
-        assert diff.max() < 0.05, (i, diff.max())
+        diff = np.abs(flows[i] - ref)[2:-2, 2:-2]
+        assert diff.max() < 1e-3, (i, diff.max())
     preds = np.asarray(flow_predictions(jnp.asarray(frames), jnp.asarray(flows)))
     for source in range(3):
         for step in range(3 - source):
