@@ -85,6 +85,12 @@ class BaseModel(nn.Module):
         return self.seq_lens.history_len_60
 
     @property
+    def total_seq_length(self) -> int:
+        """5-minute steps incl. t0 — the perceiver family's frame count and
+        Perceiver depth (reference ``perceiver.py:34``); == seq_len_5."""
+        return self.seq_lens.seq_len_5
+
+    @property
     def forecast_len_60(self) -> int:
         return self.seq_lens.forecast_len_60
 

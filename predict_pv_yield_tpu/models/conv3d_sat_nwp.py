@@ -122,11 +122,16 @@ class Model(BaseModel):
                 ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
             else:
                 ids = x.gsp.gsp_id[0 : self.batch_size, 0]
-            embedding = nn.Embed(
-                num_embeddings=N_PV_SYSTEM_IDS,
-                features=self.embedding_dem,
-                name="pv_system_id_embedding",
-            )(ids.astype(jnp.int32))
+            from predict_pv_yield_tpu.models.layers import embed_checked
+
+            embedding = embed_checked(
+                nn.Embed(
+                    num_embeddings=N_PV_SYSTEM_IDS,
+                    features=self.embedding_dem,
+                    name="pv_system_id_embedding",
+                ),
+                ids,
+            )
             out = jnp.concatenate([out, embedding], axis=1)
 
         out = nn.relu(nn.Dense(self.fc3_output_features, dtype=self.dtype, name="fc3")(out))

@@ -137,10 +137,16 @@ class CNNConcatTimesteps(BaseModel):
         parts.append(datetime_features.reshape(batch_size, -1))
 
         if self.embedding_dim:
+            from predict_pv_yield_tpu.models.layers import embed_checked
+
             ids = x.pv.pv_system_row_number[:batch_size, 0].astype(jnp.int32)
             parts.append(
-                nn.Embed(N_PV_SYSTEM_IDS, self.embedding_dim, name="pv_system_id_embedding")(
-                    ids
+                embed_checked(
+                    nn.Embed(
+                        N_PV_SYSTEM_IDS, self.embedding_dim,
+                        name="pv_system_id_embedding",
+                    ),
+                    ids,
                 ).astype(dtype)
             )
 
@@ -195,12 +201,18 @@ class CNNRNN(BaseModel):
         out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
         if self.embedding_dim:
+            from predict_pv_yield_tpu.models.layers import embed_checked
+
             ids = jnp.repeat(
                 x.pv.pv_system_row_number[:batch_size, 0].astype(jnp.int32), seq_len
             )
-            embedding = nn.Embed(
-                N_PV_SYSTEM_IDS, self.embedding_dim, name="pv_system_id_embedding"
-            )(ids)
+            embedding = embed_checked(
+                nn.Embed(
+                    N_PV_SYSTEM_IDS, self.embedding_dim,
+                    name="pv_system_id_embedding",
+                ),
+                ids,
+            )
             out = jnp.concatenate([out, embedding.astype(dtype)], axis=1)
 
         out = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2")(out))

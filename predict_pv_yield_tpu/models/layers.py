@@ -22,6 +22,32 @@ def to_channel_last(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (0, 2, 3, 4, 1))
 
 
+def checked_ids(ids: jnp.ndarray, num_embeddings: int) -> jnp.ndarray:
+    """int32 ids with out-of-range entries redirected to a loud NaN.
+
+    flax's ``nn.Embed`` silently WRAPS negative ids onto valid rows and
+    NaNs too-large ones; torch's ``nn.Embedding`` (the reference) raises
+    IndexError either way. Raising on data-dependent values is impossible
+    inside jit, so the honest analog is: clamp invalid ids to row 0 and
+    let the CALLER NaN those embedding rows — a bad system id then
+    surfaces as a NaN loss (caught by ``terminate_on_nan``/``debug_nans``)
+    instead of silently training on an arbitrary embedding row.
+
+    Returns ``(safe_ids, invalid_mask)``.
+    """
+    ids = ids.astype(jnp.int32)
+    invalid = (ids < 0) | (ids >= num_embeddings)
+    return jnp.where(invalid, 0, ids), invalid
+
+
+def embed_checked(embed: nn.Embed, ids: jnp.ndarray) -> jnp.ndarray:
+    """Apply an Embed with :func:`checked_ids` semantics — invalid ids
+    produce NaN rows instead of wrapped/arbitrary embeddings."""
+    safe, invalid = checked_ids(ids, embed.num_embeddings)
+    rows = embed(safe)
+    return jnp.where(invalid[..., None], jnp.nan, rows)
+
+
 class Conv3dTower(nn.Module):
     """N stacked 3-D convolutions with ReLU, kernel 3×3×3.
 

@@ -58,12 +58,17 @@ def fc_head_with_embedding(model, out, ids) -> jnp.ndarray:
     pv_system_row_number, a kept reference quirk)."""
     out = nn.relu(nn.Dense(256, dtype=model.dtype, name="fc1")(out))
     if model.embedding_dem:
+        from predict_pv_yield_tpu.models.layers import embed_checked
+
         ids = jnp.repeat(ids.astype(jnp.int32), model.total_seq_length)
-        embedding = nn.Embed(
-            num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
-            features=model.embedding_dem,
-            name="pv_system_id_embedding",
-        )(ids)
+        embedding = embed_checked(
+            nn.Embed(
+                num_embeddings=N_PERCEIVER_EMBEDDING_IDS,
+                features=model.embedding_dem,
+                name="pv_system_id_embedding",
+            ),
+            ids,
+        )
         out = jnp.concatenate([out, embedding.astype(out.dtype)], axis=1)
     out = nn.relu(nn.Dense(128, dtype=model.dtype, name="fc2")(out))
     out = nn.relu(nn.Dense(64, dtype=model.dtype, name="fc3")(out))
@@ -119,10 +124,6 @@ class PerceiverModel(BaseModel):
     #: unroll the tied depth loop (see perceiver_core.Perceiver.depth_unroll)
     depth_unroll: bool = False
     output_variable: str = "pv_yield"
-
-    @property
-    def total_seq_length(self) -> int:
-        return self.history_minutes // 5 + self.forecast_minutes // 5 + 1
 
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:

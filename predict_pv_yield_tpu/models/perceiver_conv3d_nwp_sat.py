@@ -45,10 +45,6 @@ class Model(BaseModel):
     conv3d_channels: int = 16
     use_future_satellite_images: bool = True
 
-    @property
-    def total_seq_length(self) -> int:
-        return self.history_minutes // 5 + self.forecast_minutes // 5 + 1
-
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
         x = as_batch(x)

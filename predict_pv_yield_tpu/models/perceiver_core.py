@@ -230,6 +230,21 @@ class Perceiver(nn.Module):
     @nn.compact
     def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
         # data: (B, *spatial, C) with len(spatial) == input_axis
+        # (perceiver_pytorch asserts the rank; without it a channel-less
+        # input silently misparses spatial axes as tokens/channels)
+        if data.ndim != 2 + self.input_axis:
+            raise ValueError(
+                f"expected (batch, *{self.input_axis} spatial axes, "
+                f"channels) = {2 + self.input_axis}-d input, got "
+                f"{data.ndim}-d {data.shape}"
+            )
+        if data.shape[-1] != self.input_channels:
+            # the reference sizes its K/V Linear from input_channels and
+            # crashes on mismatch; flax Dense infers from data, so check
+            raise ValueError(
+                f"input has {data.shape[-1]} channels but the module was "
+                f"built with input_channels={self.input_channels}"
+            )
         batch = data.shape[0]
         spatial = data.shape[1 : 1 + self.input_axis]
 
@@ -335,3 +350,79 @@ class _ScanBlock(nn.Module):
             name="inner",
         )(latents, data)
         return out, None
+
+
+def split_geglu_params(params):
+    """Fused GEGLU ``in`` projections → the partitioned ``in_value`` /
+    ``in_gate`` layout.
+
+    ``partition_attention=True`` stores the feed-forward input projection as
+    two Denses (so each model-axis shard holds matching value/gate columns),
+    which changes the checkpoint parameter tree. This converter lets a
+    replicated-run checkpoint (or a reference torch import, which only knows
+    the fused layout) restore into a TP model: value = first half of the
+    fused output columns, gate = second half — exactly ``jnp.split``'s
+    boundary, so numerics are identical.
+    """
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if (
+            "in" in node
+            and "out" in node
+            and isinstance(node["in"], dict)
+            and "kernel" in node["in"]
+        ):
+            fused = node["in"]
+            kernel = np.asarray(fused["kernel"])
+            half = kernel.shape[-1] // 2
+            new = {k: walk(v) for k, v in node.items() if k != "in"}
+            new["in_value"] = {"kernel": kernel[..., :half]}
+            new["in_gate"] = {"kernel": kernel[..., half:]}
+            if "bias" in fused:
+                bias = np.asarray(fused["bias"])
+                new["in_value"]["bias"] = bias[..., :half]
+                new["in_gate"]["bias"] = bias[..., half:]
+            return new
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+def fuse_geglu_params(params):
+    """Inverse of :func:`split_geglu_params`: a TP checkpoint's
+    ``in_value``/``in_gate`` pairs concatenate back into the fused ``in``
+    layout, so TP-trained parameters export through ``convert.py`` (which
+    speaks only the fused layout) and restore into replicated models."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if (
+            "in_value" in node
+            and "in_gate" in node
+            and isinstance(node["in_value"], dict)
+        ):
+            value, gate = node["in_value"], node["in_gate"]
+            new = {
+                k: walk(v)
+                for k, v in node.items()
+                if k not in ("in_value", "in_gate")
+            }
+            fused = {
+                "kernel": np.concatenate(
+                    [np.asarray(value["kernel"]), np.asarray(gate["kernel"])],
+                    axis=-1,
+                )
+            }
+            if "bias" in value:
+                fused["bias"] = np.concatenate(
+                    [np.asarray(value["bias"]), np.asarray(gate["bias"])],
+                    axis=-1,
+                )
+            new["in"] = fused
+            return new
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)

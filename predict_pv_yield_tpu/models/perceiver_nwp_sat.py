@@ -42,10 +42,6 @@ class Model(BaseModel):
     depth_unroll: bool = False
     output_variable: str = "pv_yield"
 
-    @property
-    def total_seq_length(self) -> int:
-        return self.history_minutes // 5 + self.forecast_minutes // 5 + 1
-
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
         x = as_batch(x)

@@ -128,3 +128,42 @@ def test_tensor_parallel_checkpoint_roundtrip(fits):
     ):
         assert after.sharding == before.sharding
         np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_geglu_param_conversion_between_fused_and_tp_layouts():
+    """partition_attention changes the GEGLU feed-forward param tree
+    (fused 'in' -> in_value/in_gate); the converters let a replicated
+    checkpoint restore into a TP model with identical numerics, and a TP
+    tree fuse back for convert.py export (round-3 review)."""
+    import jax
+    from flax import traverse_util
+
+    from predict_pv_yield_tpu.models.perceiver_core import (
+        Perceiver,
+        fuse_geglu_params,
+        split_geglu_params,
+    )
+
+    kw = dict(
+        input_channels=3, depth=3, num_latents=4, latent_dim=8,
+        num_classes=5, weight_tie_layers=True, cross_dim_head=4,
+        latent_dim_head=4, latent_heads=2,
+    )
+    data = jax.random.normal(jax.random.key(0), (2, 6, 6, 3))
+    fused_model = Perceiver(**kw)
+    variables = fused_model.init(jax.random.key(1), data)
+    reference = np.asarray(fused_model.apply(variables, data))
+
+    split_params = split_geglu_params(variables["params"])
+    tp_model = Perceiver(**kw, partition_attention=True)
+    out = tp_model.apply({"params": split_params}, data)
+    np.testing.assert_allclose(np.asarray(out), reference, atol=1e-5)
+
+    refused = fuse_geglu_params(split_params)
+    flat1 = traverse_util.flatten_dict(variables["params"])
+    flat2 = traverse_util.flatten_dict(refused)
+    assert set(flat1) == set(flat2)
+    for key in flat1:
+        np.testing.assert_array_equal(
+            np.asarray(flat1[key]), np.asarray(flat2[key])
+        )
