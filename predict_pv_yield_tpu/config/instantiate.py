@@ -12,7 +12,7 @@ from __future__ import annotations
 import importlib
 from typing import Any, Dict
 
-#: reference target -> native target (exact matches first, then prefixes).
+#: reference target -> native target (EXACT string matches only).
 TARGET_ALIASES: Dict[str, str] = {
     # model zoo (reference configs/model/*.yaml)
     "predict_pv_yield.models.baseline.last_value.Model": "predict_pv_yield_tpu.models.baseline.Model",
@@ -39,24 +39,35 @@ TARGET_ALIASES: Dict[str, str] = {
 }
 
 #: kwargs accepted by the reference classes but meaningless here; dropped
-#: silently so reference YAMLs instantiate cleanly.
+#: silently so reference YAMLs instantiate cleanly. NOTE: the SaaS logger
+#: kwargs (api_key/project_name/experiment_name/offline) are NOT in this
+#: set — the native backends consume them (configs/logger/*.yaml route
+#: runs by them; stripping silently misdirected comet/mlflow runs).
 _IGNORED_KWARGS = {
     "gpus",
     "auto_select_gpus",
     "tpu_cores",
-    "weights_summary",
     "progress_bar_refresh_rate",
-    "api_key",
-    "project_name",
-    "experiment_name",
     "close_after_fit",
-    "offline",
 }
 
 
 def locate(target: str) -> Any:
     """Import ``pkg.mod.attr`` (hydra's ``_locate`` analog)."""
-    target = TARGET_ALIASES.get(target, target)
+    aliased = TARGET_ALIASES.get(target)
+    if aliased is None and target.split(".", 1)[0] in (
+        "pytorch_lightning", "predict_pv_yield", "nowcasting_dataloader",
+        "nowcasting_dataset", "nowcasting_utils",
+    ):
+        # a reference-framework path with no alias: fail with a pointer
+        # instead of a ModuleNotFoundError for a package that is
+        # intentionally absent here
+        raise ValueError(
+            f"reference target {target!r} has no native equivalent in "
+            "TARGET_ALIASES (config/instantiate.py); add a mapping or "
+            "point _target_ at a predict_pv_yield_tpu class"
+        )
+    target = aliased or target
     module_name, _, attr = target.rpartition(".")
     module = importlib.import_module(module_name)
     return getattr(module, attr)

@@ -44,21 +44,38 @@ class ChannelStatsAccumulator:
         with the −1 missing-data convention; any axis layout, one channel
         axis."""
         slab = np.moveaxis(slab, channel_axis, -1)
-        flat = slab.reshape(-1, slab.shape[-1]).astype(np.float64)
+        flat = slab.reshape(-1, slab.shape[-1])
         if flat.shape[0] == 0:  # empty slab: nothing to fold in
             return
-        # the notebook's decode: exactly -1 is missing (cell 7)
-        valid = flat != -1.0
-        # NaNs in an already-float archive are also missing (skipna)
-        valid &= ~np.isnan(flat)
-        flat = np.where(valid, flat, 0.0)
+        # the notebook's decode: exactly -1 is missing (cell 7); NaNs in an
+        # already-float archive are also missing (skipna)
+        valid = flat != -1
+        if flat.dtype.kind == "f":
+            valid &= ~np.isnan(flat)
+        # masked float64-ACCUMULATED reductions over the raw slab — no
+        # widened copy of the data: a full float64 + where-zeroed twin of a
+        # hundreds-of-MB int16 slab was several GB of transient allocations
+        # for an O(channels) accumulator
         self.count += valid.sum(axis=0)
-        self.sum += flat.sum(axis=0)
-        self.sumsq += (flat * flat).sum(axis=0)
-        masked = np.where(valid, flat, np.inf)
-        self.min = np.minimum(self.min, masked.min(axis=0))
-        masked = np.where(valid, flat, -np.inf)
-        self.max = np.maximum(self.max, masked.max(axis=0))
+        self.sum += np.sum(flat, axis=0, dtype=np.float64, where=valid)
+        # one widened temp (the squares must be float64 — int16² overflows);
+        # masked lanes are excluded by `where`, so no zeroed copy is needed
+        squares = np.square(flat, dtype=np.float64)
+        self.sumsq += np.sum(squares, axis=0, where=valid)
+        if flat.dtype.kind == "f":
+            lo_init, hi_init = np.inf, -np.inf
+        else:  # `initial` must be representable in the slab's dtype
+            info = np.iinfo(flat.dtype)
+            lo_init, hi_init = info.max, info.min
+        lo = np.min(flat, axis=0, initial=lo_init, where=valid).astype(np.float64)
+        hi = np.max(flat, axis=0, initial=hi_init, where=valid).astype(np.float64)
+        # all-invalid columns: the initial leaks through — neutralise it so
+        # only truly observed values move the running extrema
+        none_valid = ~valid.any(axis=0)
+        lo = np.where(none_valid, np.inf, lo)
+        hi = np.where(none_valid, -np.inf, hi)
+        self.min = np.minimum(self.min, lo)
+        self.max = np.maximum(self.max, hi)
 
     def result(
         self, channel_names: Optional[Sequence[str]] = None

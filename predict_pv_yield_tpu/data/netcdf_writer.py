@@ -116,8 +116,20 @@ def write_netcdf_variables(
 
     dim_sizes: Dict[str, int] = {}
     for name, (dims, values, _) in normalised.items():
+        if len(dims) != values.ndim:
+            # zip() truncation would silently mislabel axes and corrupt the
+            # dimension scales — fail with the variable name
+            raise ValueError(
+                f"{name}: {len(dims)} dims {dims} for a "
+                f"{values.ndim}-d array {values.shape}"
+            )
         for dim, size in zip(dims, values.shape):
-            dim_sizes.setdefault(dim, size)
+            known = dim_sizes.setdefault(dim, size)
+            if known != size:
+                raise ValueError(
+                    f"{name}: dimension {dim!r} has size {size} but another "
+                    f"variable already set it to {known}"
+                )
 
     with h5py.File(path, "w") as fh:
         fh.attrs["_NCProperties"] = np.bytes_(_NC_PROPERTIES)

@@ -114,9 +114,12 @@ def _refraction_correction(elevation_deg: np.ndarray) -> np.ndarray:
     """NOAA atmospheric refraction (degrees to add), piecewise in elevation."""
     e = np.asarray(elevation_deg, dtype=np.float64)
     te = np.tan(np.clip(e, -89.9, 89.9) * _D2R)
-    high = 58.1 / te - 0.07 / te**3 + 0.000086 / te**5
-    mid = 1735.0 + e * (-518.2 + e * (103.4 + e * (-12.79 + e * 0.711)))
-    low = -20.774 / np.tan(np.clip(e, -89.9, 89.9) * _D2R)
+    # all three branches evaluate eagerly; the masked-out lanes may divide
+    # by zero (te == 0 at the horizon) — silence like the azimuth path does
+    with np.errstate(divide="ignore", invalid="ignore"):
+        high = 58.1 / te - 0.07 / te**3 + 0.000086 / te**5
+        mid = 1735.0 + e * (-518.2 + e * (103.4 + e * (-12.79 + e * 0.711)))
+        low = -20.774 / np.tan(np.clip(e, -89.9, 89.9) * _D2R)
     corr = np.where(
         e > 85.0,
         0.0,

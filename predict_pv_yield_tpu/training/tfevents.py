@@ -46,6 +46,10 @@ def _masked_crc(data: bytes) -> int:
 
 # --- minimal protobuf encoding --------------------------------------------
 def _varint(value: int) -> bytes:
+    # protobuf encodes negative int64 as 10-byte two's complement; Python's
+    # arithmetic shift would loop forever on a negative value otherwise
+    if value < 0:
+        value &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         bits = value & 0x7F
