@@ -200,6 +200,15 @@ def _train_step_flops(batch_size: int, family: str = "conv3d") -> float | None:
     for line in result.stdout.splitlines():
         if line.startswith("FLOPS "):
             return float(line.split()[1])
+    # a crashed child (import error, OOM in the CPU lowering) must be
+    # distinguishable from the legitimate slow-host timeout above
+    import sys
+
+    print(
+        f"WARNING: FLOPs subprocess exited {result.returncode} with no "
+        f"FLOPS line; stderr tail: {result.stderr[-400:]!r}",
+        file=sys.stderr,
+    )
     return None
 
 
@@ -217,10 +226,18 @@ def _flops_main(batch_size: int, family: str = "conv3d") -> None:
 
 
 def _peak_flops() -> float:
+    import sys
+
     kind = str(jax.devices()[0].device_kind).lower().replace(" ", "").replace("-", "")
     for key, value in _PEAK_FLOPS.items():  # ordered: lite forms first
         if key in kind:
             return value
+    # an unknown device would otherwise get a confidently wrong MFU
+    print(
+        f"WARNING: unknown device kind {kind!r}; assuming v5e peak "
+        f"{_DEFAULT_PEAK:.3g} FLOP/s for the MFU estimate",
+        file=sys.stderr,
+    )
     return _DEFAULT_PEAK
 
 

@@ -153,6 +153,15 @@ def main() -> None:
                         "nwp_image_size_pixels": args.nwp_pixels,
                         "nwp_channels": list(configuration.input_data.nwp.nwp_channels),
                     },
+                    # written-out gsp geometry must match the shards: a
+                    # consumer deriving shapes from this yaml (fake filler,
+                    # batch_shapes validation) otherwise reconstructs the
+                    # default n_gsp_per_example=1 against (B, T, n) shards
+                    "gsp": {
+                        "n_gsp_per_example": int(
+                            configuration.input_data.gsp.n_gsp_per_example
+                        ),
+                    },
                 },
             },
             fh,

@@ -62,13 +62,24 @@ def main() -> None:
 
         results[f"p50_ms_b{batch_size}"] = round(float(np.percentile(times, 50)), 2)
         results[f"p99_ms_b{batch_size}"] = round(float(np.percentile(times, 99)), 2)
+        n_chips = max(len(jax.devices()), 1)
         results[f"throughput_ex_s_b{batch_size}"] = round(
             batch_size / (np.mean(times) / 1e3), 1
         )
+        if n_chips > 1:
+            # the batch shards over the mesh: report the per-chip figure
+            # too so numbers compare across rigs with different counts
+            results[f"throughput_ex_s_chip_b{batch_size}"] = round(
+                batch_size / (np.mean(times) / 1e3) / n_chips, 1
+            )
+        # full numeric batch bytes, INCLUDING the target/yield arrays a
+        # serving request would not ship — an upper bound on request size
+        # (the conv3d family consumes the whole file batch, so inputs and
+        # targets are not separable here without changing the contract)
         wire = sum(
             leaf.nbytes for leaf in jax.tree_util.tree_leaves(host)
         )
-        results[f"wire_mb_b{batch_size}"] = round(wire / 1e6, 2)
+        results[f"batch_mb_b{batch_size}"] = round(wire / 1e6, 2)
 
     results["metric"] = "conv3d_sat_nwp forward latency (HBM-resident, incl. sync)"
     print(json.dumps(results))
