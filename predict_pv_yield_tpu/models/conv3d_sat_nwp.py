@@ -23,7 +23,11 @@ from flax import linen as nn
 from predict_pv_yield_tpu.consts import N_PV_SYSTEM_IDS
 from predict_pv_yield_tpu.data.batch import as_batch
 from predict_pv_yield_tpu.models.base import BaseModel
-from predict_pv_yield_tpu.models.layers import Conv3dTower, to_channel_last
+from predict_pv_yield_tpu.models.layers import (
+    Conv3dTower,
+    embed_checked,
+    to_channel_last,
+)
 
 
 class Model(BaseModel):
@@ -122,8 +126,6 @@ class Model(BaseModel):
                 ids = x.pv.pv_system_row_number[0 : self.batch_size, 0]
             else:
                 ids = x.gsp.gsp_id[0 : self.batch_size, 0]
-            from predict_pv_yield_tpu.models.layers import embed_checked
-
             embedding = embed_checked(
                 nn.Embed(
                     num_embeddings=N_PV_SYSTEM_IDS,

@@ -66,8 +66,9 @@ def _load_library_locked() -> ctypes.CDLL:
             raise NativeUnavailable(f"could not build native library: {exc}") from exc
         log.warning("native rebuild failed (%s); using the existing library", exc)
     lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
-    for symbol in ("farneback_flow", "remap_image", "lz4_decompress_block",
-                   "blosc_unshuffle"):
+    for symbol in ("farneback_flow", "farneback_flow_sequence", "remap_image",
+                   "lz4_decompress_block", "lz4_compress_block",
+                   "blosc_shuffle", "blosc_unshuffle"):
         if not hasattr(lib, symbol):
             raise NativeUnavailable(
                 f"stale native library: missing symbol {symbol} (run "
@@ -165,9 +166,69 @@ def _as_byte_ptr(array: np.ndarray):
     return array.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _lz4_decompress_py(src: bytes, out_size: int) -> bytes:
+    """Pure-Python LZ4 block decode — the documented fallback when native
+    kernels are unavailable/disabled. Slow but format-complete."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]; i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                extra = src[i]; i += 1
+                lit += extra
+                if extra != 255:
+                    break
+        out += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break  # final sequence carries literals only
+        offset = src[i] | (src[i + 1] << 8); i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("malformed LZ4 block: bad match offset")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                extra = src[i]; i += 1
+                mlen += extra
+                if extra != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        for _ in range(mlen):  # byte-serial: overlapping copies are legal
+            out.append(out[start])
+            start += 1
+    if len(out) != out_size:
+        raise ValueError(
+            f"malformed LZ4 block: wrote {len(out)}, expected {out_size}"
+        )
+    return bytes(out)
+
+
+def _lz4_compress_py(payload: bytes) -> bytes:
+    """All-literals LZ4 stream (valid, never smaller than the input) — the
+    blosc caller falls back to a memcpy frame when compression doesn't pay,
+    so correctness is preserved without a Python matcher."""
+    out = bytearray()
+    lit = len(payload)
+    out.append((15 if lit >= 15 else lit) << 4)
+    if lit >= 15:
+        rest = lit - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += payload
+    return bytes(out)
+
+
 def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
-    """Decompress one raw LZ4 block (native/lz4.cpp)."""
-    lib = load_library()
+    """Decompress one raw LZ4 block (native/lz4.cpp; Python fallback)."""
+    try:
+        lib = load_library()
+    except NativeUnavailable:
+        return _lz4_decompress_py(data, decompressed_size)
     src = np.frombuffer(data, dtype=np.uint8)
     dst = np.empty(decompressed_size, dtype=np.uint8)
     written = lib.lz4_decompress_block(
@@ -181,8 +242,12 @@ def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
 
 
 def lz4_compress(data: bytes) -> bytes:
-    """Compress one raw LZ4 block (greedy matcher, format-conformant)."""
-    lib = load_library()
+    """Compress one raw LZ4 block (greedy matcher, format-conformant;
+    all-literals Python fallback)."""
+    try:
+        lib = load_library()
+    except NativeUnavailable:
+        return _lz4_compress_py(data)
     src = np.frombuffer(data, dtype=np.uint8)
     cap = len(src) + len(src) // 255 + 32
     dst = np.empty(cap, dtype=np.uint8)
@@ -195,7 +260,13 @@ def lz4_compress(data: bytes) -> bytes:
 def byte_unshuffle(data: bytes, typesize: int) -> bytes:
     """Inverse of blosc's byte shuffle over complete elements; the tail
     (len % typesize bytes) is copied through unchanged, as c-blosc does."""
-    lib = load_library()
+    try:
+        lib = load_library()
+    except NativeUnavailable:  # numpy transpose is the same permutation
+        n = len(data) - len(data) % typesize
+        src = np.frombuffer(data, dtype=np.uint8)
+        body = src[:n].reshape(typesize, n // typesize).T.reshape(-1)
+        return body.tobytes() + src[n:].tobytes()
     n_shuffled = len(data) - len(data) % typesize
     src = np.frombuffer(data, dtype=np.uint8)
     dst = np.empty(len(data), dtype=np.uint8)
@@ -205,7 +276,13 @@ def byte_unshuffle(data: bytes, typesize: int) -> bytes:
 
 
 def byte_shuffle(data: bytes, typesize: int) -> bytes:
-    lib = load_library()
+    try:
+        lib = load_library()
+    except NativeUnavailable:
+        n = len(data) - len(data) % typesize
+        src = np.frombuffer(data, dtype=np.uint8)
+        body = src[:n].reshape(n // typesize, typesize).T.reshape(-1)
+        return body.tobytes() + src[n:].tobytes()
     n_shuffled = len(data) - len(data) % typesize
     src = np.frombuffer(data, dtype=np.uint8)
     dst = np.empty(len(data), dtype=np.uint8)

@@ -193,27 +193,5 @@ def _sep_blur_xla_batched(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarra
 
 
 def _sep_blur_xla(fields: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Reference path: two grouped convolutions."""
-    radius = len(kernel) // 2
-    channels = fields.shape[0]
-    k = jnp.asarray(kernel)
-    padded = jnp.pad(
-        fields, ((0, 0), (radius, radius), (radius, radius)), mode="edge"
-    )
-    out = jax.lax.conv_general_dilated(
-        padded[None],
-        jnp.broadcast_to(k[None, None, None, :], (channels, 1, 1, k.shape[0])),
-        (1, 1),
-        [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=channels,
-    )
-    out = jax.lax.conv_general_dilated(
-        out,
-        jnp.broadcast_to(k[None, None, :, None], (channels, 1, k.shape[0], 1)),
-        (1, 1),
-        [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=channels,
-    )
-    return out[0]
+    """Reference path: the batched form on a singleton batch."""
+    return _sep_blur_xla_batched(fields[None], kernel)[0]

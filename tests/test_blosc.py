@@ -185,3 +185,30 @@ def test_blosc_frame_fuzz_rejects_garbage():
             assert len(out) == len(payload)
         except Exception as exc:  # noqa: BLE001
             assert not isinstance(exc, (SystemError, MemoryError)), exc
+
+
+def test_python_lz4_fallback_matches_native():
+    """PREDICT_PV_YIELD_TPU_NO_NATIVE promises every capability still works;
+    the pure-Python LZ4 decode must accept native-compressed blocks exactly,
+    and the all-literals Python compressor must round-trip through the
+    native decoder (round-3 review: the flag previously broke blosc-lz4)."""
+    from predict_pv_yield_tpu import native
+
+    payload = (b"solar pv yield " * 300) + bytes(range(256)) * 4
+    try:
+        compressed = native.lz4_compress(payload)
+        native_ok = True
+    except native.NativeUnavailable:
+        native_ok = False
+    if native_ok:
+        assert native._lz4_decompress_py(compressed, len(payload)) == payload
+        literals = native._lz4_compress_py(payload)
+        assert native.lz4_decompress(literals, len(payload)) == payload
+    # the numpy shuffle fallbacks are the same permutation as the C kernels
+    data = bytes(range(250)) * 5
+    n = len(data) - len(data) % 4
+    src = __import__("numpy").frombuffer(data, dtype="u1")
+    fwd = src[:n].reshape(n // 4, 4).T.reshape(-1).tobytes() + data[n:]
+    if native_ok:
+        assert native.byte_shuffle(data, 4) == fwd
+        assert native.byte_unshuffle(fwd, 4) == data
