@@ -21,7 +21,7 @@ zarr-streaming ``Example`` dict; the fields map 1:1 — sat coords via
 
 from __future__ import annotations
 
-from typing import ClassVar, Optional
+from typing import ClassVar
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,15 +35,17 @@ from predict_pv_yield_tpu.consts import (
 )
 from predict_pv_yield_tpu.data.batch import Batch, as_batch
 from predict_pv_yield_tpu.models.base import BaseModel
-from predict_pv_yield_tpu.models.layers import StackedGRU
+from predict_pv_yield_tpu.models.layers import StackedGRU, embed_checked
 
 
 def _extra_channels(batch: Batch, batch_size: int, height: int, width: int, dtype):
     """Centre marker, OSGB coordinate planes, pixel ramps — the five
     hand-built conv input channels (reference ``experiments/001...py:278-301``)."""
     centre = jnp.zeros((batch_size, height, width), dtype)
-    half = width // 2
-    centre = centre.at[:, half - 2 : half + 2, half - 2 : half + 2].set(1.0)
+    half_h, half_w = height // 2, width // 2
+    centre = centre.at[
+        :, half_h - 2 : half_h + 2, half_w - 2 : half_w + 2
+    ].set(1.0)
 
     if batch.satellite.x is not None:
         x_coords = (batch.satellite.x.astype(dtype) - SAT_X_MEAN) / SAT_X_STD
@@ -56,9 +58,16 @@ def _extra_channels(batch: Batch, batch_size: int, height: int, width: int, dtyp
     else:
         y_plane = jnp.zeros((batch_size, height, width), dtype)
 
-    pixel_range = (jnp.arange(width, dtype=dtype) - 64.0) / 37.0
-    pixel_x = jnp.broadcast_to(pixel_range[None, None, :], (batch_size, height, width))
-    pixel_y = jnp.broadcast_to(pixel_range[None, :, None], (batch_size, height, width))
+    # per-axis ramps: a width-length ramp along the height axis would crash
+    # (or silently mislabel) any non-square crop
+    pixel_range_w = (jnp.arange(width, dtype=dtype) - 64.0) / 37.0
+    pixel_range_h = (jnp.arange(height, dtype=dtype) - 64.0) / 37.0
+    pixel_x = jnp.broadcast_to(
+        pixel_range_w[None, None, :], (batch_size, height, width)
+    )
+    pixel_y = jnp.broadcast_to(
+        pixel_range_h[None, :, None], (batch_size, height, width)
+    )
 
     return jnp.stack([centre, x_plane, y_plane, pixel_x, pixel_y], axis=-1)
 
@@ -137,8 +146,6 @@ class CNNConcatTimesteps(BaseModel):
         parts.append(datetime_features.reshape(batch_size, -1))
 
         if self.embedding_dim:
-            from predict_pv_yield_tpu.models.layers import embed_checked
-
             ids = x.pv.pv_system_row_number[:batch_size, 0].astype(jnp.int32)
             parts.append(
                 embed_checked(
@@ -172,10 +179,6 @@ class CNNRNN(BaseModel):
     embedding_dim: int = 16
     include_nwp: bool = True
 
-    @property
-    def total_seq_length(self) -> int:
-        return self.seq_lens.seq_len_5
-
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
         x = as_batch(x)
@@ -201,8 +204,6 @@ class CNNRNN(BaseModel):
         out = nn.relu(nn.Dense(256, dtype=self.dtype, name="fc1")(out))
 
         if self.embedding_dim:
-            from predict_pv_yield_tpu.models.layers import embed_checked
-
             ids = jnp.repeat(
                 x.pv.pv_system_row_number[:batch_size, 0].astype(jnp.int32), seq_len
             )

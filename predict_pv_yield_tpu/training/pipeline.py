@@ -78,9 +78,18 @@ def train(config: Dict[str, Any]) -> Optional[float]:
     )
 
     log.info("Starting training!")
-    validate_only = config.get("validate_only")
-    if isinstance(validate_only, str):
-        validate_only = validate_only.strip().lower() not in ("", "0", "false", "none")
+    # reference semantics are KEY PRESENCE (`if 'validate_only' in config:`,
+    # training.py:80-81) — any value, even a falsy one, skips training; warn
+    # when the value looks like an attempt to opt back in
+    validate_only = "validate_only" in config
+    if validate_only and str(config.get("validate_only")).strip().lower() in (
+        "0", "false", "none", ""
+    ):
+        log.warning(
+            "validate_only is PRESENCE-based (reference training.py:80-81): "
+            "remove the key (~validate_only) to train; its falsy value does "
+            "not re-enable fitting"
+        )
     if validate_only:
         trainer.validate(model=model, datamodule=datamodule)
     else:

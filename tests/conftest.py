@@ -61,8 +61,12 @@ def build_dataset_configuration(
 
     ``defaults_reach_sources``: whether the history/forecast minutes are set
     before ``set_all_to_defaults`` (so every data source inherits them) or
-    after (sources keep their own defaults — the perceiver fixture's 120-min
-    forecast applies to the target series only, like the reference's)."""
+    after — in which case every SOURCE keeps the built-in 30/60-minute
+    windows and the requested minutes land only in the dataset-level
+    ``default_*_minutes`` metadata, which nothing downstream of an
+    already-filled configuration reads (``batch_shapes`` consumes source
+    minutes). The perceiver fixture relies on this: its dataset stays
+    30/60 regardless of the 120-minute request, like the reference's."""
     cfg = Configuration()
     cfg.process.batch_size = batch_size
     if defaults_reach_sources:
