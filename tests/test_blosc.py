@@ -188,27 +188,51 @@ def test_blosc_frame_fuzz_rejects_garbage():
 
 
 def test_python_lz4_fallback_matches_native():
-    """PREDICT_PV_YIELD_TPU_NO_NATIVE promises every capability still works;
-    the pure-Python LZ4 decode must accept native-compressed blocks exactly,
-    and the all-literals Python compressor must round-trip through the
-    native decoder (round-3 review: the flag previously broke blosc-lz4)."""
+    """PREDICT_PV_YIELD_TPU_NO_NATIVE promises every capability still works.
+    The pure-Python decoder is exercised on MATCH-bearing streams (both a
+    hand-built vector and, when native is present, a native-compressed
+    block), and the numpy shuffle fallback is forced via monkeypatching and
+    checked against a hand-computed vector — not against itself."""
+    import numpy as np
+
     from predict_pv_yield_tpu import native
 
+    # hand-built LZ4 vectors: the match/offset decode path must work even
+    # where the native library never existed
+    # "abcdabcd": 4 literals + match(offset 4, len 4) + empty end token
+    assert native._lz4_decompress_py(b"\x40abcd\x04\x00\x00", 8) == b"abcdabcd"
+    # "a"*10: 1 literal + OVERLAPPING match(offset 1, len 9)
+    assert native._lz4_decompress_py(b"\x15a\x01\x00\x00", 10) == b"a" * 10
     payload = (b"solar pv yield " * 300) + bytes(range(256)) * 4
+    literals = native._lz4_compress_py(payload)
+    assert native._lz4_decompress_py(literals, len(payload)) == payload
+
     try:
         compressed = native.lz4_compress(payload)
-        native_ok = True
+        native_ok = native.lz4_decompress(compressed, len(payload)) == payload
     except native.NativeUnavailable:
         native_ok = False
     if native_ok:
+        # the Python decoder accepts real native-compressed blocks exactly
         assert native._lz4_decompress_py(compressed, len(payload)) == payload
-        literals = native._lz4_compress_py(payload)
         assert native.lz4_decompress(literals, len(payload)) == payload
-    # the numpy shuffle fallbacks are the same permutation as the C kernels
-    data = bytes(range(250)) * 5
-    n = len(data) - len(data) % 4
-    src = __import__("numpy").frombuffer(data, dtype="u1")
-    fwd = src[:n].reshape(n // 4, 4).T.reshape(-1).tobytes() + data[n:]
-    if native_ok:
-        assert native.byte_shuffle(data, 4) == fwd
-        assert native.byte_unshuffle(fwd, 4) == data
+
+
+def test_numpy_shuffle_fallback_forced(monkeypatch):
+    """Force the no-native branch and hold the numpy shuffle fallback to a
+    hand-computed byte permutation (c-blosc shuffle semantics incl. the
+    unshuffled tail)."""
+    from predict_pv_yield_tpu import native
+
+    def unavailable():
+        raise native.NativeUnavailable("forced by test")
+
+    monkeypatch.setattr(native, "load_library", unavailable)
+    data = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])  # 2 elements of 4 + tail 2
+    expected = bytes([1, 5, 2, 6, 3, 7, 4, 8, 9, 10])
+    assert native.byte_shuffle(data, 4) == expected
+    assert native.byte_unshuffle(expected, 4) == data
+    # lz4 wrappers also fall back
+    assert native.lz4_decompress(b"\x40abcd\x04\x00\x00", 8) == b"abcdabcd"
+    frame = native.lz4_compress(b"xyz")
+    assert native.lz4_decompress(frame, 3) == b"xyz"

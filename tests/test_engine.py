@@ -200,6 +200,10 @@ def test_fractional_limits_grad_norm_log_every(sharded_configuration, tmp_cwd):
     train_steps = [r["step"] for r in logger._rows if "NMAE/Train" in r]
     assert train_steps == [1, 3]
     assert any("NMAE/Train_epoch" in r for r in logger._rows)
+    # limit_val_batches=0.25 of the 8-batch val loader -> exactly 2 val
+    # batches ran (val per-step rows are never thinned)
+    val_rows = [r for r in logger._rows if "NMAE/Validation" in r]
+    assert len(val_rows) == 2, len(val_rows)
 
     # a fraction on a length-less loader must fail loudly, not silently run
     with pytest.raises(ValueError, match="fractional"):
@@ -222,7 +226,7 @@ def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
             val_steps.append(trainer.global_step)
             trainer.should_stop = True  # fires at the first val already
 
-    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ckpt"))
+    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ckpt"), save_top_k=2)
     trainer = Trainer(
         max_epochs=3, profiler=None, val_check_interval=0.5,
         min_steps=12, callbacks=[RecordVal(), ckpt],
@@ -234,10 +238,13 @@ def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
     # (Lightning epoch-loop `done` semantics) — the epoch does not run out.
     assert val_steps == [4, 8, 12]
     assert trainer.global_step == 12
-    # two same-epoch validations hit the same checkpoint filename; the
-    # collision must be versioned, never double-listed
+    # two same-epoch validations hit the same checkpoint filename; with
+    # top-2 both must be kept under DISTINCT (versioned) names
     assert ckpt.best_model_path and os.path.exists(ckpt.best_model_path)
-    assert len(ckpt.best_k) == len({p for _, p in ckpt.best_k})
+    assert len(ckpt.best_k) == 2
+    assert len({p for _, p in ckpt.best_k}) == 2
+    for _, path in ckpt.best_k:
+        assert os.path.exists(path), path
 
     # a float > 1 is a misconfiguration, not "every N batches"
     with pytest.raises(ValueError, match="val_check_interval"):
@@ -349,7 +356,11 @@ def test_fast_dev_run_no_side_effects(sharded_configuration, tmp_cwd):
     config = load_config("tests/configs/model/conv3d.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=4)
     ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ck"))
+    # pre-armed: any validation score counts as "no improvement", so the
+    # callback WOULD stop if it ran — the assertion below is only satisfied
+    # by the fast_dev_run gate, not by the score happening to improve
     stopper = EarlyStopping(patience=1)
+    stopper.best = -1e9
     trainer = Trainer(
         max_epochs=5, profiler=None, fast_dev_run=True, auto_lr_find=True,
         callbacks=[ckpt, stopper],
@@ -432,11 +443,25 @@ def test_overfit_batches(sharded_configuration, tmp_cwd):
     SAME cached batches — even with no val loader passed (Lightning
     semantics; fraction 0.25 of the 8-batch epoch -> 2 batches)."""
     config = load_config("tests/configs/model/conv3d.yaml")
-    ds = FakeDataset(configuration=sharded_configuration, length=8)
+    inner = FakeDataset(configuration=sharded_configuration, length=8)
+    accesses = []
+
+    class CountingDataset:
+        def __len__(self):
+            return len(inner)
+
+        def __getitem__(self, i):
+            accesses.append(i)
+            return inner[i]
+
     trainer = Trainer(max_epochs=2, profiler=None, overfit_batches=0.25)
-    metrics = trainer.fit(Conv3d(**config), train_dataloaders=ds)
+    metrics = trainer.fit(Conv3d(**config), train_dataloaders=CountingDataset())
     assert trainer.global_step == 4  # 2 cached batches x 2 epochs
     assert "NMAE/Validation_epoch" in metrics
+    # the dataset was read exactly once per cached batch: every later train
+    # epoch AND every validation pass reused the SAME cached batches
+    # (Lightning overfit semantics), never re-pulling from the source
+    assert sorted(accesses) == [0, 1], accesses
 
 
 def test_steps_per_execution_respects_limit(sharded_configuration, tmp_cwd):

@@ -169,6 +169,18 @@ class TestZarrStreamDataModule:
         assert np.asarray(b.gsp.gsp_yield).shape == (2, 3, 1)
         assert (np.asarray(b.sun.sun_elevation_angle) > 0).all()  # June day
         assert b.nwp.data is not None  # synthetic filler keeps contracts
+        # the imagery is the ARCHIVE's pixels, not synthetic filler: map the
+        # batch's datetime index back to archive frame numbers and compare
+        # the centre crop (median coord -> pixel 5, half=4 -> rows/cols 1..9)
+        t0 = np.datetime64("2020-06-01T08:00", "ns").astype(np.int64)
+        step = np.timedelta64(5, "m").astype("timedelta64[ns]").astype(np.int64)
+        times_idx = (np.asarray(b.satellite.datetime_index)[0] - t0) // step
+        rng_check = np.random.default_rng(0)
+        frames = rng_check.integers(-1, 1023, size=(120, 12, 12)).astype(np.int16)
+        expected = frames[times_idx.astype(int), 1:9, 1:9].astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(b.satellite.data)[0, 0], expected
+        )
 
     def test_deterministic_epochs_and_heldout_val_tail(self, zarr_store):
         from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule

@@ -118,6 +118,7 @@ def test_run_cli_zarr_stream_training(tmp_path, monkeypatch):
     run_dirs = sorted((tmp_path / "logs" / "runs").rglob("results_epoch_0.csv"))
     assert run_dirs, "validation-results CSV not written"
     results = pd.read_csv(run_dirs[0])
+    assert len(results) > 0  # vacuous subset checks must not pass on empty
     # the STREAMED targets, not synthetic filler: the PVLive ids/capacities
     assert set(results["gsp_id"]) <= {101, 102}
     assert set(np.round(results["capacity_mwp"], 3)) <= {120.0, 340.0}

@@ -184,13 +184,14 @@ class TestPVDataSource:
 
         times = _grid("2020-06-01T10:00", 8)
         rows = []
-        rng = np.random.default_rng(0)
-        for t in times:
-            for ss in (1001, 1002):
-                rows.append(
-                    dict(timestamp=str(t), ss_id=ss,
-                         instantaneous_power_w=float(rng.uniform(0, 3000)))
-                )
+        # deterministic per-system watt ramps so the per-system
+        # normalisation is checkable exactly (a cross-wired capacity would
+        # change the VALUES, not just their range)
+        for ti, t in enumerate(times):
+            rows.append(dict(timestamp=str(t), ss_id=1001,
+                             instantaneous_power_w=float(400 * ti)))
+            rows.append(dict(timestamp=str(t), ss_id=1002,
+                             instantaneous_power_w=float(600 * ti)))
         power_csv = tmp_path / "power.csv"
         pd.DataFrame(rows).to_csv(power_csv, index=False)
         meta_csv = tmp_path / "meta.csv"
@@ -203,16 +204,22 @@ class TestPVDataSource:
         ).to_csv(meta_csv, index=False)
         src = PVDataSource.from_passiv_csv(str(power_csv), str(meta_csv))
         assert list(src.system_ids) == [1001, 1002]  # 9999 has no power data
-        # yields = W / (kWp * 1000), in [0, ~0.75] for these draws
-        assert src.power.max() <= 3000.0 / 3000.0
+        # exact per-system normalisation: 400*ti/4000 and 600*ti/3000
+        np.testing.assert_allclose(src.power[:, 0], 0.1 * np.arange(8))
+        np.testing.assert_allclose(src.power[:, 1], 0.2 * np.arange(8))
         s = src.get_chunk(times[0], times[7])
         assert s["pv_yield"].shape == (8,)
         # locations converted via the first-party geodesy: London easting
-        # ~530k, Cambridge ~545k — nearest-system selection must work
-        s_near = src.get_chunk(
-            times[0], times[7], centre=(float(src.x[1]), float(src.y[1]))
-        )
-        assert s_near["pv_system_id"] == 1002
+        # ~530k, Cambridge ~545k; a centre strictly NEARER each system (not
+        # on top of it) must select that system
+        near_1001 = (float(src.x[0]) + 5_000.0, float(src.y[0]) - 5_000.0)
+        assert src.get_chunk(times[0], times[7], centre=near_1001)[
+            "pv_system_id"
+        ] == 1001
+        near_1002 = (float(src.x[1]) - 5_000.0, float(src.y[1]) + 5_000.0)
+        assert src.get_chunk(times[0], times[7], centre=near_1002)[
+            "pv_system_id"
+        ] == 1002
         assert 500_000 < src.x[0] < 560_000 and 150_000 < src.y[0] < 200_000
 
     def test_from_passiv_csv_generation_wh_is_energy_not_power(self, tmp_path):
