@@ -179,6 +179,87 @@ def test_conv3d_one_training_step_parity():
         )
 
 
+def test_conv3d_multi_step_training_parity():
+    """Trajectory gate: eight NMAE-backward + Adam(5e-4) steps on eight
+    DISTINCT batches must track the torch reference step-for-step — this
+    covers what the one-step gate cannot: Adam's bias correction across t,
+    first/second-moment accumulation, and compounding float32 drift
+    (reference base_model.py:146-153,255-257)."""
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    model = Model(
+        include_pv_yield=True,
+        include_nwp=False,
+        forecast_minutes=30,
+        history_minutes=60,
+        number_of_conv3d_layers=2,
+        conv3d_channels=8,
+        image_size_pixels=16,
+        number_sat_channels=4,
+        fc1_output_features=16,
+        fc2_output_features=16,
+        fc3_output_features=16,
+        output_variable="pv_yield",
+    )
+    import copy
+
+    torch.manual_seed(3)
+    torch_model = TorchConv3d(model)
+    # deep-copy: state_dict() tensors alias the live parameters, which the
+    # in-place Adam steps below would otherwise mutate under the conversion
+    variables = convert_conv3d(copy.deepcopy(torch_model.state_dict()), model)
+
+    n_steps = 8
+    rng = np.random.default_rng(7)
+    seq = model.seq_lens.seq_len_5
+    sats = [rng.standard_normal((2, 4, seq, 16, 16)).astype(np.float32)
+            for _ in range(n_steps)]
+    pvs = [rng.uniform(size=(2, seq, 128)).astype(np.float32)
+           for _ in range(n_steps)]
+
+    # --- torch trajectory ------------------------------------------------
+    optimizer = torch.optim.Adam(torch_model.parameters(), lr=5e-4)
+    torch_losses = []
+    for sat, pv in zip(sats, pvs):
+        sat_t, pv_t = torch.from_numpy(sat), torch.from_numpy(pv)
+        y_hat_t = torch_model(sat_t, pv_t)
+        loss_t = (y_hat_t - pv_t[:, -model.forecast_len:, 0]).abs().mean()
+        optimizer.zero_grad()
+        loss_t.backward()
+        optimizer.step()
+        torch_losses.append(float(loss_t.detach()))
+    params_after_torch = convert_conv3d(torch_model.state_dict(), model)
+
+    # --- native trajectory: ONE compiled step reused for every batch -----
+    batches = [
+        Batch(
+            satellite=SatelliteBatch(data=jnp.asarray(sat)),
+            pv=PVBatch(pv_yield=jnp.asarray(pv)),
+        )
+        for sat, pv in zip(sats, pvs)
+    ]
+    trainer = Trainer(max_epochs=1, profiler=None)
+    trainer.setup(model, batches[0])
+    trainer.state = trainer.state.replace(params=variables)
+    state = trainer.state
+    native_losses = []
+    for batch in batches:
+        state, metrics = trainer._compiled["train"](
+            state, trainer._to_device(batch)
+        )
+        native_losses.append(float(metrics["NMAE"]))
+
+    # per-step losses: each step sees the params produced by all prior steps,
+    # so agreement here is agreement of the whole trajectory
+    np.testing.assert_allclose(native_losses, torch_losses, rtol=0, atol=2e-5)
+    flat_torch = dict(jax.tree_util.tree_leaves_with_path(params_after_torch))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_torch[path]),
+            rtol=0, atol=2e-4, err_msg=str(path),
+        )
+
+
 def test_export_conv3d_roundtrip_and_torch_parity():
     """Native→torch export is the exact inverse of the import AND the torch
     model loaded with exported weights matches the native forward."""
