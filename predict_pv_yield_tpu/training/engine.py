@@ -34,7 +34,7 @@ import logging
 import time
 from collections import defaultdict
 from functools import partial
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -135,7 +135,7 @@ class Trainer:
         track_grad_norm: float = -1,
         log_every_n_steps: int = 1,
         learning_rate: float = 5e-4,
-        auto_lr_find: bool = False,
+        auto_lr_find: Union[bool, Dict[str, Any]] = False,
         weights_summary: Optional[str] = "top",
         devices: Optional[List] = None,
         terminate_on_nan: bool = False,
@@ -204,8 +204,13 @@ class Trainer:
         self.learning_rate = learning_rate
         #: run the LR range finder before fitting and adopt its suggestion
         #: (Lightning ``auto_lr_find``); results land in
-        #: :attr:`lr_find_results` for inspection/plotting.
+        #: :attr:`lr_find_results` for inspection/plotting. A dict enables it
+        #: AND overrides :meth:`lr_find` keywords (e.g.
+        #: ``auto_lr_find={"num_training": 20}``).
         self.auto_lr_find = bool(auto_lr_find)
+        self._auto_lr_find_kwargs: Dict[str, Any] = (
+            dict(auto_lr_find) if isinstance(auto_lr_find, dict) else {}
+        )
         self.lr_find_results: Optional[Dict[str, Any]] = None
         #: ``"top"`` logs per-top-level-module parameter counts at setup,
         #: ``"full"`` every parameter array, ``None`` disables (Lightning
@@ -791,7 +796,8 @@ class Trainer:
         out: Dict[str, Any] = {}
         if self.auto_lr_find:
             self.learning_rate = self.lr_find(
-                model, datamodule, train_dataloaders, **lr_find_kwargs
+                model, datamodule, train_dataloaders,
+                **{**self._auto_lr_find_kwargs, **lr_find_kwargs},
             )
             out["lr_find"] = self.lr_find_results
         return out
@@ -813,7 +819,8 @@ class Trainer:
             and self.lr_find_results is None  # tune() may have run already
         ):
             self.learning_rate = self.lr_find(
-                model, train_dataloaders=train_loader
+                model, train_dataloaders=train_loader,
+                **self._auto_lr_find_kwargs,
             )
             log.info(
                 "auto_lr_find: adopting learning_rate=%.3e", self.learning_rate

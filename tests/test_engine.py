@@ -44,7 +44,7 @@ def test_mesh_uses_all_devices(sharded_configuration):
 
 
 def test_sharded_training_step(sharded_configuration, tmp_cwd):
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     model = Conv3d(**config)
     ds = FakeDataset(configuration=sharded_configuration, length=2)
     trainer = Trainer(max_epochs=1, profiler=None)
@@ -82,7 +82,7 @@ def test_early_stopping(configuration, tmp_cwd):
 
 
 def test_bf16_precision(configuration_conv3d, tmp_cwd):
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     model = Conv3d(**config)
     ds = FakeDataset(configuration=configuration_conv3d, length=1)
     trainer = Trainer(max_epochs=1, profiler=None, precision=16)
@@ -91,7 +91,7 @@ def test_bf16_precision(configuration_conv3d, tmp_cwd):
 
 
 def test_grad_accumulation(configuration_conv3d, tmp_cwd):
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     model = Conv3d(**config)
     ds = FakeDataset(configuration=configuration_conv3d, length=2)
     trainer = Trainer(max_epochs=1, profiler=None, accumulate_grad_batches=2)
@@ -102,7 +102,7 @@ def test_grad_accumulation(configuration_conv3d, tmp_cwd):
 def test_steps_per_execution_matches_single_step(sharded_configuration, tmp_cwd):
     """k train steps fused into one dispatch (lax.scan) must be numerically
     equivalent to k separate dispatches, including a leftover short group."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=5)
 
     def run(steps_per_execution):
@@ -132,7 +132,7 @@ def test_steps_per_execution_matches_single_step(sharded_configuration, tmp_cwd)
 def test_lightning_parity_knobs(sharded_configuration, tmp_cwd):
     """max_steps, check_val_every_n_epoch, num_sanity_val_steps and
     gradient_clip_val have real semantics (not Lightning-compat no-ops)."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=4)
 
     # max_steps stops mid-epoch; sanity check doesn't advance global_step
@@ -181,7 +181,7 @@ def test_fractional_limits_grad_norm_log_every(sharded_configuration, tmp_cwd):
     configs/trainer/all_params.yaml:24-26 semantics), track_grad_norm logs
     the in-step global grad norm, and log_every_n_steps thins per-step rows
     without touching the epoch aggregates."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=8)
     logger = CSVLogger(save_dir=str(tmp_cwd))
     trainer = Trainer(
@@ -214,7 +214,7 @@ def test_val_check_interval_and_min_steps(sharded_configuration, tmp_cwd):
     """val_check_interval=0.5 on an 8-batch epoch validates mid-epoch at
     batch 4 and at the epoch boundary (not twice there); min_steps holds off
     an early stop signalled from the very first validation."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=8)
     val_steps = []
 
@@ -256,7 +256,7 @@ def test_val_interval_composes_with_limits_and_epoch_gate(
 ):
     """The val_check_interval fraction resolves against the LIMITED epoch
     length, and check_val_every_n_epoch gates mid-epoch passes too."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=8)
     val_steps = []
 
@@ -331,7 +331,7 @@ def test_reload_keeps_explicit_loaders(sharded_configuration, tmp_cwd):
     """reload_dataloaders_every_epoch refreshes only datamodule-sourced
     loaders; an explicitly passed train loader survives the reload even
     when the datamodule cannot provide one."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     val_calls = []
 
     class ValOnlyDM:
@@ -353,7 +353,7 @@ def test_reload_keeps_explicit_loaders(sharded_configuration, tmp_cwd):
 def test_fast_dev_run_no_side_effects(sharded_configuration, tmp_cwd):
     """fast_dev_run = 1 train + 1 val batch with checkpointing, early
     stopping and tuners disabled (Lightning dev-run contract)."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=4)
     ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ck"))
     # pre-armed: any validation score counts as "no improvement", so the
@@ -379,7 +379,7 @@ def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
     weights_summary logs the per-module parameter table at setup."""
     import logging
 
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=4)
 
     trainer = Trainer(max_epochs=1, profiler=None)
@@ -397,8 +397,10 @@ def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
     # sweep state was discarded
     assert trainer.state is None and trainer.global_step == 0
 
+    # dict form: enables the tuner AND bounds the sweep (suite cost)
     auto = Trainer(
-        max_epochs=1, profiler=None, auto_lr_find=True, limit_train_batches=1,
+        max_epochs=1, profiler=None, auto_lr_find={"num_training": 8},
+        limit_train_batches=1,
     )
     with caplog.at_level(logging.INFO):
         auto.fit(Conv3d(**config), train_dataloaders=ds)
@@ -419,7 +421,7 @@ def test_lr_find_and_auto_lr_find(sharded_configuration, tmp_cwd, caplog):
 
 
 def test_reload_dataloaders_every_epoch(sharded_configuration, tmp_cwd):
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     calls = []
 
     class DM:
@@ -442,7 +444,7 @@ def test_overfit_batches(sharded_configuration, tmp_cwd):
     """overfit_batches pins the first N train batches and validates on the
     SAME cached batches — even with no val loader passed (Lightning
     semantics; fraction 0.25 of the 8-batch epoch -> 2 batches)."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     inner = FakeDataset(configuration=sharded_configuration, length=8)
     accesses = []
 
@@ -467,7 +469,7 @@ def test_overfit_batches(sharded_configuration, tmp_cwd):
 def test_steps_per_execution_respects_limit(sharded_configuration, tmp_cwd):
     """limit_train_batches is exact in fused-dispatch mode: a limit that is
     not a multiple of k runs the remainder as single steps."""
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=8)
     trainer = Trainer(
         max_epochs=1, profiler=None, steps_per_execution=2,
@@ -481,6 +483,8 @@ def test_training_converges_on_fixed_batch(sharded_configuration):
     """Overfit sanity gate: repeating ONE fixed batch must drive the NMAE
     training loss down substantially — the full jitted
     forward→grad→Adam(5e-4) path actually learns, not just runs."""
+    # the full 4-layer test model: the learning gate should exercise real
+    # depth, and the tiny engine-test model converges too slowly to gate on
     config = load_config("tests/configs/model/conv3d.yaml")
     batch = fake_batch(sharded_configuration, np.random.default_rng(0))
     trainer = Trainer(max_epochs=1, profiler=None)

@@ -33,7 +33,7 @@ def _run_predict(monkeypatch, out_path, checkpoint=None, n_batches=1):
     argv = [
         "predict.py",
         "--model", "conv3d",
-        "--model-config", os.path.join(REPO, "tests/configs/model/conv3d.yaml"),
+        "--model-config", os.path.join(REPO, "tests/configs/model/conv3d_tiny.yaml"),
         "--n-batches", str(n_batches),
         "--out", str(out_path),
     ]
@@ -48,7 +48,7 @@ def test_predict_tool_writes_forecasts_and_loads_checkpoints(
     sharded_configuration, tmp_path, monkeypatch, tmp_cwd
 ):
     # train one tiny epoch to produce a real orbax checkpoint
-    config = load_config("tests/configs/model/conv3d.yaml")
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
     ds = FakeDataset(configuration=sharded_configuration, length=2)
     ckpt = ModelCheckpoint(dirpath=str(tmp_path / "ckpt"))
     trainer = Trainer(max_epochs=1, profiler=None, callbacks=[ckpt])
