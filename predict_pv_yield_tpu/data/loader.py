@@ -275,9 +275,10 @@ class ZarrStreamDataModule:
     the archive through the nb28 DataSource pipeline (``data/sources.py``) —
     the native analog of experiment 001's ``NowcastingDataModule`` streaming
     from zarr (reference ``experiments/001…py:66-89``). Satellite windows,
-    computed solar angles and (with ``gsp_csv``) real 30-minute GSP targets
-    are real; groups no source covers keep deterministic synthetic filler so
-    every model's input contract holds. The archive's time-axis tail
+    computed solar angles, (with ``gsp_csv``) real 30-minute GSP targets and
+    (with ``nwp_zarr_path``) real NWP grids — freshest-run-per-target
+    selection, centre-cropped — are real; groups no source covers keep
+    deterministic synthetic filler so every model's input contract holds. The archive's time-axis tail
     (``test_fraction``) is held out for val/test — train and test windows
     never overlap.
     """
@@ -287,6 +288,12 @@ class ZarrStreamDataModule:
         zarr_path: str,
         zarr_array: str = "data",
         zarr_time: str = "time",
+        nwp_zarr_path: Optional[str] = None,
+        nwp_zarr_array: str = "data",
+        nwp_init_time: str = "init_time",
+        nwp_step: str = "step",
+        nwp_dims: str = "init_time,variable,step,y,x",
+        nwp_image_size_pixels: int = 16,
         gsp_csv: Optional[str] = None,
         n_gsp: int = 1,
         batch_size: int = 32,
@@ -317,6 +324,23 @@ class ZarrStreamDataModule:
             image_size_pixels=satellite_image_size_pixels,
         )
         sources = [sat]
+        if nwp_zarr_path:
+            from predict_pv_yield_tpu.data.sources import open_zarr_nwp
+            from predict_pv_yield_tpu.seqlen import SeqLens
+
+            sources.append(
+                open_zarr_nwp(
+                    nwp_zarr_path,
+                    array=nwp_zarr_array,
+                    init_time=nwp_init_time,
+                    step=nwp_step,
+                    dims=tuple(nwp_dims.split(",")),
+                    image_size_pixels=nwp_image_size_pixels,
+                    n_targets=SeqLens(
+                        history_minutes, forecast_minutes
+                    ).seq_len_60,
+                )
+            )
         if sat.x is not None and sat.y is not None:
             sources.append(
                 SunSource(float(np.median(sat.x)), float(np.median(sat.y)))
@@ -342,6 +366,18 @@ class ZarrStreamDataModule:
                 "satellite channels"
             )
         configuration.input_data.satellite.satellite_channels = channels[:n_ch]
+        if nwp_zarr_path:
+            configuration.input_data.nwp.nwp_image_size_pixels = (
+                nwp_image_size_pixels
+            )
+            n_nwp_ch = sources[1].data.shape[2]  # canonical axis 2 = channel
+            nwp_channels = list(configuration.input_data.nwp.nwp_channels)
+            if n_nwp_ch > len(nwp_channels):
+                raise ValueError(
+                    f"NWP archive has {n_nwp_ch} channels > the "
+                    f"{len(nwp_channels)} named NWP channels"
+                )
+            configuration.input_data.nwp.nwp_channels = nwp_channels[:n_nwp_ch]
         if gsp_csv:
             configuration.input_data.gsp.n_gsp_per_example = n_gsp
         self.configuration = configuration

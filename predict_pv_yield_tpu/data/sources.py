@@ -123,6 +123,31 @@ def _window_indices(
     return idx
 
 
+def _crop_bounds(
+    x_coords: np.ndarray,
+    y_coords: np.ndarray,
+    centre_x: float,
+    centre_y: float,
+    size_pixels: int,
+) -> Tuple[slice, slice]:
+    """(y_slice, x_slice) of the ``size_pixels``² crop nearest an OSGB
+    centre — the index math of :func:`crop_square`, usable BEFORE reading
+    so chunked stores fetch only the crop."""
+    x_coords = np.asarray(x_coords)
+    y_coords = np.asarray(y_coords)
+    cx = int(np.abs(x_coords - centre_x).argmin())
+    cy = int(np.abs(y_coords - centre_y).argmin())
+    half = size_pixels // 2
+    x_lo, x_hi = cx - half, cx - half + size_pixels
+    y_lo, y_hi = cy - half, cy - half + size_pixels
+    if x_lo < 0 or y_lo < 0 or x_hi > len(x_coords) or y_hi > len(y_coords):
+        raise BadData(
+            f"{size_pixels}px crop at OSGB ({centre_x}, {centre_y}) falls "
+            f"outside the archive extent"
+        )
+    return slice(y_lo, y_hi), slice(x_lo, x_hi)
+
+
 def crop_square(
     data: np.ndarray,
     x_coords: np.ndarray,
@@ -140,20 +165,11 @@ def crop_square(
     """
     x_coords = np.asarray(x_coords)
     y_coords = np.asarray(y_coords)
-    cx = int(np.abs(x_coords - centre_x).argmin())
-    cy = int(np.abs(y_coords - centre_y).argmin())
-    half = size_pixels // 2
-    x_lo, x_hi = cx - half, cx - half + size_pixels
-    y_lo, y_hi = cy - half, cy - half + size_pixels
-    if x_lo < 0 or y_lo < 0 or x_hi > len(x_coords) or y_hi > len(y_coords):
-        raise BadData(
-            f"{size_pixels}px crop at OSGB ({centre_x}, {centre_y}) falls "
-            f"outside the archive extent"
-        )
+    ysl, xsl = _crop_bounds(x_coords, y_coords, centre_x, centre_y, size_pixels)
     return (
-        np.asarray(data[..., y_lo:y_hi, x_lo:x_hi]),
-        x_coords[x_lo:x_hi],
-        y_coords[y_lo:y_hi],
+        np.asarray(data[..., ysl, xsl]),
+        x_coords[xsl],
+        y_coords[ysl],
     )
 
 
@@ -262,6 +278,10 @@ class NWPDataSource(DataSource):
         init_times,
         step_duration: np.timedelta64 = np.timedelta64(1, "h"),
         static_targets: bool = True,
+        x: Optional[np.ndarray] = None,
+        y: Optional[np.ndarray] = None,
+        image_size_pixels: Optional[int] = None,
+        n_targets: Optional[int] = None,
     ):
         self.data = data
         self.init_times = _as_ns(init_times)
@@ -272,23 +292,45 @@ class NWPDataSource(DataSource):
             )
         self.step_duration = np.timedelta64(step_duration)
         self.static_targets = static_targets
+        #: OSGB grid coordinates + crop size: a whole-UK archive (real UKV)
+        #: is cropped ``image_size_pixels``² around each example's ``centre``
+        #: like the satellite source; ``None`` keeps the nb28 contract of
+        #: already-example-sized arrays.
+        self.x = None if x is None else np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.image_size_pixels = image_size_pixels
+        #: Fixed target count override: the prepared-dataset/BatchML contract
+        #: is ``history_60 + forecast_60 + 1`` hourly targets (the fake
+        #: backend and the v15 files both use it), which differs from the
+        #: nb28 static grid of ``ceil(duration/1h) + 2``. The hourly grid
+        #: still starts at ``floor(start)``; shorter grids are extended with
+        #: the frozen-future rule, longer ones trimmed.
+        self.n_targets = n_targets
 
     def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
-        del centre, rng  # NWP arrays here are already example-sized; no draws
+        del rng  # no random draws in NWP selection
         target_times, chosen, steps = select_nwp_init_times(
             self.init_times, start=start, end=end, t0=t0
         )
-        if self.static_targets:
+        if self.n_targets is not None:
+            n_fixed = int(self.n_targets)
+        elif self.static_targets:
             hour = np.timedelta64(1, "h")
             duration = np.datetime64(end, "ns") - np.datetime64(start, "ns")
             n_fixed = -(-duration // np.timedelta64(hour, "ns")) + 2
             assert len(target_times) <= n_fixed, (
                 f"natural grid {len(target_times)} > static {n_fixed}"
             )
-            while len(target_times) < n_fixed:
-                target_times = np.append(target_times, target_times[-1] + hour)
-                chosen = np.append(chosen, chosen[-1])  # frozen future run
-                steps = np.append(steps, steps[-1] + hour)
+        else:
+            n_fixed = len(target_times)
+        hour = np.timedelta64(1, "h")
+        while len(target_times) < n_fixed:
+            target_times = np.append(target_times, target_times[-1] + hour)
+            chosen = np.append(chosen, chosen[-1])  # frozen future run
+            steps = np.append(steps, steps[-1] + hour)
+        target_times = target_times[:n_fixed]
+        chosen = chosen[:n_fixed]
+        steps = steps[:n_fixed]
         init_idx = np.searchsorted(self.init_times, chosen)
         step_ns = np.timedelta64(self.step_duration, "ns").astype(np.int64)
         step_idx, rem = np.divmod(steps.astype("timedelta64[ns]").astype(np.int64), step_ns)
@@ -302,14 +344,50 @@ class NWPDataSource(DataSource):
                 f"lead time {steps.max()} exceeds the archive's "
                 f"{self.data.shape[1]} steps of {self.step_duration}"
             )
-        frames = np.stack(
-            [np.asarray(self.data[i, j]) for i, j in zip(init_idx, step_idx)]
-        )
-        return {
-            "nwp": frames,  # (T_target, C, H, W)
+
+        # spatial crop resolved BEFORE the store read: a whole-UK archive
+        # (real UKV, 548x421 px) must not be materialised per target just to
+        # keep 16 pixels of it
+        grid_h, grid_w = self.data.shape[-2], self.data.shape[-1]
+        size = self.image_size_pixels
+        needs_crop = size is not None and (size < grid_h or size < grid_w)
+        ysl = xsl = slice(None)
+        sample: Sample = {
             "nwp_target_times": target_times.astype("datetime64[ns]"),
             "nwp_init_times": chosen.astype("datetime64[ns]"),
         }
+        if centre is not None or needs_crop:
+            if size is None:
+                raise ValueError(
+                    "a centre crop requires image_size_pixels to be set"
+                )
+            if grid_h < size or grid_w < size:
+                raise BadData(
+                    f"NWP grids are {grid_h}x{grid_w}px, smaller than the "
+                    f"{size}px crop"
+                )
+            if self.x is None or self.y is None:
+                if centre is not None:
+                    raise ValueError(
+                        "a centre crop requires x/y grid coordinates"
+                    )
+                ysl, xsl = slice(0, size), slice(0, size)
+            else:
+                if centre is None:  # archive-centre crop
+                    centre = (float(np.median(self.x)), float(np.median(self.y)))
+                ysl, xsl = _crop_bounds(
+                    self.x, self.y, centre[0], centre[1], size
+                )
+                sample["nwp_x"] = self.x[xsl]
+                sample["nwp_y"] = self.y[ysl]
+        frames = np.stack(
+            [
+                np.asarray(self.data[i, j, slice(None), ysl, xsl])
+                for i, j in zip(init_idx, step_idx)
+            ]
+        )
+        sample["nwp"] = frames  # (T_target, C, size, size)
+        return sample
 
     def get_chunk(self, start, end) -> Sample:
         """All runs initialised in [floor3h(start), floor3h(end)] (cell 103)."""
@@ -929,12 +1007,144 @@ def open_zarr_satellite(
     )
 
 
+class NWPAxisView:
+    """Lazy axis-reordering view presenting any 5-d store in the canonical
+    ``(init_time, step, channel, y, x)`` order :class:`NWPDataSource` wants.
+
+    The real UKV archives are written ``(init_time, variable, step, y, x)``
+    (nowcasting_dataset's layout); rather than materialising a transpose of
+    a multi-GB store, indexing is forwarded with the key permuted, and the
+    resulting axes are transposed back to canonical residual order. Supports
+    the basic int/slice indexing :class:`ZarrArray` implements.
+    """
+
+    CANONICAL = ("init_time", "step", "channel", "y", "x")
+
+    def __init__(self, data, dims: Sequence[str]):
+        # "variable" is what the real UKV stores call the channel axis
+        dims = tuple("channel" if d == "variable" else d for d in dims)
+        if sorted(dims) != sorted(self.CANONICAL):
+            raise ValueError(
+                f"dims must be a permutation of {self.CANONICAL}, got {dims}"
+            )
+        if len(data.shape) != 5:
+            raise ValueError(f"need a 5-d store, got shape {data.shape}")
+        self._data = data
+        # source axis holding each canonical axis
+        self._perm = tuple(dims.index(name) for name in self.CANONICAL)
+        self.shape = tuple(data.shape[p] for p in self._perm)
+        self.dtype = getattr(data, "dtype", None)
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > 5:
+            raise IndexError("too many indices")
+        key = key + (slice(None),) * (5 - len(key))
+        src_key = [None] * 5
+        for canonical_axis, k in enumerate(key):
+            src_key[self._perm[canonical_axis]] = k
+        out = np.asarray(self._data[tuple(src_key)])
+        # int indices drop axes; the survivors come out in SOURCE order and
+        # must be transposed into canonical residual order
+        residual = [c for c in range(5) if isinstance(key[c], slice)]
+        source_positions = [self._perm[c] for c in residual]
+        ranks = np.argsort(np.argsort(source_positions))
+        return out.transpose(tuple(ranks))
+
+
+def open_zarr_nwp(
+    store: str,
+    array: str = "data",
+    init_time: str = "init_time",
+    step: str = "step",
+    dims: Sequence[str] = ("init_time", "variable", "step", "y", "x"),
+    image_size_pixels: Optional[int] = None,
+    n_targets: Optional[int] = None,
+) -> NWPDataSource:
+    """An :class:`NWPDataSource` over a zarr group store of model runs.
+
+    ``store`` holds the prediction grids under ``array`` (axis order given
+    by ``dims``, default = the real UKV layout with channels named
+    "variable"), run initialisation datetimes under ``init_time`` (raw
+    datetime64, or CF-encoded numbers with ``units`` in ``.zattrs``), lead
+    times under ``step`` (timedelta64, or numbers with CF-style units
+    "hours"/"minutes"/"seconds"; must be uniform from 0), and optional
+    ``x``/``y`` OSGB grid coordinates for centre-cropped extraction.
+    """
+    from predict_pv_yield_tpu.data.zarr_reader import open_zarr
+
+    data = open_zarr(store, array)
+    dims = tuple("channel" if d == "variable" else d for d in dims)
+    view = NWPAxisView(data, dims)
+
+    init_array = open_zarr(store, init_time)
+    init_values = init_array[:]
+    if np.asarray(init_values).dtype.kind in "if":
+        from predict_pv_yield_tpu.data.netcdf_reader import _decode_cf_time
+
+        decoded = _decode_cf_time(init_values, init_array.attrs.get("units"))
+        if decoded is None:
+            raise ValueError(
+                f"{store}/{init_time} is {np.asarray(init_values).dtype} but "
+                'its .zattrs carry no decodable CF "units"'
+            )
+        init_values = decoded.astype("datetime64[ns]")
+
+    step_array = open_zarr(store, step)
+    step_values = np.asarray(step_array[:])
+    if step_values.dtype.kind == "m":
+        step_values = step_values.astype("timedelta64[ns]")
+    else:
+        units = str(step_array.attrs.get("units", "hours")).lower()
+        per = {"hour": "h", "minute": "m", "second": "s"}
+        unit = next(
+            (code for name, code in per.items() if units.startswith(name)), None
+        )
+        if unit is None:
+            raise ValueError(
+                f"{store}/{step} units {units!r} not understood "
+                "(hours/minutes/seconds)"
+            )
+        step_values = (
+            step_values.astype(np.int64) * np.timedelta64(1, unit)
+        ).astype("timedelta64[ns]")
+    if len(step_values) != view.shape[1]:
+        raise ValueError(
+            f"step coordinate length {len(step_values)} != the store's "
+            f"{view.shape[1]} lead steps"
+        )
+    if len(step_values) < 2:
+        raise ValueError("need at least two lead steps to infer the cadence")
+    spacing = np.diff(step_values)
+    if step_values[0] != np.timedelta64(0) or (spacing != spacing[0]).any():
+        raise ValueError(
+            f"lead steps must be uniform from 0, got {step_values[:4]}…"
+        )
+
+    coords = {}
+    for name in ("x", "y"):
+        try:
+            coords[name] = open_zarr(store, name)[:]
+        except FileNotFoundError:
+            coords[name] = None
+    return NWPDataSource(
+        view,
+        init_values,
+        step_duration=spacing[0],
+        x=coords["x"],
+        y=coords["y"],
+        image_size_pixels=image_size_pixels,
+        n_targets=n_targets,
+    )
+
+
 def merge_real_groups(fake: Batch, real: Batch) -> Batch:
     """Overlay extracted groups onto a shape-complete synthetic batch.
 
-    The extraction lineage provides satellite/sun/gsp/datetime/metadata;
-    groups no source covers (nwp-as-archive, topographic, hrv, pv when no
-    PV source ran) keep the synthetic filler so every model's input
+    The extraction lineage provides satellite/nwp/sun/gsp/datetime/
+    metadata; groups no source covers (topographic, hrv, pv/nwp when their
+    source didn't run) keep the synthetic filler so every model's input
     contract is satisfied. Used by ``tools/prepare_dataset.py`` and the
     zarr-streaming datamodule.
     """
@@ -948,6 +1158,8 @@ def merge_real_groups(fake: Batch, real: Batch) -> Batch:
         datetime=real.datetime,
         metadata=real.metadata,
     )
+    if real.nwp.data is not None:
+        merged = merged.replace(nwp=real.nwp)
     if real.sun.sun_elevation_angle is not None:
         merged = merged.replace(sun=real.sun)
     if real.gsp.gsp_yield is not None:

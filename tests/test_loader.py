@@ -228,3 +228,46 @@ class TestZarrStreamDataModule:
         assert len(list(dm.train_dataloader())) == 1
         with pytest.raises(ValueError, match="test split.*test_fraction"):
             dm.val_dataloader()
+
+
+class TestZarrStreamNWP:
+    def test_streams_real_nwp_grids(self, zarr_store, tmp_path):
+        """nwp_zarr_path: batch.nwp.data carries provenance-exact archive
+        grids (freshest-run per hourly target, frozen after ceil(t0),
+        centre-cropped) instead of the synthetic filler."""
+        from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+        from tests.test_sources import _expected_nwp_value, _write_nwp_store
+
+        store, _ = zarr_store
+        nwp_store = tmp_path / "nwp.zarr"
+        nwp_store.mkdir()
+        _, init_times = _write_nwp_store(nwp_store)
+
+        dm = ZarrStreamDataModule(
+            zarr_path=store, nwp_zarr_path=str(nwp_store), batch_size=2,
+            history_minutes=30, forecast_minutes=30,
+            satellite_image_size_pixels=8, nwp_image_size_pixels=4,
+            n_train_data=2, n_val_data=1, num_workers=1,
+        )
+        assert dm.configuration.input_data.nwp.nwp_image_size_pixels == 4
+        assert len(dm.configuration.input_data.nwp.nwp_channels) == 3
+
+        batch = next(iter(dm.train_dataloader()))
+        nwp = np.asarray(batch.nwp.data)
+        # T60 = ceil(30/60) + 30//60 + 1 = 2 hourly targets
+        assert nwp.shape == (2, 3, 2, 4, 4)
+        target_time = np.asarray(batch.nwp.target_time)
+        t0s = np.asarray(batch.metadata.t0_datetime_utc)
+        for b in range(2):
+            t0 = t0s[b].astype("datetime64[ns]")
+            for k in range(2):
+                target = target_time[b, k].astype("datetime64[ns]")
+                # archive-centre crop of the 24-grid: tie-low pixel 11,
+                # half=2 -> crop starts at pixel 9
+                expected = _expected_nwp_value(
+                    init_times, target, t0, variable=0, y_idx=9, x_idx=9
+                )
+                np.testing.assert_allclose(
+                    nwp[b, 0, k, 0, 0], expected, rtol=0,
+                    err_msg=f"b={b} k={k}",
+                )

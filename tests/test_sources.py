@@ -596,3 +596,239 @@ class TestSampleGeneratorAndCollate:
         s.update(start_datetime=times[0], end_datetime=times[6], t0_datetime=times[3])
         batch = collate_samples([s, s])
         assert batch.satellite.data.shape == (2, 3, 7, 4, 4)
+
+
+def _write_nwp_store(root, n_init=10, n_var=3, n_step=9, grid=24,
+                     first_init="2020-06-01T00:00", cadence_h=3):
+    """Zarr NWP store in the real-UKV axis order (init, variable, step, y, x)
+    with CF-encoded init times, an hours step coordinate and OSGB coords.
+    Values encode their own provenance exactly in float32:
+    ``init_idx·10000 + step_idx·100 + variable + y_idx/4 + x_idx/64``."""
+    from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+    i, v, s_, y, x = np.ix_(
+        np.arange(n_init), np.arange(n_var), np.arange(n_step),
+        np.arange(grid), np.arange(grid),
+    )
+    data = (i * 10000 + s_ * 100 + v + y / 4 + x / 64).astype(np.float32)
+    write_zarr(str(root / "data"), data, chunks=(2, n_var, 3, grid, grid))
+    init_hours = np.arange(n_init, dtype=np.float64) * cadence_h
+    write_zarr(str(root / "init_time"), init_hours, chunks=(n_init,),
+               attrs={"units": f"hours since {first_init}"})
+    write_zarr(str(root / "step"), np.arange(n_step, dtype=np.int32),
+               chunks=(n_step,), attrs={"units": "hours"})
+    write_zarr(str(root / "x"), np.arange(grid) * 2000.0 + 100_000.0,
+               chunks=(grid,))
+    write_zarr(str(root / "y"), np.arange(grid) * 2000.0 + 500_000.0,
+               chunks=(grid,))
+    first = np.datetime64(first_init, "ns")
+    init_times = first + (init_hours * 60).astype(np.int64) * np.timedelta64(60, "s")
+    return data, init_times
+
+
+def _expected_nwp_value(init_times, target, t0, variable, y_idx, x_idx):
+    """The provenance encoding of the freshest-run rule: history targets use
+    the freshest run <= target; targets after ceil(t0) freeze on the run
+    chosen for ceil(t0) (nb28 cell 85 quirk)."""
+    hour = np.timedelta64(1, "h")
+    ceil_t0 = (
+        t0 if t0 == t0.astype("datetime64[h]").astype("datetime64[ns]")
+        else (t0.astype("datetime64[h]") + hour).astype("datetime64[ns]")
+    )
+    pick = min(np.datetime64(target, "ns"), ceil_t0)
+    init_idx = int(np.searchsorted(init_times, pick, side="right")) - 1
+    step_idx = int(
+        (np.datetime64(target, "ns") - init_times[init_idx]) / hour
+    )
+    return init_idx * 10000 + step_idx * 100 + variable + y_idx / 4 + x_idx / 64
+
+
+class TestNWPZarrExtraction:
+    def test_axis_view_matches_moveaxis(self):
+        from predict_pv_yield_tpu.data.sources import NWPAxisView
+
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((4, 3, 6, 7, 8)).astype(np.float32)
+        view = NWPAxisView(src, ("init_time", "variable", "step", "y", "x"))
+        canonical = np.moveaxis(src, 1, 2)  # channel from axis 1 to axis 2
+        assert view.shape == canonical.shape
+        np.testing.assert_array_equal(view[2, 4], canonical[2, 4])
+        np.testing.assert_array_equal(
+            view[2, 4, slice(None), slice(1, 5), slice(2, 6)],
+            canonical[2, 4, :, 1:5, 2:6],
+        )
+        np.testing.assert_array_equal(view[1:3], canonical[1:3])
+        # a fully scrambled order
+        scrambled = ("x", "step", "y", "init_time", "channel")
+        src2 = rng.standard_normal((8, 6, 7, 4, 3)).astype(np.float32)
+        view2 = NWPAxisView(src2, scrambled)
+        canonical2 = src2.transpose(3, 1, 4, 2, 0)
+        assert view2.shape == canonical2.shape
+        np.testing.assert_array_equal(view2[1, 2], canonical2[1, 2])
+        np.testing.assert_array_equal(
+            view2[slice(0, 2), 3, 1], canonical2[0:2, 3, 1]
+        )
+        with pytest.raises(ValueError, match="permutation"):
+            NWPAxisView(src, ("init_time", "step", "y", "x", "bogus"))
+
+    def test_open_zarr_nwp_freshest_run_crop_and_freeze(self, tmp_path):
+        from predict_pv_yield_tpu.data.sources import open_zarr_nwp
+
+        data, init_times = _write_nwp_store(tmp_path)
+        source = open_zarr_nwp(str(tmp_path), image_size_pixels=8)
+        assert source.step_duration == np.timedelta64(1, "h")
+
+        start = np.datetime64("2020-06-01T06:20", "ns")
+        t0 = start + np.timedelta64(30, "m")   # 06:50, ceil -> 07:00
+        end = t0 + np.timedelta64(60, "m")     # 07:50
+        centre = (100_000.0 + 12 * 2000.0, 500_000.0 + 16 * 2000.0)
+        sample = source.get_sample(start, end, t0, centre=centre)
+
+        # natural grid floor(06:20)..ceil(07:50) = 06:00,07:00,08:00 then the
+        # nb28 static extension to ceil(90min/1h)+2 = 4 targets
+        targets = sample["nwp_target_times"]
+        assert len(targets) == 4
+        assert str(targets[0]) == "2020-06-01T06:00:00.000000000"
+        # crop geometry: centre pixel (x=12, y=16), half=4
+        np.testing.assert_array_equal(
+            sample["nwp_x"], np.arange(8, 16) * 2000.0 + 100_000.0
+        )
+        np.testing.assert_array_equal(
+            sample["nwp_y"], np.arange(12, 20) * 2000.0 + 500_000.0
+        )
+        # every value carries its provenance: freshest run per history
+        # target, the ceil(t0) choice frozen for future targets
+        for k, target in enumerate(targets):
+            for variable in range(3):
+                expected = _expected_nwp_value(
+                    init_times, target, t0, variable, y_idx=12, x_idx=8
+                )
+                np.testing.assert_allclose(
+                    sample["nwp"][k, variable, 0, 0], expected, rtol=0
+                )
+        # off-archive centre raises BadData (window retry contract)
+        with pytest.raises(BadData, match="outside the archive"):
+            source.get_sample(
+                start, end, t0, centre=(100_000.0 + 2000.0, 500_000.0)
+            )
+
+    def test_n_targets_trims_and_extends(self, tmp_path):
+        from predict_pv_yield_tpu.data.sources import open_zarr_nwp
+
+        _, init_times = _write_nwp_store(tmp_path)
+        start = np.datetime64("2020-06-01T06:20", "ns")
+        t0 = start + np.timedelta64(30, "m")
+        end = t0 + np.timedelta64(60, "m")
+
+        trimmed = open_zarr_nwp(str(tmp_path), image_size_pixels=8, n_targets=2)
+        sample = trimmed.get_sample(start, end, t0)
+        assert sample["nwp"].shape == (2, 3, 8, 8)
+        assert len(sample["nwp_target_times"]) == 2
+
+        extended = open_zarr_nwp(str(tmp_path), image_size_pixels=8, n_targets=7)
+        sample = extended.get_sample(start, end, t0)
+        assert sample["nwp"].shape == (7, 3, 8, 8)
+        # the extension rides the frozen-future run with growing lead time
+        hour = np.timedelta64(1, "h")
+        assert sample["nwp_target_times"][-1] == (
+            sample["nwp_target_times"][0] + 6 * hour
+        )
+        assert (
+            sample["nwp_init_times"][-1] == sample["nwp_init_times"][2]
+        )  # still the ceil(t0) run
+        value = sample["nwp"][-1, 0, 0, 0]
+        expected_init = int(np.searchsorted(
+            init_times, np.datetime64("2020-06-01T07:00", "ns"), side="right"
+        )) - 1
+        step_idx = int(
+            (sample["nwp_target_times"][-1] - init_times[expected_init]) / hour
+        )
+        # archive-centre crop without an explicit centre: median of the
+        # even 24-wide grid ties between pixels 11/12, argmin takes 11,
+        # half=4 -> the crop starts at pixel 7 on both axes
+        np.testing.assert_allclose(
+            value, expected_init * 10000 + step_idx * 100 + 7 / 4 + 7 / 64,
+            rtol=0,
+        )
+
+    def test_prepare_dataset_with_nwp_zarr(self, tmp_path):
+        """tools/prepare_dataset.py --nwp-zarr: shards carry real NWP grids
+        (provenance-exact values at the model-contract hourly target count),
+        alongside the real satellite windows."""
+        from predict_pv_yield_tpu.data.shards import read_shard, shard_filename
+        from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+        sat_store = tmp_path / "sat.zarr"
+        n_frames, px = 160, 12  # 20% test tail must still fit 19-step windows
+        times = _grid("2020-06-01T08:00", n_frames)
+        frames = np.tile(
+            np.arange(n_frames, dtype=np.int16)[:, None, None], (1, px, px)
+        )
+        write_zarr(str(sat_store / "data"), frames, chunks=(16, px, px))
+        minutes = times.astype("datetime64[ns]").astype(np.int64) // (60 * 10**9)
+        write_zarr(str(sat_store / "time"), minutes, chunks=(n_frames,),
+                   attrs={"units": "minutes since 1970-01-01"})
+        write_zarr(str(sat_store / "x"),
+                   np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
+        write_zarr(str(sat_store / "y"),
+                   np.arange(px) * 2000.0 + 500_000.0, chunks=(px,))
+
+        nwp_store = tmp_path / "nwp.zarr"
+        nwp_store.mkdir()
+        _, init_times = _write_nwp_store(nwp_store)
+
+        out = tmp_path / "prepared"
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = {
+            k: v
+            for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
+        result = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "prepare_dataset.py"),
+                "--out", str(out),
+                "--satellite-zarr", str(sat_store),
+                "--nwp-zarr", str(nwp_store),
+                "--n-train", "1", "--n-test", "1", "--batch-size", "2",
+                "--satellite-pixels", "8", "--nwp-pixels", "4",
+                "--history-minutes", "30", "--forecast-minutes", "60",
+            ],
+            env=env, capture_output=True, text=True,
+        )
+        assert result.returncode == 0, result.stderr
+
+        batch = read_shard(str(out / "train" / shard_filename(0, "raw")))
+        nwp = np.asarray(batch.nwp.data)
+        # model contract: T60 = ceil(30/60) + 60//60 + 1 = 3 hourly targets
+        assert nwp.shape == (2, 3, 3, 4, 4)  # (B, C, T60, 4px, 4px)
+        target_time = np.asarray(batch.nwp.target_time)
+        t0s = np.asarray(batch.metadata.t0_datetime_utc)
+        # archive-centre crop: median coord pixel 12 (even-grid argmin ties
+        # resolve low: |11.5-12|=|12.5-12| -> idx 11... compute from coords)
+        coords = np.arange(24) * 2000.0 + 100_000.0
+        cx = int(np.abs(coords - float(np.median(coords))).argmin())
+        coords_y = np.arange(24) * 2000.0 + 500_000.0
+        cy = int(np.abs(coords_y - float(np.median(coords_y))).argmin())
+        y0, x0 = cy - 2, cx - 2
+        for b in range(2):
+            t0 = t0s[b].astype("datetime64[ns]")
+            for k in range(3):
+                target = target_time[b, k].astype("datetime64[ns]")
+                for variable in range(3):
+                    expected = _expected_nwp_value(
+                        init_times, target, t0, variable, y_idx=y0, x_idx=x0
+                    )
+                    np.testing.assert_allclose(
+                        nwp[b, variable, k, 0, 0], expected, rtol=0,
+                        err_msg=f"b={b} k={k} v={variable}",
+                    )
+        # hourly grid starts at floor(window start) and steps 1h
+        dt = np.diff(target_time[0]).astype("timedelta64[ns]")
+        assert (dt == np.timedelta64(1, "h")).all()
+        # configuration channel list follows the 3-channel archive
+        import yaml
+        with open(out / "configuration.yaml") as fh:
+            config = yaml.safe_load(fh)
+        assert len(config["input_data"]["nwp"]["nwp_channels"]) == 3

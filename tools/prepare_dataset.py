@@ -14,7 +14,9 @@ the raw format is 4-5x faster to read from local disk).
 
 Sources: ``--fake`` synthesises batches (for demos/CI and for driving the
 full non-fake loader path), or ``--satellite-zarr`` samples windows from a
-zarr archive via the first-party reader. Usage:
+zarr archive via the first-party reader; ``--nwp-zarr`` adds real NWP grids
+(freshest-run selection, centre-cropped) and ``--gsp-csv`` real GSP targets.
+Usage:
 
     python tools/prepare_dataset.py --out data/v0 --fake --n-train 64 --n-test 8
 """
@@ -60,6 +62,22 @@ def main() -> None:
     )
     parser.add_argument("--zarr-array", default="data")
     parser.add_argument("--zarr-time", default="time")
+    parser.add_argument(
+        "--nwp-zarr", default=None,
+        help="zarr group store of NWP model runs (real-UKV layout by "
+        "default: --nwp-dims init_time,variable,step,y,x with init_time/"
+        "step coordinate arrays and optional OSGB x/y). Real NWP grids are "
+        "extracted with freshest-run-per-hourly-target selection, cropped "
+        "--nwp-pixels around each example's centre, on the model contract's "
+        "hourly grid (requires --satellite-zarr for the window grid).",
+    )
+    parser.add_argument("--nwp-zarr-array", default="data")
+    parser.add_argument("--nwp-init-time", default="init_time")
+    parser.add_argument("--nwp-step", default="step")
+    parser.add_argument(
+        "--nwp-dims", default="init_time,variable,step,y,x",
+        help="comma-separated axis order of the NWP store",
+    )
     parser.add_argument(
         "--gsp-csv", default=None,
         help="long-format PVLive dump (datetime_gmt, gsp_id, generation_mw, "
@@ -111,8 +129,29 @@ def main() -> None:
             gsp_source = GSPSource.from_pvlive_csv(
                 args.gsp_csv, n_gsp_per_example=args.n_gsp
             )
-    elif args.gsp_csv:
-        parser.error("--gsp-csv requires --satellite-zarr")
+        nwp_source = None
+        if args.nwp_zarr:
+            from predict_pv_yield_tpu.data.sources import open_zarr_nwp
+            from predict_pv_yield_tpu.seqlen import SeqLens
+
+            try:
+                nwp_source = open_zarr_nwp(
+                    args.nwp_zarr,
+                    array=args.nwp_zarr_array,
+                    init_time=args.nwp_init_time,
+                    step=args.nwp_step,
+                    dims=tuple(args.nwp_dims.split(",")),
+                    image_size_pixels=args.nwp_pixels,
+                    # BatchML/fake-backend contract: hourly targets with the
+                    # reference's ceil-history rule (seqlen.py)
+                    n_targets=SeqLens(
+                        args.history_minutes, args.forecast_minutes
+                    ).seq_len_60,
+                )
+            except (ValueError, FileNotFoundError) as exc:
+                parser.error(str(exc))
+    elif args.gsp_csv or args.nwp_zarr:
+        parser.error("--gsp-csv/--nwp-zarr require --satellite-zarr")
 
     configuration = Configuration()
     configuration.process.batch_size = args.batch_size
@@ -133,6 +172,16 @@ def main() -> None:
         configuration.input_data.satellite.satellite_channels = channels[:n_ch]
     if args.gsp_csv:
         configuration.input_data.gsp.n_gsp_per_example = args.n_gsp
+    if args.nwp_zarr:
+        # channel count follows the archive (canonical axis 2 = channel)
+        n_nwp_ch = nwp_source.data.shape[2]
+        nwp_channels = list(configuration.input_data.nwp.nwp_channels)
+        if n_nwp_ch > len(nwp_channels):
+            parser.error(
+                f"NWP archive has {n_nwp_ch} channels > the "
+                f"{len(nwp_channels)} named NWP channels"
+            )
+        configuration.input_data.nwp.nwp_channels = nwp_channels[:n_nwp_ch]
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "configuration.yaml"), "w") as fh:
@@ -176,6 +225,8 @@ def main() -> None:
             from predict_pv_yield_tpu.data.sources import collate_samples
 
             split_sources = [sat_source]
+            if nwp_source is not None:
+                split_sources.append(nwp_source)
             if sun_source is not None:
                 split_sources.append(sun_source)
             if gsp_source is not None:
