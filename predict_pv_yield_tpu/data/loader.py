@@ -294,6 +294,14 @@ class ZarrStreamDataModule:
         nwp_step: str = "step",
         nwp_dims: str = "init_time,variable,step,y,x",
         nwp_image_size_pixels: int = 16,
+        hrv_zarr_path: Optional[str] = None,
+        hrv_zarr_array: str = "data",
+        hrv_zarr_time: str = "time",
+        hrv_image_size_pixels: int = 64,
+        topo_zarr_path: Optional[str] = None,
+        topo_image_size_pixels: int = 64,
+        pv_csv: Optional[str] = None,
+        pv_metadata_csv: Optional[str] = None,
         gsp_csv: Optional[str] = None,
         n_gsp: int = 1,
         batch_size: int = 32,
@@ -341,6 +349,33 @@ class ZarrStreamDataModule:
                     ).seq_len_60,
                 )
             )
+        if hrv_zarr_path:
+            sources.append(
+                open_zarr_satellite(
+                    hrv_zarr_path, hrv_zarr_array, hrv_zarr_time,
+                    image_size_pixels=hrv_image_size_pixels, key_prefix="hrv",
+                )
+            )
+        if topo_zarr_path:
+            from predict_pv_yield_tpu.data.sources import open_zarr_topographic
+
+            sources.append(
+                open_zarr_topographic(
+                    topo_zarr_path, image_size_pixels=topo_image_size_pixels
+                )
+            )
+        locations = None
+        if pv_csv:
+            if not pv_metadata_csv:
+                raise ValueError("pv_csv requires pv_metadata_csv")
+            from predict_pv_yield_tpu.data.sources import PVDataSource
+
+            pv_source = PVDataSource.from_passiv_csv(pv_csv, pv_metadata_csv)
+            sources.append(pv_source)
+            if pv_source.x is not None and pv_source.y is not None:
+                # location-driven extraction: one PV system's OSGB location
+                # per example drives every modality's crop
+                locations = np.stack([pv_source.x, pv_source.y], axis=1)
         if sat.x is not None and sat.y is not None:
             sources.append(
                 SunSource(float(np.median(sat.x)), float(np.median(sat.y)))
@@ -349,6 +384,7 @@ class ZarrStreamDataModule:
             sources.append(
                 GSPSource.from_pvlive_csv(gsp_csv, n_gsp_per_example=n_gsp)
             )
+        self._locations = locations
 
         configuration = Configuration()
         configuration.process.batch_size = batch_size
@@ -366,6 +402,16 @@ class ZarrStreamDataModule:
                 "satellite channels"
             )
         configuration.input_data.satellite.satellite_channels = channels[:n_ch]
+        if hrv_zarr_path:
+            configuration.input_data.hrvsatellite.hrvsatellite_image_size_pixels = (
+                hrv_image_size_pixels
+            )
+        if topo_zarr_path:
+            configuration.input_data.topographic.topographic_image_size_pixels = (
+                topo_image_size_pixels
+            )
+        if pv_csv:
+            configuration.input_data.pv.n_pv_systems_per_example = 1
         if nwp_zarr_path:
             configuration.input_data.nwp.nwp_image_size_pixels = (
                 nwp_image_size_pixels
@@ -405,6 +451,7 @@ class ZarrStreamDataModule:
                     datetimes=self._split_times[split],
                     history_minutes=self._history_minutes,
                     forecast_minutes=self._forecast_minutes,
+                    locations=self._locations,
                 )
             except ValueError as exc:
                 raise ValueError(

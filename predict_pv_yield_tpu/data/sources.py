@@ -191,6 +191,7 @@ class SatelliteDataSource(DataSource):
         y: Optional[np.ndarray] = None,
         freq: np.timedelta64 = np.timedelta64(5, "m"),
         image_size_pixels: Optional[int] = None,
+        key_prefix: str = "sat",
     ):
         self.data = data
         self.datetimes = _as_ns(datetimes)
@@ -203,6 +204,9 @@ class SatelliteDataSource(DataSource):
         self.y = None if y is None else np.asarray(y)
         self.freq = np.timedelta64(freq)
         self.image_size_pixels = image_size_pixels
+        #: Sample key namespace — ``"hrv"`` makes this source feed the
+        #: hrvsatellite batch group (its own grid/resolution, same logic).
+        self.key_prefix = key_prefix
 
     def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
         del t0, rng  # not used (cell 89)
@@ -241,14 +245,15 @@ class SatelliteDataSource(DataSource):
                 window, x, y = crop_square(
                     window, x, y, centre[0], centre[1], size
                 )
+        prefix = self.key_prefix
         sample: Sample = {
-            "sat_data": window,
-            "sat_datetimes": self.datetimes[idx],
+            f"{prefix}_data": window,
+            f"{prefix}_datetimes": self.datetimes[idx],
         }
         if x is not None:
-            sample["sat_x"] = x
+            sample[f"{prefix}_x"] = x
         if y is not None:
-            sample["sat_y"] = y
+            sample[f"{prefix}_y"] = y
         return sample
 
 
@@ -402,6 +407,59 @@ class NWPDataSource(DataSource):
             "nwp": np.asarray(self.data[lo:hi]),
             "nwp_init_times": self.init_times[lo:hi],
         }
+
+
+class TopographicSource(DataSource):
+    """Static elevation crop per example (the v15 files' topographic group).
+
+    ``data``: one (H, W) elevation grid in metres with OSGB ``x``/``y``
+    coordinates — time-invariant, so the window is ignored and only the
+    example's ``centre`` matters (archive-centre crop without one).
+    """
+
+    def __init__(self, data, x, y, image_size_pixels: Optional[int] = None):
+        self.data = data
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        if tuple(data.shape[-2:]) != (len(self.y), len(self.x)):
+            raise ValueError(
+                f"elevation grid {data.shape} does not match coords "
+                f"({len(self.y)}, {len(self.x)})"
+            )
+        self.image_size_pixels = image_size_pixels
+
+    def get_sample(self, start, end, t0, centre=None, rng=None) -> Sample:
+        del start, end, t0, rng  # static modality
+        size = self.image_size_pixels
+        if size is None:
+            grid = np.asarray(self.data[:, :], dtype=np.float32)
+            return {"topo_data": grid, "topo_x": self.x, "topo_y": self.y}
+        if centre is None:
+            centre = (float(np.median(self.x)), float(np.median(self.y)))
+        ysl, xsl = _crop_bounds(self.x, self.y, centre[0], centre[1], size)
+        return {
+            "topo_data": np.asarray(self.data[ysl, xsl], dtype=np.float32),
+            "topo_x": self.x[xsl],
+            "topo_y": self.y[ysl],
+        }
+
+    def get_chunk(self, start, end) -> Sample:
+        return self.get_sample(start, end, t0=None)
+
+
+def open_zarr_topographic(
+    store: str,
+    array: str = "data",
+    image_size_pixels: Optional[int] = None,
+) -> TopographicSource:
+    """A :class:`TopographicSource` over a zarr group store holding one
+    (H, W) elevation grid under ``array`` plus OSGB ``x``/``y`` coords."""
+    from predict_pv_yield_tpu.data.zarr_reader import open_zarr
+
+    data = open_zarr(store, array)
+    x = open_zarr(store, "x")[:]
+    y = open_zarr(store, "y")[:]
+    return TopographicSource(data, x, y, image_size_pixels=image_size_pixels)
 
 
 class PVDataSource(DataSource):
@@ -914,6 +972,21 @@ def collate_samples(samples: Sequence[Sample]) -> Batch:
             k: v.reshape(sat_times.shape) for k, v in feats.items()
         }
 
+    if "hrv_data" in first:
+        hrv = stack("hrv_data")  # (B,T,H,W) — HRV is single-channel
+        if hrv.ndim != 4:
+            raise ValueError(
+                f"hrv_data must be single-channel (T,H,W), got {hrv.ndim - 1}-d"
+            )
+        data["hrvsatellite"] = {"data": hrv[:, None].astype(np.float32)}
+        if "hrv_x" in first:
+            data["hrvsatellite"]["x"] = stack("hrv_x").astype(np.float32)
+        if "hrv_y" in first:
+            data["hrvsatellite"]["y"] = stack("hrv_y").astype(np.float32)
+
+    if "topo_data" in first:
+        data["topographic"] = {"topo_data": stack("topo_data").astype(np.float32)}
+
     if "nwp" in first:
         nwp = stack("nwp")  # (B,T,C,H,W)
         data["nwp"] = {
@@ -963,6 +1036,7 @@ def open_zarr_satellite(
     array: str = "data",
     time: str = "time",
     image_size_pixels: Optional[int] = None,
+    key_prefix: str = "sat",
 ) -> SatelliteDataSource:
     """A :class:`SatelliteDataSource` over a zarr group store.
 
@@ -1004,6 +1078,7 @@ def open_zarr_satellite(
         x=coords["x"],
         y=coords["y"],
         image_size_pixels=image_size_pixels,
+        key_prefix=key_prefix,
     )
 
 
@@ -1160,6 +1235,10 @@ def merge_real_groups(fake: Batch, real: Batch) -> Batch:
     )
     if real.nwp.data is not None:
         merged = merged.replace(nwp=real.nwp)
+    if real.hrvsatellite.data is not None:
+        merged = merged.replace(hrvsatellite=real.hrvsatellite)
+    if real.topographic.topo_data is not None:
+        merged = merged.replace(topographic=real.topographic)
     if real.sun.sun_elevation_angle is not None:
         merged = merged.replace(sun=real.sun)
     if real.gsp.gsp_yield is not None:

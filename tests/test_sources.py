@@ -832,3 +832,198 @@ class TestNWPZarrExtraction:
         with open(out / "configuration.yaml") as fh:
             config = yaml.safe_load(fh)
         assert len(config["input_data"]["nwp"]["nwp_channels"]) == 3
+
+
+class TestTopographicAndHRV:
+    def test_topographic_crop_is_centre_exact(self, tmp_path):
+        from predict_pv_yield_tpu.data.sources import (
+            TopographicSource,
+            open_zarr_topographic,
+        )
+        from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+        grid = 20
+        y_idx, x_idx = np.ix_(np.arange(grid), np.arange(grid))
+        elevation = (y_idx * 1000 + x_idx).astype(np.float32)
+        x = np.arange(grid) * 2000.0 + 100_000.0
+        y = np.arange(grid) * 2000.0 + 500_000.0
+
+        source = TopographicSource(elevation, x, y, image_size_pixels=6)
+        centre = (x[8], y[13])
+        sample = source.get_sample(None, None, None, centre=centre)
+        assert sample["topo_data"].shape == (6, 6)
+        # half=3 -> rows 10..16, cols 5..11
+        np.testing.assert_array_equal(
+            sample["topo_data"], elevation[10:16, 5:11]
+        )
+        np.testing.assert_array_equal(sample["topo_x"], x[5:11])
+        with pytest.raises(BadData, match="outside the archive"):
+            source.get_sample(None, None, None, centre=(x[1], y[1]))
+        # no size: the whole static grid
+        whole = TopographicSource(elevation, x, y).get_sample(None, None, None)
+        assert whole["topo_data"].shape == (grid, grid)
+
+        # zarr round trip
+        store = tmp_path / "topo.zarr"
+        write_zarr(str(store / "data"), elevation, chunks=(10, 10))
+        write_zarr(str(store / "x"), x, chunks=(grid,))
+        write_zarr(str(store / "y"), y, chunks=(grid,))
+        zsource = open_zarr_topographic(str(store), image_size_pixels=6)
+        zsample = zsource.get_sample(None, None, None, centre=centre)
+        np.testing.assert_array_equal(zsample["topo_data"], sample["topo_data"])
+
+    def test_hrv_prefix_feeds_hrvsatellite_group(self):
+        times = _grid("2020-06-01T10:00", 7)
+        frames = np.tile(
+            np.arange(7, dtype=np.float32)[:, None, None], (1, 6, 6)
+        )
+        hrv = SatelliteDataSource(frames, times, key_prefix="hrv")
+        sat = SatelliteDataSource(frames * 10, times)
+        s = {}
+        for src in (sat, hrv):
+            s.update(src.get_sample(times[0], times[6], times[3]))
+        s.update(start_datetime=times[0], end_datetime=times[6],
+                 t0_datetime=times[3])
+        batch = collate_samples([s, s])
+        assert batch.hrvsatellite.data.shape == (2, 1, 7, 6, 6)
+        np.testing.assert_array_equal(
+            batch.hrvsatellite.data[0, 0, :, 0, 0], np.arange(7, dtype=np.float32)
+        )
+        np.testing.assert_array_equal(
+            batch.satellite.data[0, 0, :, 0, 0],
+            np.arange(7, dtype=np.float32) * 10,
+        )
+
+    def test_prepare_dataset_all_real_modalities(self, tmp_path):
+        """Every batch group from archives: satellite + HRV + NWP + topo +
+        PV + sun, location-driven around a drawn PV system — value-exact
+        for the location-dependent crops (topographic) and the PV series."""
+        import pandas as pd
+
+        from predict_pv_yield_tpu.data.shards import read_shard, shard_filename
+        from predict_pv_yield_tpu.data.sources import _crop_bounds
+        from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+        n_frames, px = 160, 24
+        times = _grid("2020-06-01T08:00", n_frames)
+        minutes = times.astype("datetime64[ns]").astype(np.int64) // (60 * 10**9)
+        x = np.arange(px) * 2000.0 + 100_000.0
+        y = np.arange(px) * 2000.0 + 500_000.0
+
+        sat_store = tmp_path / "sat.zarr"
+        frames = np.tile(
+            np.arange(n_frames, dtype=np.int16)[:, None, None], (1, px, px)
+        )
+        write_zarr(str(sat_store / "data"), frames, chunks=(16, px, px))
+        write_zarr(str(sat_store / "time"), minutes, chunks=(n_frames,),
+                   attrs={"units": "minutes since 1970-01-01"})
+        write_zarr(str(sat_store / "x"), x, chunks=(px,))
+        write_zarr(str(sat_store / "y"), y, chunks=(px,))
+
+        hrv_store = tmp_path / "hrv.zarr"
+        hrv_frames = (frames * 3).astype(np.int16)
+        write_zarr(str(hrv_store / "data"), hrv_frames, chunks=(16, px, px))
+        write_zarr(str(hrv_store / "time"), minutes, chunks=(n_frames,),
+                   attrs={"units": "minutes since 1970-01-01"})
+        write_zarr(str(hrv_store / "x"), x, chunks=(px,))
+        write_zarr(str(hrv_store / "y"), y, chunks=(px,))
+
+        topo_store = tmp_path / "topo.zarr"
+        y_idx, x_idx = np.ix_(np.arange(px), np.arange(px))
+        elevation = (y_idx * 1000 + x_idx).astype(np.float32)
+        write_zarr(str(topo_store / "data"), elevation, chunks=(px, px))
+        write_zarr(str(topo_store / "x"), x, chunks=(px,))
+        write_zarr(str(topo_store / "y"), y, chunks=(px,))
+
+        nwp_store = tmp_path / "nwp.zarr"
+        nwp_store.mkdir()
+        _write_nwp_store(nwp_store, first_init="2020-06-01T00:00")
+
+        # two PV systems well inside every crop margin; constant yields make
+        # the series value-exact and identify the drawn system
+        meta = pd.DataFrame(
+            [
+                dict(ss_id=11, kwp=4.0, x=x[10], y=y[10]),
+                dict(ss_id=22, kwp=5.0, x=x[13], y=y[13]),
+            ]
+        )
+        meta_csv = tmp_path / "meta.csv"
+        meta.to_csv(meta_csv, index=False)
+        power_rows = [
+            dict(timestamp=str(t), ss_id=ss, instantaneous_power_w=w)
+            for t in times
+            for ss, w in ((11, 1000.0), (22, 2500.0))
+        ]
+        power_csv = tmp_path / "power.csv"
+        pd.DataFrame(power_rows).to_csv(power_csv, index=False)
+
+        out = tmp_path / "prepared"
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = {
+            k: v
+            for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
+        result = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "prepare_dataset.py"),
+                "--out", str(out),
+                "--satellite-zarr", str(sat_store),
+                "--hrv-zarr", str(hrv_store), "--hrv-pixels", "8",
+                "--topo-zarr", str(topo_store), "--topo-pixels", "6",
+                "--nwp-zarr", str(nwp_store),
+                "--pv-csv", str(power_csv), "--pv-metadata-csv", str(meta_csv),
+                "--n-train", "1", "--n-test", "1", "--batch-size", "2",
+                "--satellite-pixels", "8", "--nwp-pixels", "8",
+                "--history-minutes", "30", "--forecast-minutes", "60",
+            ],
+            env=env, capture_output=True, text=True,
+        )
+        assert result.returncode == 0, result.stderr
+
+        batch = read_shard(str(out / "train" / shard_filename(0, "raw")))
+        system_xy = {11: (x[10], y[10]), 22: (x[13], y[13])}
+        yield_by_id = {11: 1000.0 / 4000.0, 22: 2500.0 / 5000.0}
+        topo = np.asarray(batch.topographic.topo_data)
+        assert topo.shape == (2, 6, 6)
+        hrv = np.asarray(batch.hrvsatellite.data)
+        assert hrv.shape == (2, 1, 19, 8, 8)  # 90min/5+1 frames
+        assert np.asarray(batch.nwp.data).shape == (2, 3, 3, 8, 8)
+        for b in range(2):
+            system_id = int(np.asarray(batch.pv.pv_system_id)[b, 0])
+            assert system_id in system_xy
+            # constant per-system yield series, value-exact
+            np.testing.assert_allclose(
+                np.asarray(batch.pv.pv_yield)[b, :, 0],
+                yield_by_id[system_id], rtol=0, atol=1e-6,
+            )
+            # location-driven: the satellite crop is centred on that system
+            centre_x, centre_y = system_xy[system_id]
+            sat_x = np.asarray(batch.satellite.x)[b]
+            assert sat_x[0] <= centre_x <= sat_x[-1]
+            assert abs(float(np.median(sat_x)) - centre_x) <= 2000.0
+            # topographic crop value-exact around the same location
+            ysl, xsl = _crop_bounds(x, y, centre_x, centre_y, 6)
+            np.testing.assert_array_equal(topo[b], elevation[ysl, xsl])
+            # HRV is the HRV archive (3x the sat constants), window-aligned
+            dt = np.asarray(batch.satellite.datetime_index)[b]
+            frame_idx = np.searchsorted(
+                times, dt.astype("datetime64[ns]")
+            )
+            np.testing.assert_array_equal(
+                hrv[b, 0, :, 0, 0], (frame_idx * 3).astype(np.float32)
+            )
+        # written configuration carries the real geometry
+        import yaml
+        with open(out / "configuration.yaml") as fh:
+            config = yaml.safe_load(fh)
+        assert config["input_data"]["pv"]["n_pv_systems_per_example"] == 1
+        assert (
+            config["input_data"]["hrvsatellite"]["hrvsatellite_image_size_pixels"]
+            == 8
+        )
+        assert (
+            config["input_data"]["topographic"]["topographic_image_size_pixels"]
+            == 6
+        )

@@ -57,8 +57,9 @@ def main() -> None:
         "(arrays: --zarr-array imagery sliceable on time, --zarr-time "
         "datetimes, optional x/y OSGB pixel coords). The satellite group, "
         "datetime features and t0 metadata come from the archive via the "
-        "nb28 DataSource pipeline (data/sources.py); other groups stay "
-        "synthetic.",
+        "nb28 DataSource pipeline (data/sources.py); --nwp-zarr/--hrv-zarr/"
+        "--topo-zarr/--pv-csv/--gsp-csv make the remaining groups real too; "
+        "anything left uncovered stays synthetic.",
     )
     parser.add_argument("--zarr-array", default="data")
     parser.add_argument("--zarr-time", default="time")
@@ -78,6 +79,32 @@ def main() -> None:
         "--nwp-dims", default="init_time,variable,step,y,x",
         help="comma-separated axis order of the NWP store",
     )
+    parser.add_argument(
+        "--hrv-zarr", default=None,
+        help="zarr group of the high-resolution visible channel (single "
+        "channel, own grid) -> the hrvsatellite batch group, cropped "
+        "--hrv-pixels around each example's centre",
+    )
+    parser.add_argument("--hrv-zarr-array", default="data")
+    parser.add_argument("--hrv-zarr-time", default="time")
+    parser.add_argument("--hrv-pixels", type=int, default=64)
+    parser.add_argument(
+        "--topo-zarr", default=None,
+        help="zarr group holding one (H, W) elevation grid + OSGB x/y -> "
+        "the topographic batch group, cropped --topo-pixels per example",
+    )
+    parser.add_argument("--topo-pixels", type=int, default=64)
+    parser.add_argument(
+        "--pv-csv", default=None,
+        help="PVOutput/Passiv-style long-format power dump -> real PV yield "
+        "series (one clean system per example). With --pv-metadata-csv, the "
+        "system locations also TURN ON location-driven extraction: each "
+        "example draws a PV system's OSGB location and every modality "
+        "(satellite/HRV/NWP/topo crops, sun angles, nearest-PV pick) is "
+        "extracted around it",
+    )
+    parser.add_argument("--pv-metadata-csv", default=None,
+                        help="per-system metadata (id, kwp, location)")
     parser.add_argument(
         "--gsp-csv", default=None,
         help="long-format PVLive dump (datetime_gmt, gsp_id, generation_mw, "
@@ -150,8 +177,37 @@ def main() -> None:
                 )
             except (ValueError, FileNotFoundError) as exc:
                 parser.error(str(exc))
-    elif args.gsp_csv or args.nwp_zarr:
-        parser.error("--gsp-csv/--nwp-zarr require --satellite-zarr")
+        hrv_source = None
+        if args.hrv_zarr:
+            hrv_source = open_zarr_satellite(
+                args.hrv_zarr, args.hrv_zarr_array, args.hrv_zarr_time,
+                image_size_pixels=args.hrv_pixels, key_prefix="hrv",
+            )
+        topo_source = None
+        if args.topo_zarr:
+            from predict_pv_yield_tpu.data.sources import open_zarr_topographic
+
+            topo_source = open_zarr_topographic(
+                args.topo_zarr, image_size_pixels=args.topo_pixels
+            )
+        pv_source = None
+        locations = None
+        if args.pv_csv:
+            if not args.pv_metadata_csv:
+                parser.error("--pv-csv requires --pv-metadata-csv")
+            from predict_pv_yield_tpu.data.sources import PVDataSource
+
+            pv_source = PVDataSource.from_passiv_csv(
+                args.pv_csv, args.pv_metadata_csv
+            )
+            if pv_source.x is not None and pv_source.y is not None:
+                # nowcasting_dataset's pick-a-system-then-extract loop
+                locations = np.stack([pv_source.x, pv_source.y], axis=1)
+    elif args.gsp_csv or args.nwp_zarr or args.hrv_zarr or args.topo_zarr or args.pv_csv:
+        parser.error(
+            "--gsp-csv/--nwp-zarr/--hrv-zarr/--topo-zarr/--pv-csv require "
+            "--satellite-zarr"
+        )
 
     configuration = Configuration()
     configuration.process.batch_size = args.batch_size
@@ -182,6 +238,16 @@ def main() -> None:
                 f"{len(nwp_channels)} named NWP channels"
             )
         configuration.input_data.nwp.nwp_channels = nwp_channels[:n_nwp_ch]
+    if args.hrv_zarr:
+        configuration.input_data.hrvsatellite.hrvsatellite_image_size_pixels = (
+            args.hrv_pixels
+        )
+    if args.topo_zarr:
+        configuration.input_data.topographic.topographic_image_size_pixels = (
+            args.topo_pixels
+        )
+    if args.pv_csv:
+        configuration.input_data.pv.n_pv_systems_per_example = 1
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "configuration.yaml"), "w") as fh:
@@ -211,6 +277,21 @@ def main() -> None:
                             configuration.input_data.gsp.n_gsp_per_example
                         ),
                     },
+                    "hrvsatellite": {
+                        "hrvsatellite_image_size_pixels": int(
+                            configuration.input_data.hrvsatellite.hrvsatellite_image_size_pixels
+                        ),
+                    },
+                    "topographic": {
+                        "topographic_image_size_pixels": int(
+                            configuration.input_data.topographic.topographic_image_size_pixels
+                        ),
+                    },
+                    "pv": {
+                        "n_pv_systems_per_example": int(
+                            configuration.input_data.pv.n_pv_systems_per_example
+                        ),
+                    },
                 },
             },
             fh,
@@ -227,6 +308,12 @@ def main() -> None:
             split_sources = [sat_source]
             if nwp_source is not None:
                 split_sources.append(nwp_source)
+            if hrv_source is not None:
+                split_sources.append(hrv_source)
+            if topo_source is not None:
+                split_sources.append(topo_source)
+            if pv_source is not None:
+                split_sources.append(pv_source)
             if sun_source is not None:
                 split_sources.append(sun_source)
             if gsp_source is not None:
@@ -245,6 +332,7 @@ def main() -> None:
                 history_minutes=args.history_minutes,
                 forecast_minutes=args.forecast_minutes,
                 rng=np.random.default_rng((args.seed, split == "test", 1 << 20)),
+                locations=locations,
             )
         for i in range(count):
             rng = np.random.default_rng((args.seed, split == "test", i))
