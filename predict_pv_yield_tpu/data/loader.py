@@ -332,23 +332,23 @@ class ZarrStreamDataModule:
             image_size_pixels=satellite_image_size_pixels,
         )
         sources = [sat]
+        nwp_source = None
         if nwp_zarr_path:
             from predict_pv_yield_tpu.data.sources import open_zarr_nwp
             from predict_pv_yield_tpu.seqlen import SeqLens
 
-            sources.append(
-                open_zarr_nwp(
-                    nwp_zarr_path,
-                    array=nwp_zarr_array,
-                    init_time=nwp_init_time,
-                    step=nwp_step,
-                    dims=tuple(nwp_dims.split(",")),
-                    image_size_pixels=nwp_image_size_pixels,
-                    n_targets=SeqLens(
-                        history_minutes, forecast_minutes
-                    ).seq_len_60,
-                )
+            nwp_source = open_zarr_nwp(
+                nwp_zarr_path,
+                array=nwp_zarr_array,
+                init_time=nwp_init_time,
+                step=nwp_step,
+                dims=tuple(nwp_dims.split(",")),
+                image_size_pixels=nwp_image_size_pixels,
+                n_targets=SeqLens(
+                    history_minutes, forecast_minutes
+                ).seq_len_60,
             )
+            sources.append(nwp_source)
         if hrv_zarr_path:
             sources.append(
                 open_zarr_satellite(
@@ -416,7 +416,7 @@ class ZarrStreamDataModule:
             configuration.input_data.nwp.nwp_image_size_pixels = (
                 nwp_image_size_pixels
             )
-            n_nwp_ch = sources[1].data.shape[2]  # canonical axis 2 = channel
+            n_nwp_ch = nwp_source.data.shape[2]  # canonical axis 2 = channel
             nwp_channels = list(configuration.input_data.nwp.nwp_channels)
             if n_nwp_ch > len(nwp_channels):
                 raise ValueError(
