@@ -7,7 +7,16 @@ Prints exactly one JSON line:
      "b32_single_dispatch_batches_per_s": ...,
      "perceiver_conv3d_sat_nwp_examples_per_s": ...,  # the reference's best
      "perceiver_step_time_ms": ..., "perceiver_vs_baseline": ...,  # model at
-     "perceiver_mfu": ...}                     # its production config (b32)
+     "perceiver_mfu": ...,                     # its production config (b32)
+     "flow_pairs_per_s": ..., "flow_frame_size": 256,   # Farnebäck on-device
+     "flow_host_single_core_pairs_per_s": ...,          # native C++ baseline
+     "flow_vs_cpu_farm": ...}                  # device vs single-core × 8 farm
+
+``BENCH_SMOKE=1`` runs the identical code path at tiny shapes on whatever
+backend is active (adds ``"smoke": true`` to the line so the artifact can
+never be mistaken for a real measurement) — executed by
+``tests/test_bench_smoke.py`` and CI so this driver-facing script cannot
+ship broken (the round-3 lesson).
 
 Setup mirrors the reference's flagship training run (``configs/model/
 conv3d_sat_nwp.yaml``: 24 px satellite, 11 channels, 6 conv layers, 30 min
@@ -56,13 +65,44 @@ import time
 import jax
 
 BASELINE_EXAMPLES_PER_SEC = 4.2 * 32
-SATURATED_BATCH = 128
-STEPS_PER_EXECUTION = 8
-WARMUP_DISPATCHES = 3
-MEASURE_DISPATCHES = 25
-B32_MEASURE_STEPS = 200
-PERCEIVER_BATCH = 32
 PERCEIVER_BASELINE_EXAMPLES_PER_SEC = 24900 * 32 / (4 * 3600.0)  # ≈55.3
+
+#: BENCH_SMOKE=1 shrinks every dimension so the WHOLE main() path (both
+#: trainers, the fused-scan dispatch loops, the FLOPs subprocess, and the
+#: flow measurement) executes in seconds on the CPU backend. It exists so a
+#: pytest/CI gate can execute this driver-facing script end-to-end — the
+#: round-3 BENCH artifact was lost to a crash no test could see because
+#: nothing ever ran bench.py (VERDICT r3 #1).
+SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
+
+if SMOKE:
+    # Same persistent compile cache the test suite uses (tests/conftest.py):
+    # the smoke gate's cost is pure XLA CPU compiles, all identical
+    # run-to-run, so warm gate runs skip them. Real bench runs are
+    # deliberately untouched.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+SATURATED_BATCH = 4 if SMOKE else 128
+STEPS_PER_EXECUTION = 2 if SMOKE else 8
+# smoke needs 2 warmups: the post-step param layout triggers one more
+# compile on the second dispatch, which must not land in the measurement
+WARMUP_DISPATCHES = 2 if SMOKE else 3
+MEASURE_DISPATCHES = 1 if SMOKE else 25
+B32_BATCH = 2 if SMOKE else 32
+B32_MEASURE_STEPS = 2 if SMOKE else 200
+PERCEIVER_BATCH = 2 if SMOKE else 32
+FLOW_FRAMES = 5 if SMOKE else 49
+FLOW_SIZE = 64 if SMOKE else 256
+FLOW_RUNS = 1 if SMOKE else 10
 
 # bf16 peak FLOP/s per chip by device kind (dense MXU). Keys are matched
 # against the normalised (lowercased, space-stripped) jax device_kind —
@@ -88,8 +128,10 @@ def flagship_configuration(batch_size: int = 32):
     configuration.input_data.default_history_minutes = 30
     configuration.input_data.default_forecast_minutes = 120
     configuration.input_data = configuration.input_data.set_all_to_defaults()
-    configuration.input_data.satellite.satellite_image_size_pixels = 24
-    configuration.input_data.nwp.nwp_image_size_pixels = 64
+    configuration.input_data.satellite.satellite_image_size_pixels = (
+        12 if SMOKE else 24
+    )
+    configuration.input_data.nwp.nwp_image_size_pixels = 12 if SMOKE else 64
     return configuration
 
 
@@ -104,15 +146,15 @@ def flagship_model(batch_size: int = 32):
         include_nwp=True,
         forecast_minutes=120,
         history_minutes=30,
-        number_of_conv3d_layers=6,
-        image_size_pixels=24,
-        nwp_image_size_pixels=64,
+        number_of_conv3d_layers=2 if SMOKE else 6,
+        image_size_pixels=12 if SMOKE else 24,
+        nwp_image_size_pixels=12 if SMOKE else 64,
         number_sat_channels=11,
         number_nwp_channels=10,
-        conv3d_channels=32,
-        fc1_output_features=128,
-        fc2_output_features=128,
-        fc3_output_features=64,
+        conv3d_channels=8 if SMOKE else 32,
+        fc1_output_features=16 if SMOKE else 128,
+        fc2_output_features=16 if SMOKE else 128,
+        fc3_output_features=16 if SMOKE else 64,
         output_variable="gsp_yield",
         include_pv_yield_history=False,
         include_future_satellite=True,
@@ -127,11 +169,13 @@ def perceiver_configuration(batch_size: int = 32):
 
     configuration = Configuration()
     configuration.process.batch_size = batch_size
-    configuration.input_data.default_history_minutes = 60
+    configuration.input_data.default_history_minutes = 30 if SMOKE else 60
     configuration.input_data.default_forecast_minutes = 30
     configuration.input_data = configuration.input_data.set_all_to_defaults()
-    configuration.input_data.satellite.satellite_image_size_pixels = 64
-    configuration.input_data.nwp.nwp_image_size_pixels = 64
+    configuration.input_data.satellite.satellite_image_size_pixels = (
+        8 if SMOKE else 64
+    )
+    configuration.input_data.nwp.nwp_image_size_pixels = 8 if SMOKE else 64
     return configuration
 
 
@@ -144,18 +188,19 @@ def perceiver_flagship_model(batch_size: int = 32):
 
     return Model(
         batch_size=batch_size,
-        history_minutes=60,
+        history_minutes=30 if SMOKE else 60,
         forecast_minutes=30,
-        num_latents=24,
-        latent_dim=24,
+        num_latents=4 if SMOKE else 24,
+        latent_dim=8 if SMOKE else 24,
         embedding_dem=0,
         output_variable="gsp_yield",
-        conv3d_channels=8,
+        conv3d_channels=4 if SMOKE else 8,
         use_future_satellite_images=False,
         # measured 104.3 -> 75.3 ms/step: unrolling the tied depth loop lets
         # XLA CSE hoist the loop-invariant cross-attention K/V projections
-        # that lax.scan recomputes every iteration (PARITY.md)
-        depth_unroll=True,
+        # that lax.scan recomputes every iteration (PARITY.md). Smoke keeps
+        # the scanned form — unrolling only slows the CPU compile.
+        depth_unroll=not SMOKE,
     )
 
 
@@ -202,8 +247,6 @@ def _train_step_flops(batch_size: int, family: str = "conv3d") -> float | None:
             return float(line.split()[1])
     # a crashed child (import error, OOM in the CPU lowering) must be
     # distinguishable from the legitimate slow-host timeout above
-    import sys
-
     print(
         f"WARNING: FLOPs subprocess exited {result.returncode} with no "
         f"FLOPS line; stderr tail: {result.stderr[-400:]!r}",
@@ -226,8 +269,6 @@ def _flops_main(batch_size: int, family: str = "conv3d") -> None:
 
 
 def _peak_flops() -> float:
-    import sys
-
     kind = str(jax.devices()[0].device_kind).lower().replace(" ", "").replace("-", "")
     for key, value in _PEAK_FLOPS.items():  # ordered: lite forms first
         if key in kind:
@@ -239,6 +280,62 @@ def _peak_flops() -> float:
         file=sys.stderr,
     )
     return _DEFAULT_PEAK
+
+
+def _flow_bench() -> dict:
+    """Optical-flow throughput — BASELINE.json's second headline metric,
+    recorded in the driver artifact for the first time this round (VERDICT
+    r3 #2). Farnebäck frame-pairs/s on-device for an HRV super-batch
+    sequence (the unit of work of the reference's CPU process farm,
+    notebook 13 cell 7), with the baseline measured live: our native C++
+    single-core pair rate × 8 workers, the farm the reference ran."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from predict_pv_yield_tpu.ops.optical_flow import flow_sequence
+
+    rng = np.random.default_rng(0)
+    coarse = rng.standard_normal(
+        (FLOW_FRAMES, FLOW_SIZE // 16, FLOW_SIZE // 16)
+    ).astype(np.float32)
+    frames = np.asarray(
+        jax.image.resize(
+            jnp.asarray(coarse), (FLOW_FRAMES, FLOW_SIZE, FLOW_SIZE), "bilinear"
+        )
+        * 60
+        + 120
+    )
+    pairs = FLOW_FRAMES - 1
+
+    flows = flow_sequence(frames)  # compile + warm
+    jax.device_get(flows)
+    t0 = time.perf_counter()
+    for _ in range(FLOW_RUNS):
+        flows = flow_sequence(frames)
+    jax.device_get(flows)
+    device_rate = FLOW_RUNS * pairs / (time.perf_counter() - t0)
+
+    host_rate = None
+    try:
+        from predict_pv_yield_tpu.native import flow_sequence_native
+
+        host_frames = frames[: min(9, FLOW_FRAMES)]
+        t0 = time.perf_counter()
+        flow_sequence_native(host_frames)
+        host_rate = (host_frames.shape[0] - 1) / (time.perf_counter() - t0)
+    except Exception as exc:  # native kernels disabled → flow keys go null
+        print(f"WARNING: native flow baseline unavailable: {exc}", file=sys.stderr)
+
+    return {
+        "flow_pairs_per_s": round(device_rate, 2),
+        "flow_frame_size": FLOW_SIZE,
+        "flow_host_single_core_pairs_per_s": (
+            round(host_rate, 2) if host_rate else None
+        ),
+        "flow_vs_cpu_farm": (
+            round(device_rate / (8 * host_rate), 3) if host_rate else None
+        ),
+    }
 
 
 def main() -> None:
@@ -315,7 +412,11 @@ def main() -> None:
     psteps = MEASURE_DISPATCHES * STEPS_PER_EXECUTION
     perceiver_examples_per_sec = psteps * PERCEIVER_BATCH / pdt / n_chips
     perceiver_step_ms = pdt / psteps * 1000.0
-    pflops = _train_step_flops(PERCEIVER_BATCH, family="perceiver")
+    # smoke covers the FLOPs-subprocess mechanics once (conv3d above);
+    # a second full CPU lowering would only add minutes to the gate
+    pflops = (
+        None if SMOKE else _train_step_flops(PERCEIVER_BATCH, family="perceiver")
+    )
     perceiver_mfu = None
     if pflops:
         perceiver_mfu = round(
@@ -323,7 +424,7 @@ def main() -> None:
         )
 
     # ---- b32 single-dispatch continuity metric --------------------------
-    trainer32, batch32 = _make_trainer(32)
+    trainer32, batch32 = _make_trainer(B32_BATCH)
     device_batch = jax.device_put(
         trainer32._maybe_cast(batch32.numeric()), trainer32._batch_shard
     )
@@ -338,9 +439,13 @@ def main() -> None:
     jax.device_get(metrics32)
     b32_rate = B32_MEASURE_STEPS / (time.perf_counter() - t0) / n_chips
 
+    # ---- optical-flow headline (BASELINE.json metric #2) -----------------
+    flow = _flow_bench()
+
     print(
         json.dumps(
             {
+                **({"smoke": True} if SMOKE else {}),
                 "metric": (
                     "conv3d_sat_nwp train examples/s/chip "
                     f"(saturated: b{SATURATED_BATCH}, bf16, "
@@ -362,6 +467,7 @@ def main() -> None:
                     perceiver_examples_per_sec / PERCEIVER_BASELINE_EXAMPLES_PER_SEC, 3
                 ),
                 "perceiver_mfu": perceiver_mfu,
+                **flow,
             }
         )
     )

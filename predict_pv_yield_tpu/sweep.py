@@ -110,6 +110,14 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
     search_space = sweep_cfg.get("search_space", {})
     choices = _space_choices(search_space)
     trial_counter = itertools.count()
+    # hydra.sweep.subdir template (reference configs/hydra/default.yaml:
+    # ``subdir: ${hydra.job.num}``) — composed configs leave the hydra-side
+    # interpolation unresolved, so substitute the job number here
+    subdir_template = str(
+        ((config.get("hydra") or {}).get("sweep") or {}).get(
+            "subdir", "${hydra.job.num}"
+        )
+    )
 
     def evaluate(assignment: Dict[str, Any]) -> Optional[float]:
         trial_overrides = base_overrides + [
@@ -125,7 +133,9 @@ def run_sweep(compose_fn, base_overrides: List[str], config: Dict[str, Any]):
         # hydra sweep semantics (configs/hydra/default.yaml:
         # ``subdir: ${hydra.job.num}``): each trial runs in its own
         # subdirectory so checkpoints/logs never overwrite across trials
-        job_dir = str(next(trial_counter))
+        job_dir = subdir_template.replace(
+            "${hydra.job.num}", str(next(trial_counter))
+        )
         os.makedirs(job_dir, exist_ok=True)
         launch_dir = os.getcwd()
         os.chdir(job_dir)

@@ -63,8 +63,17 @@ def main(argv=None) -> None:
             if value and "://" not in value and not os.path.isabs(value):
                 datamodule[key] = os.path.join(launch_dir, value)
 
-    # hydra-style run directory: compose resolved ${now:...} already
-    run_dir = (config.get("hydra") or {}).get("run", {}).get("dir")
+    # hydra-style output directory: compose resolved ${now:...} already.
+    # Multirun lands in hydra.sweep.dir with per-trial hydra.sweep.subdir
+    # subdirectories; single runs in hydra.run.dir (reference
+    # ``configs/hydra/default.yaml:1-12`` semantics).
+    hydra_cfg = config.get("hydra") or {}
+    if multirun:
+        run_dir = (hydra_cfg.get("sweep") or {}).get("dir") or (
+            hydra_cfg.get("run") or {}
+        ).get("dir")
+    else:
+        run_dir = (hydra_cfg.get("run") or {}).get("dir")
     if run_dir:
         # Pin relative data paths before changing directory — in the
         # composed config and in the raw overrides (sweep trials re-compose

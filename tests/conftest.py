@@ -122,3 +122,22 @@ def tmp_cwd(tmp_path, monkeypatch):
     """Run a test inside a temp directory (checkpoints, CSVs, plots)."""
     monkeypatch.chdir(tmp_path)
     return tmp_path
+
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# entries the import machinery itself creates — not test litter
+_ROOT_ALLOWED = {"__pycache__", ".pytest_cache"}
+
+
+@pytest.fixture(autouse=True)
+def _no_repo_root_litter():
+    """Fail any test that creates new entries in the repo root (VERDICT r3
+    weak #2: the sweep tests used to leave ``0/..5/`` trial dirs in every
+    user's checkout). Tests that write run artifacts must use ``tmp_cwd``."""
+    before = set(os.listdir(_REPO_ROOT))
+    yield
+    new = set(os.listdir(_REPO_ROOT)) - before - _ROOT_ALLOWED
+    assert not new, (
+        f"test littered the repo root with {sorted(new)}; use the tmp_cwd "
+        "fixture for anything that writes run artifacts"
+    )

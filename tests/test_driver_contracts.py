@@ -1,0 +1,102 @@
+"""Executed smoke gates for the two driver-facing contract files.
+
+Round-3 lesson (VERDICT r3 #1): ``bench.py`` shipped a crash no test could
+see because nothing ever *executed* it — the driver's round-3 perf artifact
+was lost (``BENCH_r03.json`` rc=1). These tests run the real files in
+subprocesses, end to end, at ``BENCH_SMOKE=1`` tiny shapes on the CPU
+backend, so a broken ``bench.py`` or ``__graft_entry__.py`` can never ship
+again. (Lint can't catch the round-3 class of bug: a function-local
+``import sys`` after a use of the module-level ``sys`` is legal syntax.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _smoke_env() -> dict:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize gates TPU on this
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_SMOKE"] = "1"
+    return env
+
+
+def test_bench_smoke_prints_one_parseable_json_line():
+    """The exact invocation the driver makes (plus BENCH_SMOKE), asserting
+    the full output contract: rc 0, one JSON line, every headline key —
+    including the optical-flow keys new in round 4 (VERDICT r3 #2)."""
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=_smoke_env(),
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    json_lines = [
+        line for line in result.stdout.splitlines() if line.startswith("{")
+    ]
+    assert len(json_lines) == 1, result.stdout
+    record = json.loads(json_lines[0])
+
+    assert record["smoke"] is True  # never mistakable for a real measurement
+    assert record["unit"] == "examples/s/chip"
+    for key in (
+        "value",
+        "vs_baseline",
+        "step_time_ms",
+        "b32_single_dispatch_batches_per_s",
+        "perceiver_conv3d_sat_nwp_examples_per_s",
+        "perceiver_step_time_ms",
+        "perceiver_vs_baseline",
+        "flow_pairs_per_s",
+    ):
+        assert record[key] > 0, (key, record)
+    # the FLOPs subprocess ran for the conv3d family (the path that broke
+    # in round 3); on the CPU backend it must produce a numeric MFU
+    assert record["mfu"] is not None and record["mfu"] >= 0, record
+    # flow baseline keys exist (null allowed only if native kernels are off)
+    assert "flow_vs_cpu_farm" in record and "flow_host_single_core_pairs_per_s" in record
+
+
+def test_graft_entry_forward_executes():
+    """entry() must return a jittable (fn, args) whose compiled forward runs.
+    BENCH_SMOKE shrinks the flagship shapes so the CPU compile is cheap; the
+    driver runs the same code at production shapes on the real chip."""
+    code = (
+        "import __graft_entry__ as g, jax; "
+        "fn, args = g.entry(); out = jax.jit(fn)(*args); "
+        "assert out.ndim == 2, out.shape; print('ENTRY_OK', out.shape)"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_smoke_env(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "ENTRY_OK" in result.stdout
+
+
+def test_graft_entry_dryrun_multichip_two_devices():
+    """dryrun_multichip must compile+execute the full DP/fused/TP stack on a
+    virtual mesh — the artifact the driver records as MULTICHIP_r*.json."""
+    code = "import __graft_entry__ as g; g.dryrun_multichip(2)"
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_smoke_env(),
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]

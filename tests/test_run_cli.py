@@ -47,13 +47,13 @@ def test_run_cli_multirun_sweep_with_relative_data_path(tmp_path, monkeypatch, c
 
     out = capsys.readouterr().out
     assert "sweep best value:" in out
-    # the hydra-style run directory was created under the launch dir
-    assert (tmp_path / "logs").exists()
-    # hydra sweep semantics: each trial ran in its own ${hydra.job.num}
-    # subdir, so per-trial checkpoints never overwrite each other
-    run_dir = next(
-        p for p in sorted((tmp_path / "logs").rglob("0")) if p.is_dir()
-    ).parent
+    # multirun output-dir semantics (reference configs/hydra/default.yaml:
+    # hydra.sweep.dir = logs/multiruns/<ts>, subdir = ${hydra.job.num}):
+    # trials land under logs/multiruns/, NOT under the single-run dir
+    multiruns = tmp_path / "logs" / "multiruns"
+    assert multiruns.is_dir(), sorted((tmp_path / "logs").iterdir())
+    assert not (tmp_path / "logs" / "runs").exists()
+    run_dir = next(p for p in sorted(multiruns.iterdir()) if p.is_dir())
     assert (run_dir / "0").is_dir() and (run_dir / "1").is_dir()
     assert (run_dir / "0" / "checkpoints").is_dir()
     assert (run_dir / "1" / "checkpoints").is_dir()

@@ -17,7 +17,7 @@ def test_space_choices():
     assert choices["b"] == [1, 2, 3, 4]
 
 
-def test_run_sweep_finds_best(monkeypatch):
+def test_run_sweep_finds_best(monkeypatch, tmp_cwd):
     """Exhaustive sampler over a 2x2 space picks the known optimum."""
     calls = []
 
@@ -60,7 +60,7 @@ def test_run_sweep_finds_best(monkeypatch):
     assert len(trials) >= 4  # exhaustive over the 2x2 space
 
 
-def test_failed_trials_never_win(monkeypatch):
+def test_failed_trials_never_win(monkeypatch, tmp_cwd):
     """A failed (None-valued) trial must lose to ANY successful trial, even
     under maximize where None might otherwise sort above real values."""
 
@@ -89,7 +89,7 @@ def test_failed_trials_never_win(monkeypatch):
     assert len(trials) == 2 and sum(v is None for _, v in trials) == 1
 
 
-def test_all_trials_failing_returns_none(monkeypatch):
+def test_all_trials_failing_returns_none(monkeypatch, tmp_cwd):
     monkeypatch.setattr(
         "predict_pv_yield_tpu.training.pipeline.train", lambda config: None
     )
@@ -110,7 +110,7 @@ def test_all_trials_failing_returns_none(monkeypatch):
     assert len(trials) == 2
 
 
-def test_optuna_branch_with_mock(monkeypatch):
+def test_optuna_branch_with_mock(monkeypatch, tmp_cwd):
     """Exercise the TPE/optuna integration surface (create_study, TPESampler,
     study.optimize, best_params/best_value) with a mock optuna module —
     optuna itself is not installed in this image, but the branch must stay

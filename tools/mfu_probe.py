@@ -13,7 +13,12 @@ Three measured experiments on the real chip, each a jitted forward+backward
    remote-compile tunnel the client build rejects TPU scheduler flags
    (parse_flags_from_env abort), so only ``baseline`` runs there; the mode
    is kept for on-prem hosts with a full TPU client.
-(The 128-channel framework-ceiling probe lives in bench.py's round-2
+3. ``--mode perceiver``: the perceiver framework-ceiling probe (VERDICT r3
+   #3) — the flagship fused train step at production latents (24/24) and at
+   MXU-filling widths (128/64, 256/128), FLOPs from XLA cost analysis,
+   everything else production-identical. Settles whether the flagship's
+   tiny MFU is the latent width or the implementation.
+(The 128-channel conv3d framework-ceiling probe lives in bench.py's round-2
 record; ``--mode step`` re-times the full saturated step standalone.)
 
 Usage:  python tools/mfu_probe.py --mode towers
@@ -131,6 +136,124 @@ def probe_step(label: str) -> None:
                       "step_time_ms": round(step_ms, 3)}))
 
 
+PERCEIVER_WIDTHS = ((24, 24), (128, 64), (256, 128))
+
+
+def _perceiver_trainer(num_latents: int, latent_dim: int, batch: int):
+    """The bench perceiver flagship with overridable latent width — identical
+    data shapes / depth / stems to the production config, so any MFU delta
+    is purely the latent width."""
+    from bench import perceiver_configuration
+    from predict_pv_yield_tpu.data.fake import fake_batch_on_device
+    from predict_pv_yield_tpu.models.perceiver_conv3d_nwp_sat import Model
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    configuration = perceiver_configuration(batch)
+    model = Model(
+        batch_size=batch,
+        history_minutes=60,
+        forecast_minutes=30,
+        num_latents=num_latents,
+        latent_dim=latent_dim,
+        embedding_dem=0,
+        output_variable="gsp_yield",
+        conv3d_channels=8,
+        use_future_satellite_images=False,
+        depth_unroll=True,  # same form as the bench; also makes the XLA
+        # cost analysis correct (a scanned depth loop's body would be
+        # counted once, not depth times)
+    )
+    trainer = Trainer(
+        max_epochs=1, profiler=None, precision=16, prefetch_depth=1
+    )
+    batch_data = fake_batch_on_device(configuration, seed=0)
+    trainer.setup(model, batch_data)
+    return trainer, batch_data
+
+
+def _perceiver_flops(num_latents: int, latent_dim: int, batch: int) -> float | None:
+    """One training step's FLOPs from XLA cost analysis, lowered on a CPU
+    backend in a subprocess (same technique as bench._train_step_flops)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "perceiver-flops",
+         "--latents", str(num_latents), "--latent-dim", str(latent_dim),
+         "--batch", str(batch)],
+        env=env, capture_output=True, text=True, timeout=2400,
+        cwd=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."),
+    )
+    for line in result.stdout.splitlines():
+        if line.startswith("FLOPS "):
+            return float(line.split()[1])
+    print(f"WARNING: perceiver FLOPs child rc={result.returncode}; "
+          f"stderr tail: {result.stderr[-300:]!r}", file=sys.stderr)
+    return None
+
+
+def _perceiver_flops_main(num_latents: int, latent_dim: int, batch: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    trainer, batch_data = _perceiver_trainer(num_latents, latent_dim, batch)
+    device_batch = jax.device_put(
+        trainer._maybe_cast(batch_data.numeric()), trainer._batch_shard
+    )
+    lowered = trainer._compiled["train"].lower(trainer.state, device_batch)
+    analysis = lowered.compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+        analysis = analysis[0]
+    print(f"FLOPS {float(analysis['flops'])}")
+
+
+def probe_perceiver() -> None:
+    """Perceiver framework-ceiling probe (VERDICT r3 #3): is the flagship's
+    tiny MFU the 24-wide production latents padding to a sliver of the
+    128-wide MXU, or the attention/scan implementation? Same fused train
+    step, three latent widths, everything else production-identical."""
+    import jax
+
+    from bench import PERCEIVER_BATCH, STEPS_PER_EXECUTION
+
+    peak = _peak()
+    results = {}
+    for num_latents, latent_dim in PERCEIVER_WIDTHS:
+        trainer, batch = _perceiver_trainer(
+            num_latents, latent_dim, PERCEIVER_BATCH
+        )
+        device_batch = jax.device_put(
+            trainer._maybe_cast(batch.numeric()), trainer._batch_shard
+        )
+        model = trainer._model
+
+        def multi(state, device_batch):
+            def body(s, _):
+                return trainer._train_step_body(model, s, device_batch)
+
+            return jax.lax.scan(body, state, None, length=STEPS_PER_EXECUTION)
+
+        multi = jax.jit(multi, donate_argnums=0)
+        state = trainer.state
+        for _ in range(2):
+            state, metrics = multi(state, device_batch)
+        jax.device_get(metrics)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, metrics = multi(state, device_batch)
+        jax.device_get(metrics)
+        dt = (time.perf_counter() - t0) / (10 * STEPS_PER_EXECUTION)
+
+        flops = _perceiver_flops(num_latents, latent_dim, PERCEIVER_BATCH)
+        results[f"latents_{num_latents}x{latent_dim}"] = {
+            "step_time_ms": round(dt * 1e3, 3),
+            "examples_per_s": round(PERCEIVER_BATCH / dt, 1),
+            "step_tflops": round(flops / 1e12, 4) if flops else None,
+            "mfu": round(flops / dt / peak, 4) if flops else None,
+        }
+    print(json.dumps({"mode": "perceiver", "batch": PERCEIVER_BATCH, **results}))
+
+
 def probe_flags() -> None:
     """Re-exec the full-step probe under candidate XLA flag sets."""
     candidates = {
@@ -152,14 +275,24 @@ def probe_flags() -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--mode", choices=("towers", "flags", "step"),
-                        default="towers")
+    parser.add_argument(
+        "--mode",
+        choices=("towers", "flags", "step", "perceiver", "perceiver-flops"),
+        default="towers",
+    )
     parser.add_argument("--label", default="baseline")
+    parser.add_argument("--latents", type=int, default=24)
+    parser.add_argument("--latent-dim", type=int, default=24)
+    parser.add_argument("--batch", type=int, default=32)
     args = parser.parse_args()
     if args.mode == "towers":
         probe_towers()
     elif args.mode == "flags":
         probe_flags()
+    elif args.mode == "perceiver":
+        probe_perceiver()
+    elif args.mode == "perceiver-flops":
+        _perceiver_flops_main(args.latents, args.latent_dim, args.batch)
     else:
         probe_step(args.label)
 
