@@ -1277,6 +1277,7 @@ class SampledBatchDataset:
         self.length = int(length)
         self.configuration = configuration
         self.seed = seed
+        self._filler: Optional[Batch] = None
 
     def __len__(self) -> int:
         return self.length
@@ -1290,9 +1291,18 @@ class SampledBatchDataset:
         real = collate_samples(samples)
         if self.configuration is None:
             return real
-        from predict_pv_yield_tpu.data.fake import fake_batch
+        if self._filler is None:
+            # The filler exists only for shape-completeness of groups no
+            # source covers; regenerating it per index was measured at ~47%
+            # of the live-streaming batch time, so build it once (still
+            # deterministic: fixed per-dataset seed). merge never mutates
+            # it, and consumers treat batches as read-only.
+            from predict_pv_yield_tpu.data.fake import fake_batch
 
-        return merge_real_groups(fake_batch(self.configuration, rng), real)
+            self._filler = fake_batch(
+                self.configuration, np.random.default_rng((self.seed, 1 << 32))
+            )
+        return merge_real_groups(self._filler, real)
 
     def __iter__(self):
         for i in range(self.length):

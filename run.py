@@ -52,13 +52,21 @@ def main(argv=None) -> None:
     config = compose("config", overrides)
     launch_dir = os.getcwd()
 
+    # every datamodule key that names a filesystem path (incl. the
+    # zarr-stream archive/CSV paths)
+    path_keys = (
+        "data_path", "temp_path", "zarr_path", "nwp_zarr_path",
+        "hrv_zarr_path", "topo_zarr_path", "pv_csv", "pv_metadata_csv",
+        "gsp_csv",
+    )
+
     def _pin_data_paths(cfg) -> None:
         """Resolve relative datamodule paths against the LAUNCH directory
         (the hydra to_absolute_path idiom) — sweep trials re-compose from
         YAML after the chdir into the run dir, so paths that came from the
         datamodule config (not CLI) would otherwise resolve there."""
         datamodule = cfg.get("datamodule") or {}
-        for key in ("data_path", "temp_path"):
+        for key in path_keys:
             value = datamodule.get(key)
             if value and "://" not in value and not os.path.isabs(value):
                 datamodule[key] = os.path.join(launch_dir, value)
@@ -80,7 +88,7 @@ def main(argv=None) -> None:
         # from the overrides after the chdir).
         _pin_data_paths(config)
         for i, override in enumerate(overrides):
-            for key in ("datamodule.data_path=", "datamodule.temp_path="):
+            for key in (f"datamodule.{name}=" for name in path_keys):
                 if override.startswith(key):
                     value = override[len(key):]
                     if value and "://" not in value and not os.path.isabs(value):

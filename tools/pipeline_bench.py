@@ -41,6 +41,106 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _build_zarr_stream(directory: str, args):
+    """Synthetic production-shaped archives + the live-streaming datamodule
+    (VERDICT r3 #4): 2 days of 5-min 11-channel int16 satellite on a 64px
+    OSGB grid, a UKV-axis-order NWP run archive (10 variables, 3-hourly
+    inits, hourly steps, 80px grid), a PVLive GSP CSV and Passiv PV
+    power+metadata CSVs — every input group the flagship consumes, sampled
+    live per batch through data/sources.py (window sampling, freshest-NWP-
+    run selection, location-driven crops, collation)."""
+    import pandas as pd
+
+    from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+    from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+    root = os.path.join(directory, "archive")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    n_frames, grid, n_ch = 576, 64, 11
+    t0 = np.datetime64("2020-06-01T00:00", "ns")
+    times = t0 + np.arange(n_frames) * np.timedelta64(5, "m")
+    frames = rng.integers(
+        -1, 1023, size=(n_frames, n_ch, grid, grid)
+    ).astype(np.int16)
+    sat = os.path.join(root, "sat.zarr")
+    write_zarr(os.path.join(sat, "data"), frames, chunks=(16, n_ch, grid, grid))
+    write_zarr(os.path.join(sat, "time"), times, chunks=(n_frames,))
+    write_zarr(os.path.join(sat, "x"), np.arange(grid) * 2000.0 + 100_000.0,
+               chunks=(grid,))
+    write_zarr(os.path.join(sat, "y"), np.arange(grid) * 2000.0 + 500_000.0,
+               chunks=(grid,))
+
+    n_init, n_var, n_step, ngrid = 16, 10, 9, 80
+    nwp = os.path.join(root, "nwp.zarr")
+    nwp_data = rng.standard_normal(
+        (n_init, n_var, n_step, ngrid, ngrid)
+    ).astype(np.float32)
+    write_zarr(os.path.join(nwp, "data"), nwp_data,
+               chunks=(1, n_var, 3, ngrid, ngrid))
+    write_zarr(os.path.join(nwp, "init_time"),
+               np.arange(n_init, dtype=np.float64) * 3.0, chunks=(n_init,),
+               attrs={"units": "hours since 2020-06-01T00:00"})
+    write_zarr(os.path.join(nwp, "step"), np.arange(n_step, dtype=np.int32),
+               chunks=(n_step,), attrs={"units": "hours"})
+    write_zarr(os.path.join(nwp, "x"), np.arange(ngrid) * 2000.0 + 90_000.0,
+               chunks=(ngrid,))
+    write_zarr(os.path.join(nwp, "y"), np.arange(ngrid) * 2000.0 + 490_000.0,
+               chunks=(ngrid,))
+
+    gsp_times = (
+        t0 - np.timedelta64(2, "h") + np.arange(110) * np.timedelta64(30, "m")
+    )
+    rows = [
+        dict(datetime_gmt=str(t), gsp_id=gsp,
+             generation_mw=float(rng.uniform(0, cap * 0.8)), capacity_mwp=cap)
+        for t in gsp_times
+        for gsp, cap in ((101, 120.0), (102, 340.0))
+    ]
+    gsp_csv = os.path.join(root, "pvlive.csv")
+    pd.DataFrame(rows).to_csv(gsp_csv, index=False)
+
+    n_sys = 32
+    sys_ids = np.arange(7000, 7000 + n_sys)
+    pv_times = t0 - np.timedelta64(1, "h") + np.arange(600) * np.timedelta64(5, "m")
+    pv_csv = os.path.join(root, "passiv.csv")
+    pd.DataFrame({
+        "timestamp": np.repeat(pv_times.astype(str), n_sys),
+        "ss_id": np.tile(sys_ids, pv_times.size),
+        "instantaneous_power_w": rng.uniform(
+            0, 3000, size=pv_times.size * n_sys
+        ),
+    }).to_csv(pv_csv, index=False)
+    meta_csv = os.path.join(root, "passiv_meta.csv")
+    # system locations must leave room for every modality's crop: the 64px
+    # NWP crop needs ±64 km from its grid edges (x 90..248 km, y 490..648 km)
+    pd.DataFrame({
+        "ss_id": sys_ids,
+        "kwp": rng.uniform(2.0, 5.0, n_sys),
+        "x": rng.uniform(155_000.0, 183_000.0, n_sys),
+        "y": rng.uniform(555_000.0, 583_000.0, n_sys),
+    }).to_csv(meta_csv, index=False)
+
+    datamodule = ZarrStreamDataModule(
+        zarr_path=sat,
+        nwp_zarr_path=nwp,
+        nwp_image_size_pixels=64,
+        pv_csv=pv_csv,
+        pv_metadata_csv=meta_csv,
+        gsp_csv=gsp_csv,
+        batch_size=args.batch_size,
+        history_minutes=30,
+        forecast_minutes=120,
+        satellite_image_size_pixels=24,
+        n_train_data=args.steps + 8,
+        test_fraction=0.1,
+        num_workers=args.workers,
+    )
+    loader = datamodule.train_dataloader()
+    return loader.dataset, loader
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--shards", type=int, default=64)
@@ -62,11 +162,14 @@ def main() -> None:
         "workers did (netcdf_dataset.py:96-101) - 2x the bytes",
     )
     parser.add_argument(
-        "--format", choices=("raw", "netcdf"), default="raw",
+        "--format", choices=("raw", "netcdf", "zarr-stream"), default="raw",
         help="raw = native mmap shard format; netcdf = the reference's v15 "
         "per-source NetCDF batch files (h5netcdf conventions) read by "
         "NetCDFBatchDataset — the host >= device gate on the reference's "
-        "actual published on-disk format",
+        "actual published on-disk format; zarr-stream = NO prepare step: "
+        "live window sampling from synthetic production-shaped zarr/CSV "
+        "archives (satellite+NWP+PV+GSP+sun) through data/sources.py, the "
+        "ZarrStreamDataModule path (VERDICT r3 #4)",
     )
     args = parser.parse_args()
 
@@ -93,25 +196,29 @@ def main() -> None:
 
         atexit.register(_shutil.rmtree, cleanup_dir, True)
 
-    print(f"writing {args.shards} {args.format} batches to {directory} ...", file=sys.stderr)
-    for i in range(args.shards):
-        rng = np.random.default_rng(i)
-        batch = fake_batch(configuration, rng)
-        # native wire format: raw int16 satellite counts
-        raw = rng.integers(-1, 1023, size=batch.satellite.data.shape, dtype=np.int16)
-        batch = batch.replace(satellite=batch.satellite.replace(data=raw))
-        if args.format == "netcdf":
-            write_v15_batch(directory, i, batch)
-        else:
-            write_shard(directory, i, batch, fmt="raw")
-
-    if args.format == "netcdf":
-        dataset = NetCDFBatchDataset(args.shards, directory)
+    if args.format == "zarr-stream":
+        print(f"writing streaming archives to {directory} ...", file=sys.stderr)
+        dataset, loader = _build_zarr_stream(directory, args)
     else:
-        dataset = ShardDataset(n_batches=args.shards, src_path=directory)
-    loader = PrefetchingLoader(
-        dataset, num_workers=args.workers, prefetch_factor=8, shuffle=True
-    )
+        print(f"writing {args.shards} {args.format} batches to {directory} ...", file=sys.stderr)
+        for i in range(args.shards):
+            rng = np.random.default_rng(i)
+            batch = fake_batch(configuration, rng)
+            # native wire format: raw int16 satellite counts
+            raw = rng.integers(-1, 1023, size=batch.satellite.data.shape, dtype=np.int16)
+            batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+            if args.format == "netcdf":
+                write_v15_batch(directory, i, batch)
+            else:
+                write_shard(directory, i, batch, fmt="raw")
+
+        if args.format == "netcdf":
+            dataset = NetCDFBatchDataset(args.shards, directory)
+        else:
+            dataset = ShardDataset(n_batches=args.shards, src_path=directory)
+        loader = PrefetchingLoader(
+            dataset, num_workers=args.workers, prefetch_factor=8, shuffle=True
+        )
 
     from predict_pv_yield_tpu.consts import SAT_MEAN, SAT_STD
 
@@ -171,21 +278,40 @@ def main() -> None:
                     break
         dt = time.perf_counter() - t0
         value = count / dt
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        f"host pipeline batches/sec ({args.format} format, "
-                        f"{args.wire} wire, b{args.batch_size}, "
-                        f"{args.workers} threads)"
-                    ),
-                    "value": round(value, 3),
-                    "unit": "batches/s",
-                    "wire_mb_per_batch": round(nbytes / count / 1e6, 2),
-                    "host_mb_per_s": round(nbytes / dt / 1e6, 1),
-                }
+        payload = {
+            "metric": (
+                f"host pipeline batches/sec ({args.format} format, "
+                f"{args.wire} wire, b{args.batch_size}, "
+                f"{args.workers} threads)"
+            ),
+            "value": round(value, 3),
+            "unit": "batches/s",
+            "wire_mb_per_batch": round(nbytes / count / 1e6, 2),
+            "host_mb_per_s": round(nbytes / dt / 1e6, 1),
+        }
+        # device step-rate ceilings measured by bench.py (PARITY.md perf
+        # table): the host >= device gate in one number
+        device_ceilings = {32: 35.4, 128: 27.3}
+        if args.batch_size in device_ceilings:
+            payload["fraction_of_compute_ceiling"] = round(
+                value / device_ceilings[args.batch_size], 3
             )
-        )
+        if args.format == "zarr-stream":
+            # prepare-first conversion rate: the SAME extraction pipeline,
+            # but paid once — sample + write native raw shards, which then
+            # read back at the raw-format host rate (294.7 b/s, module
+            # docstring). This is the measured basis for MIGRATION.md's
+            # "no prepare step" caveat.
+            out_dir = os.path.join(directory, "prepared")
+            os.makedirs(out_dir, exist_ok=True)
+            n_conv = min(args.steps, 10)
+            t0 = time.perf_counter()
+            for i in range(n_conv):
+                write_shard(out_dir, i, dataset[i], fmt="raw")
+            payload["prepare_batches_per_s"] = round(
+                n_conv / (time.perf_counter() - t0), 3
+            )
+        print(json.dumps(payload))
         return
 
     model = flagship_model(args.batch_size)
