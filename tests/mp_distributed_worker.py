@@ -17,11 +17,15 @@ import sys
 def main() -> None:
     port = sys.argv[1]
     process_id = int(sys.argv[2])
+    # devices per process (default 4 = the 8-global-device pytest shape);
+    # __graft_entry__.dryrun_multichip passes n_devices//2 here so the
+    # driver's MULTICHIP artifact also certifies the multi-process path
+    devices_per_proc = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_num_cpu_devices", devices_per_proc)
 
     import numpy as np
 
@@ -39,10 +43,11 @@ def main() -> None:
         process_id=process_id,
     )
     assert jax.process_count() == 2, jax.process_count()
-    assert jax.local_device_count() == 4, jax.local_device_count()
-    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == devices_per_proc, jax.local_device_count()
+    total_devices = 2 * devices_per_proc
+    assert jax.device_count() == total_devices, jax.device_count()
 
-    global_batch_size = 8
+    global_batch_size = total_devices  # one example per device
     configuration = Configuration()
     configuration.process.batch_size = global_batch_size
     configuration.input_data.default_history_minutes = 30
@@ -77,12 +82,12 @@ def main() -> None:
 
     trainer = Trainer(max_epochs=1, profiler=None)
     trainer.setup(model, local_batch)
-    assert trainer.mesh.shape["data"] == 8, trainer.mesh
+    assert trainer.mesh.shape["data"] == total_devices, trainer.mesh
 
     device_batch = trainer._to_device(local_batch)
     sat = device_batch.satellite.data
     assert sat.shape[0] == global_batch_size, sat.shape
-    assert len(sat.sharding.device_set) == 8, sat.sharding
+    assert len(sat.sharding.device_set) == total_devices, sat.sharding
 
     state, metrics = trainer._compiled["train"](trainer.state, device_batch)
     nmae = float(jax.device_get(metrics["NMAE"]))
@@ -97,7 +102,7 @@ def main() -> None:
     stacked = trainer._to_device_stacked([local_batch, local_batch])
     sat2 = stacked.satellite.data
     assert sat2.shape[:2] == (2, global_batch_size), sat2.shape
-    assert len(sat2.sharding.device_set) == 8, sat2.sharding
+    assert len(sat2.sharding.device_set) == total_devices, sat2.sharding
     state, stacked_metrics = multi(trainer.state, stacked)
     scan_nmae = np.asarray(jax.device_get(stacked_metrics["NMAE"]))
     assert scan_nmae.shape == (2,) and np.isfinite(scan_nmae).all()

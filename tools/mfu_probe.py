@@ -136,7 +136,11 @@ def probe_step(label: str) -> None:
                       "step_time_ms": round(step_ms, 3)}))
 
 
-PERCEIVER_WIDTHS = ((24, 24), (128, 64), (256, 128))
+#: (num_latents, latent_dim, batch): MXU fill depends on latent width, not
+#: batch, so the wide probes shrink the batch to keep the unrolled depth's
+#: backward activations (folded_batch x latents x 4*latent_dim bf16 per FF,
+#: x19 depth) inside v5e HBM — 256/128 at b32 was measured OOM.
+PERCEIVER_WIDTHS = ((24, 24, 32), (128, 64, 16), (256, 128, 8))
 
 
 def _perceiver_trainer(num_latents: int, latent_dim: int, batch: int):
@@ -214,44 +218,51 @@ def probe_perceiver() -> None:
     step, three latent widths, everything else production-identical."""
     import jax
 
-    from bench import PERCEIVER_BATCH, STEPS_PER_EXECUTION
+    from bench import STEPS_PER_EXECUTION
 
     peak = _peak()
     results = {}
-    for num_latents, latent_dim in PERCEIVER_WIDTHS:
-        trainer, batch = _perceiver_trainer(
-            num_latents, latent_dim, PERCEIVER_BATCH
-        )
-        device_batch = jax.device_put(
-            trainer._maybe_cast(batch.numeric()), trainer._batch_shard
-        )
-        model = trainer._model
+    for num_latents, latent_dim, batch_size in PERCEIVER_WIDTHS:
+        key = f"latents_{num_latents}x{latent_dim}_b{batch_size}"
+        try:
+            trainer, batch = _perceiver_trainer(
+                num_latents, latent_dim, batch_size
+            )
+            device_batch = jax.device_put(
+                trainer._maybe_cast(batch.numeric()), trainer._batch_shard
+            )
+            model = trainer._model
 
-        def multi(state, device_batch):
-            def body(s, _):
-                return trainer._train_step_body(model, s, device_batch)
+            def multi(state, device_batch):
+                def body(s, _):
+                    return trainer._train_step_body(model, s, device_batch)
 
-            return jax.lax.scan(body, state, None, length=STEPS_PER_EXECUTION)
+                return jax.lax.scan(
+                    body, state, None, length=STEPS_PER_EXECUTION
+                )
 
-        multi = jax.jit(multi, donate_argnums=0)
-        state = trainer.state
-        for _ in range(2):
-            state, metrics = multi(state, device_batch)
-        jax.device_get(metrics)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            state, metrics = multi(state, device_batch)
-        jax.device_get(metrics)
-        dt = (time.perf_counter() - t0) / (10 * STEPS_PER_EXECUTION)
+            multi = jax.jit(multi, donate_argnums=0)
+            state = trainer.state
+            for _ in range(2):
+                state, metrics = multi(state, device_batch)
+            jax.device_get(metrics)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                state, metrics = multi(state, device_batch)
+            jax.device_get(metrics)
+            dt = (time.perf_counter() - t0) / (10 * STEPS_PER_EXECUTION)
+        except Exception as exc:  # e.g. RESOURCE_EXHAUSTED on small HBM
+            results[key] = {"error": str(exc).splitlines()[0][:200]}
+            continue
 
-        flops = _perceiver_flops(num_latents, latent_dim, PERCEIVER_BATCH)
-        results[f"latents_{num_latents}x{latent_dim}"] = {
+        flops = _perceiver_flops(num_latents, latent_dim, batch_size)
+        results[key] = {
             "step_time_ms": round(dt * 1e3, 3),
-            "examples_per_s": round(PERCEIVER_BATCH / dt, 1),
+            "examples_per_s": round(batch_size / dt, 1),
             "step_tflops": round(flops / 1e12, 4) if flops else None,
             "mfu": round(flops / dt / peak, 4) if flops else None,
         }
-    print(json.dumps({"mode": "perceiver", "batch": PERCEIVER_BATCH, **results}))
+    print(json.dumps({"mode": "perceiver", **results}))
 
 
 def probe_flags() -> None:

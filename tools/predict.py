@@ -31,6 +31,12 @@ def main() -> None:
     parser.add_argument("--data", help="prepared dataset dir (omit for fake data)")
     parser.add_argument("--n-batches", type=int, default=10)
     parser.add_argument("--out", default="forecasts.csv")
+    parser.add_argument(
+        "--nmae", action="store_true",
+        help="also print NMAE (plain mean |error|, the reference's training "
+        "metric name) against the dataset's targets — the PRED-189 scoring "
+        "path (weights/conv3d/readme.md)",
+    )
     args = parser.parse_args()
 
     import pandas as pd
@@ -113,6 +119,16 @@ def main() -> None:
                 )
     pd.DataFrame(rows).to_csv(args.out, index=False)
     print(f"wrote {len(rows)} forecasts to {args.out}")
+
+    if args.nmae:
+        # the reference's "NMAE" is plain mean |error| (base_model.py:98-103)
+        # over the target slice y[0:bs, -forecast_len:, 0]
+        errors = []
+        for y_hat, batch in zip(predictions, loader):
+            target = np.asarray(model.target(batch))
+            errors.append(np.abs(np.asarray(y_hat) - target).reshape(-1))
+        nmae = float(np.mean(np.concatenate(errors)))
+        print(f"NMAE: {nmae:.6f}")
 
 
 if __name__ == "__main__":
