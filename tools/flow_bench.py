@@ -39,13 +39,17 @@ def main() -> None:
     t, h, w = frames.shape
     pairs = t - 1
 
-    # device (XLA) rate
-    flows = flow_sequence(frames)  # compile + warm
+    # device (XLA) rate — frames device-resident across runs (kernel
+    # throughput, not tunnel re-upload; bench.py._flow_bench matches)
+    import jax.numpy as jnp
+
+    frames_device = jax.device_put(jnp.asarray(frames))
+    flows = flow_sequence(frames_device)  # compile + warm
     jax.device_get(flows)
     runs = 10
     t0 = time.perf_counter()
     for _ in range(runs):
-        flows = flow_sequence(frames)
+        flows = flow_sequence(frames_device)
     jax.device_get(flows)
     device_pairs_per_sec = runs * pairs / (time.perf_counter() - t0)
 
