@@ -10,7 +10,10 @@ Prints exactly one JSON line:
      "perceiver_mfu": ...,                     # its production config (b32)
      "flow_pairs_per_s": ..., "flow_frame_size": 256,   # Farnebäck on-device
      "flow_host_single_core_pairs_per_s": ...,          # native C++ baseline
-     "flow_vs_cpu_farm": ...}                  # device vs single-core × 8 farm
+     "flow_vs_cpu_farm": ...,                  # device vs single-core × 8 farm
+     "netcdf_host_batches_per_s": ...,  # host pipeline on the reference's
+     "netcdf_host_f16wire_batches_per_s": ...,  # opt-in f16 wire variant
+     "host_vs_device_b32": ...}         # real v15 format vs device step rate
 
 ``BENCH_SMOKE=1`` runs the identical code path at tiny shapes on whatever
 backend is active (adds ``"smoke": true`` to the line so the artifact can
@@ -103,6 +106,8 @@ PERCEIVER_BATCH = 2 if SMOKE else 32
 FLOW_FRAMES = 5 if SMOKE else 49
 FLOW_SIZE = 64 if SMOKE else 256
 FLOW_RUNS = 1 if SMOKE else 10
+HOST_SHARDS = 2 if SMOKE else 24
+HOST_STEPS = 2 if SMOKE else 96
 
 # bf16 peak FLOP/s per chip by device kind (dense MXU). Keys are matched
 # against the normalised (lowercased, space-stripped) jax device_kind —
@@ -343,6 +348,106 @@ def _flow_bench() -> dict:
     }
 
 
+def _host_pipeline_bench(b32_device_rate: float | None) -> dict:
+    """Host input-pipeline rate on the reference's real v15 NetCDF batch
+    format — the SURVEY north-star gate (host rate >= device step rate) in
+    the driver artifact itself, not just PARITY prose (VERDICT r3 weak #6).
+
+    Writes HOST_SHARDS per-source NetCDF batch files (h5netcdf conventions,
+    ``data/netcdf_writer.py``) to a tmpfs dir, then measures threaded
+    read -> schema-cached mmap decode -> host prep, everything up to the
+    device_put boundary — the same path ``tools/pipeline_bench.py --format
+    netcdf --host-only`` measures at full scale.
+
+    Two operating points, matching the Trainer's two wire configs:
+
+    * ``netcdf_host_batches_per_s`` — the DEFAULT production wire
+      (``wire_float16=False``): float32 leaves ship as-is and narrow inside
+      the jitted step on device (engine ``_maybe_cast`` docstring records
+      why — a host-side cast was the measured e2e bottleneck). Every leaf
+      is page-touched (1 byte / 4 KiB) so lazy mmap views are charged their
+      page-fault cost. This is the host >= device gate.
+    * ``netcdf_host_f16wire_batches_per_s`` — the opt-in f16 wire
+      (``wire_float16=True``, halves transfer bytes for bandwidth-starved
+      links like this dev rig's remote tunnel). Its f32->f16 cast runs on
+      host CPU, so on few-core hosts it can fall BELOW the device rate —
+      reported so the artifact is honest about that trade."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from predict_pv_yield_tpu.data.fake import fake_batch
+    from predict_pv_yield_tpu.data.loader import PrefetchingLoader
+    from predict_pv_yield_tpu.data.netcdf_reader import NetCDFBatchDataset
+    from predict_pv_yield_tpu.data.netcdf_writer import write_v15_batch
+    from predict_pv_yield_tpu.training.engine import Trainer
+
+    def _touch_pages(numeric) -> None:
+        # mmap-backed leaves defer byte flow to the consumer; fault every
+        # page in (what device_put will do) to keep the rate honest
+        for leaf in jax.tree_util.tree_leaves(numeric):
+            if isinstance(leaf, np.ndarray) and leaf.nbytes:
+                flat = (
+                    leaf.reshape(-1).view(np.uint8)
+                    if leaf.flags["C_CONTIGUOUS"]
+                    else np.ascontiguousarray(leaf).reshape(-1).view(np.uint8)
+                )
+                int(flat[::4096].sum())
+
+    configuration = flagship_configuration(B32_BATCH)
+    directory = tempfile.mkdtemp(
+        prefix="bench_netcdf_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    try:
+        for i in range(HOST_SHARDS):
+            rng = np.random.default_rng(i)
+            batch = fake_batch(configuration, rng)
+            raw = rng.integers(
+                -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
+            )
+            batch = batch.replace(satellite=batch.satellite.replace(data=raw))
+            write_v15_batch(directory, i, batch)
+
+        dataset = NetCDFBatchDataset(HOST_SHARDS, directory)
+        loader = PrefetchingLoader(
+            dataset, num_workers=8, prefetch_factor=8, shuffle=True
+        )
+        for batch in loader:  # warm page cache + thread pool + schema cache
+            break
+
+        rates = {}
+        for label, wire_f16 in (("default", False), ("f16wire", True)):
+            trainer = Trainer(
+                max_epochs=1, profiler=None, precision=16,
+                wire_float16=wire_f16,
+            )
+            count = 0
+            t0 = time.perf_counter()
+            while count < HOST_STEPS:
+                for batch in loader:
+                    prepared = trainer._wire_cast(
+                        trainer._maybe_cast(batch.numeric())
+                    )
+                    _touch_pages(prepared)
+                    count += 1
+                    if count >= HOST_STEPS:
+                        break
+            rates[label] = count / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+    return {
+        "netcdf_host_batches_per_s": round(rates["default"], 1),
+        "netcdf_host_f16wire_batches_per_s": round(rates["f16wire"], 1),
+        "host_vs_device_b32": (
+            round(rates["default"] / b32_device_rate, 2)
+            if b32_device_rate
+            else None
+        ),
+    }
+
+
 def main() -> None:
     # ---- saturated headline: b128, 8 fused steps per dispatch ----------
     trainer, batch = _make_trainer(SATURATED_BATCH)
@@ -447,6 +552,9 @@ def main() -> None:
     # ---- optical-flow headline (BASELINE.json metric #2) -----------------
     flow = _flow_bench()
 
+    # ---- host >= device gate on the real v15 NetCDF format ---------------
+    host = _host_pipeline_bench(b32_rate)
+
     print(
         json.dumps(
             {
@@ -473,6 +581,7 @@ def main() -> None:
                 ),
                 "perceiver_mfu": perceiver_mfu,
                 **flow,
+                **host,
             }
         )
     )

@@ -32,10 +32,32 @@ def load_dotenv(path: str = ".env") -> None:
             os.environ[key.strip()] = value.strip().strip("'\"")
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Opt-in-by-default persistent XLA compile cache: repeat CLI runs (and
+    the test suite's subprocess drives — this jax build does NOT read
+    JAX_COMPILATION_CACHE_DIR from the environment by itself) skip
+    recompiling unchanged programs. Disable with JAX_NO_PERSISTENT_CACHE=1."""
+    if os.environ.get("JAX_NO_PERSISTENT_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # an exotic jax build without the option must not
+        pass  # break the CLI
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
     load_dotenv()
+    _enable_persistent_compile_cache()
 
     multirun = False
     overrides = []

@@ -22,10 +22,22 @@ def main() -> None:
     # driver's MULTICHIP artifact also certifies the multi-process path
     devices_per_proc = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
+    import os
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", devices_per_proc)
+    # persistent compile cache: the parent test (and the driver's dryrun)
+    # re-runs this worker with identical programs — warm runs skip the
+    # multi-minute CPU compiles (this jax build ignores the env var alone)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
 

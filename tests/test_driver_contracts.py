@@ -57,6 +57,8 @@ def test_bench_smoke_prints_one_parseable_json_line():
         "perceiver_step_time_ms",
         "perceiver_vs_baseline",
         "flow_pairs_per_s",
+        "netcdf_host_batches_per_s",
+        "host_vs_device_b32",
     ):
         assert record[key] > 0, (key, record)
     # the FLOPs subprocess ran for the conv3d family (the path that broke

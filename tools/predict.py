@@ -39,6 +39,10 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    from run import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache()
+
     import pandas as pd
 
     from predict_pv_yield_tpu.data.loader import NetCDFDataModule
