@@ -267,7 +267,21 @@ def _flops_main(batch_size: int, family: str = "conv3d") -> None:
         trainer._maybe_cast(batch.numeric()), trainer._batch_shard
     )
     lowered = trainer._compiled["train"].lower(trainer.state, device_batch)
-    analysis = lowered.compile().cost_analysis()
+    # Pre-compile HLO cost analysis: within 1% of the post-compile count
+    # (measured conv3d b128: 2.143 vs 2.163 TF) and skips the CPU backend
+    # compile, which for the depth-unrolled perceiver program takes tens of
+    # minutes on a 1-core host — longer than this child's own timeout.
+    analysis = None
+    try:
+        analysis = lowered.cost_analysis()
+    except Exception:
+        pass
+    if not analysis or not float(
+        (analysis[0] if isinstance(analysis, (list, tuple)) else analysis).get(
+            "flops", 0.0
+        )
+    ):
+        analysis = lowered.compile().cost_analysis()
     if isinstance(analysis, (list, tuple)):
         analysis = analysis[0]
     print(f"FLOPS {float(analysis['flops'])}")

@@ -205,24 +205,51 @@ def _perceiver_flops_main(num_latents: int, latent_dim: int, batch: int) -> None
         trainer._maybe_cast(batch_data.numeric()), trainer._batch_shard
     )
     lowered = trainer._compiled["train"].lower(trainer.state, device_batch)
-    analysis = lowered.compile().cost_analysis()
+    # Pre-compile HLO cost analysis (same rationale as bench._flops_main):
+    # within 1% of post-compile and avoids a tens-of-minutes CPU compile of
+    # the depth-unrolled wide-latent programs.
+    analysis = None
+    try:
+        analysis = lowered.cost_analysis()
+    except Exception:
+        pass
+    if not analysis or not float(
+        (analysis[0] if isinstance(analysis, (list, tuple)) else analysis).get(
+            "flops", 0.0
+        )
+    ):
+        analysis = lowered.compile().cost_analysis()
     if isinstance(analysis, (list, tuple)):
         analysis = analysis[0]
     print(f"FLOPS {float(analysis['flops'])}")
 
 
-def probe_perceiver() -> None:
+def probe_perceiver(widths: str = "") -> None:
     """Perceiver framework-ceiling probe (VERDICT r3 #3): is the flagship's
     tiny MFU the 24-wide production latents padding to a sliver of the
     128-wide MXU, or the attention/scan implementation? Same fused train
-    step, three latent widths, everything else production-identical."""
+    step, three latent widths, everything else production-identical.
+
+    ``widths``: optional comma-separated ``latents x dim x batch`` filter
+    (e.g. ``"256x128x8"``) so each width can run in its own bounded
+    invocation — the wide-latent compiles are minutes each on the dev rig's
+    remote-compile tunnel, and one process running all three can outlive a
+    driver timeout."""
     import jax
 
     from bench import STEPS_PER_EXECUTION
 
+    selected = PERCEIVER_WIDTHS
+    if widths:
+        wanted = {
+            tuple(int(p) for p in w.strip().split("x"))
+            for w in widths.split(",")
+        }
+        selected = tuple(w for w in PERCEIVER_WIDTHS if w in wanted)
+
     peak = _peak()
     results = {}
-    for num_latents, latent_dim, batch_size in PERCEIVER_WIDTHS:
+    for num_latents, latent_dim, batch_size in selected:
         key = f"latents_{num_latents}x{latent_dim}_b{batch_size}"
         try:
             trainer, batch = _perceiver_trainer(
@@ -295,13 +322,14 @@ def main() -> None:
     parser.add_argument("--latents", type=int, default=24)
     parser.add_argument("--latent-dim", type=int, default=24)
     parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--widths", default="", help="latentsxdimxbatch,... filter for --mode perceiver")
     args = parser.parse_args()
     if args.mode == "towers":
         probe_towers()
     elif args.mode == "flags":
         probe_flags()
     elif args.mode == "perceiver":
-        probe_perceiver()
+        probe_perceiver(args.widths)
     elif args.mode == "perceiver-flops":
         _perceiver_flops_main(args.latents, args.latent_dim, args.batch)
     else:
