@@ -48,7 +48,7 @@ def _enable_persistent_compile_cache() -> None:
                 "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
             ),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # an exotic jax build without the option must not
         pass  # break the CLI
 

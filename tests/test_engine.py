@@ -485,12 +485,13 @@ def test_training_converges_on_fixed_batch(sharded_configuration):
     forward→grad→Adam(5e-4) path actually learns, not just runs."""
     # the full 4-layer test model: the learning gate should exercise real
     # depth, and the tiny engine-test model converges too slowly to gate on.
-    # lr 3e-3 (not the production 5e-4) so the gate needs 50 steps instead
+    # lr 5e-3 (not the production 5e-4) so the gate needs 30 steps instead
     # of 80 — the production-lr OPTIMISER is already trajectory-gated by the
-    # 8-step Adam torch parity test; this test only gates "learning happens"
+    # 8-step Adam torch parity test; this test only gates "learning happens",
+    # and each step is ~1.4s of real conv3d FLOPs on the 1-core CI host
     config = load_config("tests/configs/model/conv3d.yaml")
     batch = fake_batch(sharded_configuration, np.random.default_rng(0))
-    trainer = Trainer(max_epochs=1, profiler=None, learning_rate=3e-3)
+    trainer = Trainer(max_epochs=1, profiler=None, learning_rate=5e-3)
     model = Conv3d(**config)
     trainer.setup(model, batch)
     device_batch = trainer._to_device(batch)
@@ -502,13 +503,13 @@ def test_training_converges_on_fixed_batch(sharded_configuration):
     step = trainer._compiled["train"]
     state = trainer.state
     losses = []
-    for _ in range(50):
+    for _ in range(30):
         state, metrics = step(state, device_batch)
         losses.append(float(jax.device_get(metrics["NMAE"])))
     assert np.isfinite(losses).all()
-    # measured 0.569 at step 50 (deterministic CPU backend); 0.65 leaves
+    # measured 0.595 at step 30 (deterministic CPU backend); 0.70 leaves
     # margin for backend numerics drift while still requiring real learning
-    assert losses[-1] < 0.65 * losses[0], (losses[0], losses[-1])
+    assert losses[-1] < 0.70 * losses[0], (losses[0], losses[-1])
 
 
 def test_wire_float16_skips_coordinate_fields(sharded_configuration):

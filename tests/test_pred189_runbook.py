@@ -76,6 +76,9 @@ def synthesized_pred189_ckpt(tmp_path):
         configuration.input_data.satellite.satellite_channels
     )[: model.number_sat_channels]
     batch = fake_batch(configuration, np.random.default_rng(0))
+    # eager init on purpose: under jit the closed-over batch bakes into the
+    # HLO as constants and XLA's constant folding makes the compile ~4x
+    # slower than just running init eagerly (~9s) on the 1-core CI host
     variables = model.init(jax.random.key(189), batch)
 
     state_dict = {
@@ -110,19 +113,21 @@ def test_runbook_command_runs_verbatim(synthesized_pred189_ckpt, tmp_path):
     env.setdefault(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
     )
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     result = subprocess.run(
         command, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
     )
     assert result.returncode == 0, result.stderr[-2000:]
 
     # forecasts CSV contract: conv3d.yaml is gsp_yield at 120 forecast
-    # minutes -> batch 32, forecast_len_30 = 4, 10 batches
+    # minutes -> batch 32, forecast_len_30 = 4, 5 batches (the runbook
+    # documents 5: enough for a stable NMAE mean and half the wall time of
+    # 10 on a 1-core CI host — each PRED-189-size b32 forward is ~3s there)
     forecasts = pd.read_csv(out_csv)
     assert list(forecasts.columns) == [
         "batch_index", "example_index", "forecast_horizon", "forecast",
     ]
-    assert len(forecasts) == 10 * 32 * 4
+    assert len(forecasts) == 5 * 32 * 4
     assert np.isfinite(forecasts["forecast"]).all()
 
     # the NMAE plumbing end-to-end: printed, parseable, finite
