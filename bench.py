@@ -18,8 +18,13 @@ Prints exactly one JSON line:
 ``BENCH_SMOKE=1`` runs the identical code path at tiny shapes on whatever
 backend is active (adds ``"smoke": true`` to the line so the artifact can
 never be mistaken for a real measurement) — executed by
-``tests/test_bench_smoke.py`` and CI so this driver-facing script cannot
-ship broken (the round-3 lesson).
+``tests/test_driver_contracts.py`` and CI so this driver-facing script
+cannot ship broken (the round-3 lesson). The smoke flag only shrinks
+bench.py's OWN run: the model/configuration builders other tools import
+(``tools/serve_bench.py``, ``tools/pipeline_bench.py``, ``tools/
+mfu_probe.py``, ``__graft_entry__.py``) take an explicit ``smoke=``
+parameter defaulting to production shapes, so a leftover BENCH_SMOKE in
+the environment can never silently relabel a toy model as the flagship.
 
 Setup mirrors the reference's flagship training run (``configs/model/
 conv3d_sat_nwp.yaml``: 24 px satellite, 11 channels, 6 conv layers, 30 min
@@ -83,19 +88,17 @@ if SMOKE:
     # the smoke gate's cost is pure XLA CPU compiles, all identical
     # run-to-run, so warm gate runs skip them. Real bench runs are
     # deliberately untouched.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from predict_pv_yield_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
+#: Production steps/dispatch. Importers (tools/mfu_probe.py) rely on this
+#: being the real value regardless of BENCH_SMOKE; bench.py's own run uses
+#: _RUN_STEPS_PER_EXECUTION below.
+STEPS_PER_EXECUTION = 8
 
 SATURATED_BATCH = 4 if SMOKE else 128
-STEPS_PER_EXECUTION = 2 if SMOKE else 8
+_RUN_STEPS_PER_EXECUTION = 2 if SMOKE else STEPS_PER_EXECUTION
 # smoke needs 2 warmups: the post-step param layout triggers one more
 # compile on the second dispatch, which must not land in the measurement
 WARMUP_DISPATCHES = 2 if SMOKE else 3
@@ -125,7 +128,7 @@ _PEAK_FLOPS = {
 _DEFAULT_PEAK = 197e12  # this rig is a v5e
 
 
-def flagship_configuration(batch_size: int = 32):
+def flagship_configuration(batch_size: int = 32, smoke: bool = False):
     from predict_pv_yield_tpu.config.dataset import Configuration
 
     configuration = Configuration()
@@ -134,13 +137,13 @@ def flagship_configuration(batch_size: int = 32):
     configuration.input_data.default_forecast_minutes = 120
     configuration.input_data = configuration.input_data.set_all_to_defaults()
     configuration.input_data.satellite.satellite_image_size_pixels = (
-        12 if SMOKE else 24
+        12 if smoke else 24
     )
-    configuration.input_data.nwp.nwp_image_size_pixels = 12 if SMOKE else 64
+    configuration.input_data.nwp.nwp_image_size_pixels = 12 if smoke else 64
     return configuration
 
 
-def flagship_model(batch_size: int = 32):
+def flagship_model(batch_size: int = 32, smoke: bool = False):
     from predict_pv_yield_tpu.models.conv3d_sat_nwp import Model
 
     # configs/model/conv3d_sat_nwp.yaml hyperparameters; batch_size threads
@@ -151,22 +154,22 @@ def flagship_model(batch_size: int = 32):
         include_nwp=True,
         forecast_minutes=120,
         history_minutes=30,
-        number_of_conv3d_layers=2 if SMOKE else 6,
-        image_size_pixels=12 if SMOKE else 24,
-        nwp_image_size_pixels=12 if SMOKE else 64,
+        number_of_conv3d_layers=2 if smoke else 6,
+        image_size_pixels=12 if smoke else 24,
+        nwp_image_size_pixels=12 if smoke else 64,
         number_sat_channels=11,
         number_nwp_channels=10,
-        conv3d_channels=8 if SMOKE else 32,
-        fc1_output_features=16 if SMOKE else 128,
-        fc2_output_features=16 if SMOKE else 128,
-        fc3_output_features=16 if SMOKE else 64,
+        conv3d_channels=8 if smoke else 32,
+        fc1_output_features=16 if smoke else 128,
+        fc2_output_features=16 if smoke else 128,
+        fc3_output_features=16 if smoke else 64,
         output_variable="gsp_yield",
         include_pv_yield_history=False,
         include_future_satellite=True,
     )
 
 
-def perceiver_configuration(batch_size: int = 32):
+def perceiver_configuration(batch_size: int = 32, smoke: bool = False):
     """The reference's perceiver production data shapes: 64 px satellite AND
     NWP grids (reference ``perceiver_conv3d_nwp_sat.py:23`` params), history
     60 / forecast 30 (reference ``configs/model/perceiver_conv3d_sat_nwp.yaml``)."""
@@ -174,17 +177,17 @@ def perceiver_configuration(batch_size: int = 32):
 
     configuration = Configuration()
     configuration.process.batch_size = batch_size
-    configuration.input_data.default_history_minutes = 30 if SMOKE else 60
+    configuration.input_data.default_history_minutes = 30 if smoke else 60
     configuration.input_data.default_forecast_minutes = 30
     configuration.input_data = configuration.input_data.set_all_to_defaults()
     configuration.input_data.satellite.satellite_image_size_pixels = (
-        8 if SMOKE else 64
+        8 if smoke else 64
     )
-    configuration.input_data.nwp.nwp_image_size_pixels = 8 if SMOKE else 64
+    configuration.input_data.nwp.nwp_image_size_pixels = 8 if smoke else 64
     return configuration
 
 
-def perceiver_flagship_model(batch_size: int = 32):
+def perceiver_flagship_model(batch_size: int = 32, smoke: bool = False):
     """The reference's best model (0.0308 MAE) at its production
     hyperparameters: ``configs/model/perceiver_conv3d_sat_nwp.yaml`` —
     latents 24/24 ("batch 32 fits at latents 24/24",
@@ -193,33 +196,33 @@ def perceiver_flagship_model(batch_size: int = 32):
 
     return Model(
         batch_size=batch_size,
-        history_minutes=30 if SMOKE else 60,
+        history_minutes=30 if smoke else 60,
         forecast_minutes=30,
-        num_latents=4 if SMOKE else 24,
-        latent_dim=8 if SMOKE else 24,
+        num_latents=4 if smoke else 24,
+        latent_dim=8 if smoke else 24,
         embedding_dem=0,
         output_variable="gsp_yield",
-        conv3d_channels=4 if SMOKE else 8,
+        conv3d_channels=4 if smoke else 8,
         use_future_satellite_images=False,
         # measured 104.3 -> 75.3 ms/step: unrolling the tied depth loop lets
         # XLA CSE hoist the loop-invariant cross-attention K/V projections
         # that lax.scan recomputes every iteration (PARITY.md). Smoke keeps
         # the scanned form — unrolling only slows the CPU compile.
-        depth_unroll=not SMOKE,
+        depth_unroll=not smoke,
     )
 
 
 def _make_trainer(batch_size: int, steps_per_execution: int = 1,
-                  family: str = "conv3d"):
+                  family: str = "conv3d", smoke: bool = False):
     from predict_pv_yield_tpu.data.fake import fake_batch_on_device
     from predict_pv_yield_tpu.training.engine import Trainer
 
     if family == "perceiver":
-        configuration = perceiver_configuration(batch_size)
-        model = perceiver_flagship_model(batch_size)
+        configuration = perceiver_configuration(batch_size, smoke=smoke)
+        model = perceiver_flagship_model(batch_size, smoke=smoke)
     else:
-        configuration = flagship_configuration(batch_size)
-        model = flagship_model(batch_size)
+        configuration = flagship_configuration(batch_size, smoke=smoke)
+        model = flagship_model(batch_size, smoke=smoke)
     trainer = Trainer(
         max_epochs=1, profiler=None, precision=16, prefetch_depth=1,
         steps_per_execution=steps_per_execution,
@@ -262,7 +265,7 @@ def _train_step_flops(batch_size: int, family: str = "conv3d") -> float | None:
 
 def _flops_main(batch_size: int, family: str = "conv3d") -> None:
     jax.config.update("jax_platforms", "cpu")
-    trainer, batch = _make_trainer(batch_size, family=family)
+    trainer, batch = _make_trainer(batch_size, family=family, smoke=SMOKE)
     device_batch = jax.device_put(
         trainer._maybe_cast(batch.numeric()), trainer._batch_shard
     )
@@ -409,7 +412,7 @@ def _host_pipeline_bench(b32_device_rate: float | None) -> dict:
                 )
                 int(flat[::4096].sum())
 
-    configuration = flagship_configuration(B32_BATCH)
+    configuration = flagship_configuration(B32_BATCH, smoke=SMOKE)
     directory = tempfile.mkdtemp(
         prefix="bench_netcdf_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
@@ -464,7 +467,7 @@ def _host_pipeline_bench(b32_device_rate: float | None) -> dict:
 
 def main() -> None:
     # ---- saturated headline: b128, 8 fused steps per dispatch ----------
-    trainer, batch = _make_trainer(SATURATED_BATCH)
+    trainer, batch = _make_trainer(SATURATED_BATCH, smoke=SMOKE)
     device_batch128 = jax.device_put(
         trainer._maybe_cast(batch.numeric()), trainer._batch_shard
     )
@@ -477,7 +480,7 @@ def main() -> None:
         def body(s, _):
             return trainer._train_step_body(model, s, device_batch)
 
-        return jax.lax.scan(body, state, None, length=STEPS_PER_EXECUTION)
+        return jax.lax.scan(body, state, None, length=_RUN_STEPS_PER_EXECUTION)
 
     multi = jax.jit(multi, donate_argnums=0)
     state = trainer.state
@@ -494,7 +497,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
-    steps = MEASURE_DISPATCHES * STEPS_PER_EXECUTION
+    steps = MEASURE_DISPATCHES * _RUN_STEPS_PER_EXECUTION
     step_time_ms = dt / steps * 1000.0
     examples_per_sec = steps * SATURATED_BATCH / dt / n_chips
 
@@ -509,7 +512,7 @@ def main() -> None:
     # configs/datamodule/netcdf_datamodule_gcp.yaml) → 1.73 batches/s
     # → 55.3 examples/s.
     perceiver_trainer, perceiver_batch = _make_trainer(
-        PERCEIVER_BATCH, family="perceiver"
+        PERCEIVER_BATCH, family="perceiver", smoke=SMOKE
     )
     perceiver_device_batch = jax.device_put(
         perceiver_trainer._maybe_cast(perceiver_batch.numeric()),
@@ -521,7 +524,7 @@ def main() -> None:
         def body(s, _):
             return perceiver_trainer._train_step_body(perceiver_model, s, device_batch)
 
-        return jax.lax.scan(body, state, None, length=STEPS_PER_EXECUTION)
+        return jax.lax.scan(body, state, None, length=_RUN_STEPS_PER_EXECUTION)
 
     perceiver_multi = jax.jit(perceiver_multi, donate_argnums=0)
     pstate = perceiver_trainer.state
@@ -533,7 +536,7 @@ def main() -> None:
         pstate, pmetrics = perceiver_multi(pstate, perceiver_device_batch)
     jax.device_get(pmetrics)
     pdt = time.perf_counter() - t0
-    psteps = MEASURE_DISPATCHES * STEPS_PER_EXECUTION
+    psteps = MEASURE_DISPATCHES * _RUN_STEPS_PER_EXECUTION
     perceiver_examples_per_sec = psteps * PERCEIVER_BATCH / pdt / n_chips
     perceiver_step_ms = pdt / psteps * 1000.0
     # smoke covers the FLOPs-subprocess mechanics once (conv3d above);
@@ -548,7 +551,7 @@ def main() -> None:
         )
 
     # ---- b32 single-dispatch continuity metric --------------------------
-    trainer32, batch32 = _make_trainer(B32_BATCH)
+    trainer32, batch32 = _make_trainer(B32_BATCH, smoke=SMOKE)
     device_batch = jax.device_put(
         trainer32._maybe_cast(batch32.numeric()), trainer32._batch_shard
     )
@@ -576,7 +579,7 @@ def main() -> None:
                 "metric": (
                     "conv3d_sat_nwp train examples/s/chip "
                     f"(saturated: b{SATURATED_BATCH}, bf16, "
-                    f"{STEPS_PER_EXECUTION} steps/dispatch)"
+                    f"{_RUN_STEPS_PER_EXECUTION} steps/dispatch)"
                 ),
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s/chip",
@@ -584,7 +587,7 @@ def main() -> None:
                 "step_time_ms": round(step_time_ms, 3),
                 "mfu": mfu,
                 "batch_size": SATURATED_BATCH,
-                "steps_per_execution": STEPS_PER_EXECUTION,
+                "steps_per_execution": _RUN_STEPS_PER_EXECUTION,
                 "b32_single_dispatch_batches_per_s": round(b32_rate, 3),
                 "perceiver_conv3d_sat_nwp_examples_per_s": round(
                     perceiver_examples_per_sec, 1

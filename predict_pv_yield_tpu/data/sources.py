@@ -1302,7 +1302,29 @@ class SampledBatchDataset:
             self._filler = fake_batch(
                 self.configuration, np.random.default_rng((self.seed, 1 << 32))
             )
-        return merge_real_groups(self._filler, real)
+        merged = merge_real_groups(self._filler, real)
+        # Target yields must NEVER be the cached constant: a fixed target
+        # batch repeated every index lets the model memorise it and train
+        # loss collapses — a false "it's learning" signal. When no real
+        # source covers gsp/pv, redraw their (tiny) yield arrays from the
+        # per-index rng; the expensive imagery filler stays cached.
+        if real.gsp.gsp_yield is None and merged.gsp.gsp_yield is not None:
+            merged = merged.replace(
+                gsp=merged.gsp.replace(
+                    gsp_yield=rng.uniform(
+                        0.0, 1.0, size=merged.gsp.gsp_yield.shape
+                    ).astype(np.float32)
+                )
+            )
+        if real.pv.pv_yield is None and merged.pv.pv_yield is not None:
+            merged = merged.replace(
+                pv=merged.pv.replace(
+                    pv_yield=rng.uniform(
+                        0.0, 1.0, size=merged.pv.pv_yield.shape
+                    ).astype(np.float32)
+                )
+            )
+        return merged
 
     def __iter__(self):
         for i in range(self.length):

@@ -20,6 +20,33 @@ import predict_pv_yield_tpu
 from predict_pv_yield_tpu.parallel.mesh import is_main_process
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point jax at the shared on-disk XLA compile cache.
+
+    ONE implementation for every entrypoint (``run.py``, ``bench.py``,
+    ``__graft_entry__.py``, ``tests/conftest.py``,
+    ``tests/mp_distributed_worker.py``) — the five inline copies had
+    already diverged once (different ``min_compile_time`` floors, only one
+    honouring the opt-out). Honours ``JAX_NO_PERSISTENT_CACHE=1`` and the
+    ``JAX_COMPILATION_CACHE_DIR`` override; never raises (an exotic jax
+    build without the option must not break an entrypoint).
+    """
+    if os.environ.get("JAX_NO_PERSISTENT_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def load_config(config_file: str) -> Dict[str, Any]:
     """Open a model YAML and strip the ``_target_`` key (reference
     ``utils.py:16-32``). Relative paths resolve against the repo root."""

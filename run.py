@@ -36,21 +36,11 @@ def _enable_persistent_compile_cache() -> None:
     """Opt-in-by-default persistent XLA compile cache: repeat CLI runs (and
     the test suite's subprocess drives — this jax build does NOT read
     JAX_COMPILATION_CACHE_DIR from the environment by itself) skip
-    recompiling unchanged programs. Disable with JAX_NO_PERSISTENT_CACHE=1."""
-    if os.environ.get("JAX_NO_PERSISTENT_CACHE") == "1":
-        return
-    try:
-        import jax
+    recompiling unchanged programs. Disable with JAX_NO_PERSISTENT_CACHE=1.
+    One shared implementation for every entrypoint lives in the package."""
+    from predict_pv_yield_tpu.utils import enable_persistent_compile_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # an exotic jax build without the option must not
-        pass  # break the CLI
+    enable_persistent_compile_cache()
 
 
 def main(argv=None) -> None:

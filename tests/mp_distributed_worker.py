@@ -31,13 +31,9 @@ def main() -> None:
     # persistent compile cache: the parent test (and the driver's dryrun)
     # re-runs this worker with identical programs — warm runs skip the
     # multi-minute CPU compiles (this jax build ignores the env var alone)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", "/tmp/predict_pv_yield_tpu_xla_cache"
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from predict_pv_yield_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     import numpy as np
 

@@ -229,6 +229,31 @@ class TestZarrStreamDataModule:
         with pytest.raises(ValueError, match="test split.*test_fraction"):
             dm.val_dataloader()
 
+    def test_filler_targets_vary_per_index_without_gsp_source(self, zarr_store):
+        """The cached shape-completeness filler must NOT freeze the training
+        target: without a GSP source the (tiny) gsp/pv yield arrays are
+        redrawn per index from the per-index rng. A constant target batch
+        repeated every index lets the model memorise it and train loss
+        collapses — a false 'it's learning' signal (round-4 review)."""
+        from predict_pv_yield_tpu.data.loader import ZarrStreamDataModule
+
+        store, _ = zarr_store
+        dm = ZarrStreamDataModule(
+            zarr_path=store, batch_size=2, history_minutes=30,
+            forecast_minutes=30, satellite_image_size_pixels=8,
+            n_train_data=2, n_val_data=1, num_workers=1, test_fraction=0.0,
+        )
+        batches = list(dm.train_dataloader())
+        y0 = np.asarray(batches[0].gsp.gsp_yield)
+        y1 = np.asarray(batches[1].gsp.gsp_yield)
+        assert not np.array_equal(y0, y1), "filler target frozen across indices"
+        p0 = np.asarray(batches[0].pv.pv_yield)
+        p1 = np.asarray(batches[1].pv.pv_yield)
+        assert not np.array_equal(p0, p1), "filler pv_yield frozen across indices"
+        # still deterministic per index across epochs
+        again = list(dm.train_dataloader())
+        np.testing.assert_array_equal(y0, np.asarray(again[0].gsp.gsp_yield))
+
 
 class TestZarrStreamNWP:
     def test_streams_real_nwp_grids(self, zarr_store, tmp_path):

@@ -246,6 +246,14 @@ def probe_perceiver(widths: str = "") -> None:
             for w in widths.split(",")
         }
         selected = tuple(w for w in PERCEIVER_WIDTHS if w in wanted)
+        unknown = wanted - set(PERCEIVER_WIDTHS)
+        if unknown or not selected:
+            # A typo'd width must error, not print an empty success artifact
+            # the driver would record as a pass.
+            raise SystemExit(
+                f"--widths entries {sorted(unknown)} match no PERCEIVER_WIDTHS "
+                f"row; valid: {['x'.join(map(str, w)) for w in PERCEIVER_WIDTHS]}"
+            )
 
     peak = _peak()
     results = {}

@@ -149,6 +149,13 @@ def main() -> None:
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--dir", default=None, help="shard dir (default: tmpfs)")
     parser.add_argument(
+        "--device-ceiling", type=float, default=None,
+        help="device train-step rate (batches/s) to compare the host rate "
+        "against — measure it with bench.py on YOUR device; without it the "
+        "fraction falls back to this repo's recorded v5e reference numbers "
+        "and is labelled as such",
+    )
+    parser.add_argument(
         "--host-only", action="store_true",
         help="measure the host pipeline alone (shard read -> decode -> "
         "transfer-ready), no device: isolates the framework from the "
@@ -289,12 +296,24 @@ def main() -> None:
             "wire_mb_per_batch": round(nbytes / count / 1e6, 2),
             "host_mb_per_s": round(nbytes / dt / 1e6, 1),
         }
-        # device step-rate ceilings measured by bench.py (PARITY.md perf
-        # table): the host >= device gate in one number
-        device_ceilings = {32: 35.4, 128: 27.3}
-        if args.batch_size in device_ceilings:
+        # The host >= device gate in one number. A live ceiling comes from
+        # --device-ceiling (bench.py's b32 rate on the actual device); the
+        # fallback constants are THIS repo's recorded v5e reference rates
+        # (PARITY.md perf table) and are labelled so a stale/foreign-device
+        # fraction can't masquerade as a live measurement.
+        reference_ceilings = {32: 35.4, 128: 27.3}  # bench.py, TPU v5e, round 4
+        if args.device_ceiling:
             payload["fraction_of_compute_ceiling"] = round(
-                value / device_ceilings[args.batch_size], 3
+                value / args.device_ceiling, 3
+            )
+            payload["device_ceiling_source"] = "--device-ceiling (measured)"
+        elif args.batch_size in reference_ceilings:
+            payload["fraction_of_compute_ceiling"] = round(
+                value / reference_ceilings[args.batch_size], 3
+            )
+            payload["device_ceiling_source"] = (
+                "recorded v5e reference (bench.py round 4); pass "
+                "--device-ceiling for your device"
             )
         if args.format == "zarr-stream":
             # prepare-first conversion rate: the SAME extraction pipeline,
