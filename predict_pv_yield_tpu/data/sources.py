@@ -1255,14 +1255,21 @@ class SampledBatchDataset:
     ``(seed, i)`` — deterministic per index across epochs and prefetch
     workers — collates them, and (when ``configuration`` is given) overlays
     them onto a synthetic shape-complete batch via :func:`merge_real_groups`.
-    A class-level lock serialises sampling across ALL instances: train and
-    val datasets share the same generator/sources (whose fallback rngs are
-    not thread-safe), and mid-epoch validation overlaps the two prefetch
-    pools; zlib/blosc chunk decompression releases the GIL anyway, so
-    prefetch overlap with device compute is preserved.
-    """
 
-    _lock = threading.Lock()  # shared: one process-wide sampling section
+    Sampling is LOCK-FREE and safe under concurrent ``__getitem__`` from
+    multiple prefetch threads (the reference ran this stage with 8-24
+    DataLoader worker processes — experiments/001:72-74 — so the native
+    path must parallelise too). The argument: every random draw flows from
+    the per-index rng created here and threaded through
+    ``SampleGenerator.sample`` → ``DataSource.get_sample(rng=...)`` — the
+    sources' fallback ``self.rng`` streams are never touched on this path
+    (they exist only for direct no-rng calls); zarr chunk reads go through
+    :class:`~predict_pv_yield_tpu.data.zarr_reader.ZarrArray`, whose LRU
+    chunk cache is internally lock-protected; and collate/merge are pure.
+    The only instance mutation is the lazy filler build below, guarded by
+    its own lock. zlib/blosc decompression releases the GIL, so threads
+    genuinely overlap on multi-core hosts.
+    """
 
     def __init__(
         self,
@@ -1278,6 +1285,7 @@ class SampledBatchDataset:
         self.configuration = configuration
         self.seed = seed
         self._filler: Optional[Batch] = None
+        self._filler_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.length
@@ -1286,8 +1294,7 @@ class SampledBatchDataset:
         if not 0 <= index < self.length:
             raise IndexError(index)
         rng = np.random.default_rng((self.seed, index))
-        with self._lock:
-            samples = self.generator.sample(self.batch_size, rng=rng)
+        samples = self.generator.sample(self.batch_size, rng=rng)
         real = collate_samples(samples)
         if self.configuration is None:
             return real
@@ -1296,12 +1303,16 @@ class SampledBatchDataset:
             # source covers; regenerating it per index was measured at ~47%
             # of the live-streaming batch time, so build it once (still
             # deterministic: fixed per-dataset seed). merge never mutates
-            # it, and consumers treat batches as read-only.
-            from predict_pv_yield_tpu.data.fake import fake_batch
+            # it, and consumers treat batches as read-only. The lock only
+            # guards this one lazy build; sampling itself is lock-free.
+            with self._filler_lock:
+                if self._filler is None:
+                    from predict_pv_yield_tpu.data.fake import fake_batch
 
-            self._filler = fake_batch(
-                self.configuration, np.random.default_rng((self.seed, 1 << 32))
-            )
+                    self._filler = fake_batch(
+                        self.configuration,
+                        np.random.default_rng((self.seed, 1 << 32)),
+                    )
         merged = merge_real_groups(self._filler, real)
         # Target yields must NEVER be the cached constant: a fixed target
         # batch repeated every index lets the model memorise it and train
