@@ -47,12 +47,17 @@ class PrefetchingLoader:
     """
 
     def __init__(self, dataset, num_workers: int = 4, prefetch_factor: int = 4,
-                 shuffle: bool = False, seed: int = 0):
+                 shuffle: bool = False, seed: int = 0, transform=None):
         self.dataset = dataset
         self.num_workers = max(0, num_workers)
         self.prefetch_factor = max(1, prefetch_factor)
         self.shuffle = shuffle
         self.seed = seed
+        #: Optional per-batch callable applied IN the worker threads —
+        #: host-side work placed here (e.g. the engine's f16 wire cast)
+        #: parallelises across workers and overlaps the training loop,
+        #: instead of serialising on the consumer thread.
+        self.transform = transform
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -68,9 +73,11 @@ class PrefetchingLoader:
     def __iter__(self) -> Iterator[Batch]:
         indices = self._order()
         self._epoch += 1
+        transform = self.transform
         if self.num_workers == 0:
             for i in indices:
-                yield self.dataset[i]
+                item = self.dataset[i]
+                yield transform(item) if transform is not None else item
             return
 
         results: dict = {}
@@ -88,6 +95,8 @@ class PrefetchingLoader:
                     return
                 try:
                     batch = self.dataset[i]
+                    if transform is not None:
+                        batch = transform(batch)
                 except Exception as exc:  # propagate to the consumer
                     with results_lock:
                         results[pos] = exc

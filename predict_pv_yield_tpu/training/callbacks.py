@@ -33,9 +33,23 @@ class Callback:
 
     def on_fit_end(self, engine, model) -> None: ...
 
+    # Checkpointable callback state (Lightning's ``state_dict`` /
+    # ``load_state_dict`` callback hooks): saved in every checkpoint's
+    # ``loop.json`` so resume restores early-stop patience, best-k
+    # bookkeeping, etc. exactly (SURVEY §5.4; gate in tests/test_engine.py).
+    def state_dict(self) -> Dict:
+        return {}
 
-def _save_state(path: str, state) -> None:
-    """Persist a TrainState with orbax; fall back to flax msgpack bytes."""
+    def load_state_dict(self, state: Dict) -> None:
+        pass
+
+
+def _save_state(path: str, state, loop: Optional[Dict] = None) -> None:
+    """Persist a TrainState with orbax; fall back to flax msgpack bytes.
+
+    ``loop`` (engine loop counters + callback states, ``Trainer.loop_state``)
+    is written alongside as ``loop.json`` so resume is exact, not just
+    parameter-restoring."""
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -51,6 +65,18 @@ def _save_state(path: str, state) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "state.msgpack"), "wb") as fh:
             fh.write(serialization.to_bytes(state))
+    if loop is not None:
+        with open(os.path.join(path, "loop.json"), "w") as fh:
+            json.dump(loop, fh)
+
+
+def load_loop_state(path: str) -> Optional[Dict]:
+    """Read a checkpoint's ``loop.json`` (None for pre-loop checkpoints)."""
+    loop_path = os.path.join(os.path.abspath(path), "loop.json")
+    if not os.path.exists(loop_path):
+        return None
+    with open(loop_path) as fh:
+        return json.load(fh)
 
 
 def load_state(path: str, abstract_state):
@@ -64,14 +90,33 @@ def load_state(path: str, abstract_state):
             return serialization.from_bytes(abstract_state, fh.read())
     import jax
     import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # The state's mesh (from any mesh-sharded leaf). A fresh TrainState's
+    # optax scalars (e.g. the Adam step counter) sit UNCOMMITTED on the
+    # default device — jit relocates them silently — but every restored
+    # array is COMMITTED, so restoring a scalar to its single device while
+    # params restore to the mesh would poison the next train step with a
+    # mixed-device-set error. Restore such leaves replicated on the mesh.
+    mesh = None
+    for leaf in jax.tree.leaves(abstract_state):
+        sharding = getattr(leaf, "sharding", None)
+        if isinstance(sharding, NamedSharding):
+            mesh = sharding.mesh
+            break
 
     def as_abstract(x):
-        if isinstance(x, jax.Array):
+        if hasattr(x, "shape"):
+            sharding = getattr(x, "sharding", None)
+            if not isinstance(sharding, NamedSharding):
+                sharding = (
+                    NamedSharding(mesh, PartitionSpec())
+                    if mesh is not None
+                    else None
+                )
             # restore straight into the target's sharding (replicated params
             # AND tensor-parallel shards land where they belong)
-            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
-        if hasattr(x, "shape"):
-            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
         return x
 
     abstract = jax.tree.map(as_abstract, abstract_state)
@@ -117,9 +162,10 @@ class ModelCheckpoint(Callback):
         score = metrics.get(self.monitor)
         epoch = engine.current_epoch
         os.makedirs(self.dirpath, exist_ok=True)
+        loop = getattr(engine, "loop_state", lambda: None)()
 
         if self.save_last:
-            _save_state(os.path.join(self.dirpath, "last"), engine.state)
+            _save_state(os.path.join(self.dirpath, "last"), engine.state, loop)
 
         if score is None or (isinstance(score, float) and math.isnan(score)):
             return
@@ -141,7 +187,7 @@ class ModelCheckpoint(Callback):
                 while f"{path}-v{version}" in taken:
                     version += 1
                 path = f"{path}-v{version}"
-            _save_state(path, engine.state)
+            _save_state(path, engine.state, loop)
             with open(os.path.join(path, "monitor.json"), "w") as fh:
                 json.dump({"monitor": self.monitor, "score": score, "epoch": epoch}, fh)
             self.best_k.append((score, path))
@@ -153,6 +199,18 @@ class ModelCheckpoint(Callback):
             self.best_model_score, self.best_model_path = self.best_k[0]
             if self.verbose:
                 log.info("checkpoint %s: %s=%.6f", path, self.monitor, score)
+
+    def state_dict(self) -> Dict:
+        return {
+            "best_k": [[s, p] for s, p in self.best_k],
+            "best_model_path": self.best_model_path,
+            "best_model_score": self.best_model_score,
+        }
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.best_k = [(float(s), str(p)) for s, p in state.get("best_k", [])]
+        self.best_model_path = state.get("best_model_path", "")
+        self.best_model_score = state.get("best_model_score")
 
 
 class EarlyStopping(Callback):
@@ -198,3 +256,10 @@ class EarlyStopping(Callback):
                     self.patience,
                 )
                 engine.should_stop = True
+
+    def state_dict(self) -> Dict:
+        return {"best": self.best, "wait": self.wait}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.best = state.get("best")
+        self.wait = int(state.get("wait", 0))

@@ -64,6 +64,16 @@ from predict_pv_yield_tpu.validation import (
 log = logging.getLogger(__name__)
 
 
+def _drop_first_batches(loader, k: int):
+    """Iterate ``loader`` skipping its first ``k`` batches (mid-epoch
+    resume fast-forward; deterministic loaders make this exact)."""
+    it = iter(loader)
+    for _ in range(k):
+        if next(it, None) is None:
+            return
+    yield from it
+
+
 def _as_logger_collection(logger) -> LoggerCollection:
     if logger is None:
         return LoggerCollection([])
@@ -157,7 +167,14 @@ class Trainer:
         self.wire_float16 = wire_float16
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
-        self.callbacks = list(callbacks or [])
+        # Checkpoint callbacks run LAST (Lightning's callback ordering): a
+        # ModelCheckpoint snapshots every other callback's state_dict() into
+        # the checkpoint's loop.json, so e.g. EarlyStopping must have seen
+        # this validation's metrics before the save for resume to be exact.
+        self.callbacks = sorted(
+            list(callbacks or []),
+            key=lambda cb: isinstance(cb, ModelCheckpoint),
+        )
         self.logger = _as_logger_collection(logger)
         self.precision = precision
         self.fast_dev_run = bool(fast_dev_run)
@@ -234,6 +251,12 @@ class Trainer:
         self.current_epoch = 0
         self.global_step = 0
         self._last_val_step = -1  # global_step at the most recent mid-epoch val
+        self._epoch_start_step = 0  # global_step when the current epoch began
+        self._in_train_epoch = False  # True while inside _train_epoch (so a
+        # mid-epoch checkpoint records its position for exact resume)
+        self._fit_start_epoch = 0  # first epoch fit() runs (resume sets it)
+        self._resume_skip_batches = 0  # batches of the resumed epoch already
+        # trained before the checkpoint was written (mid-epoch resume)
         self.should_stop = False
         self.sanity_checking = False
         self.state: Optional[TrainState] = None
@@ -356,6 +379,8 @@ class Trainer:
         )
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
+        if self.wire_float16 == "auto":
+            self.wire_float16 = self._resolve_wire_auto(example_batch)
 
         variables = self._init_params(model, example)
         from predict_pv_yield_tpu.utils import count_parameters
@@ -387,6 +412,7 @@ class Trainer:
 
         if self.resume_from_checkpoint:
             self.state = load_state(self.resume_from_checkpoint, self.state)
+            self._restore_loop_state(self.resume_from_checkpoint)
             log.info("resumed from %s", self.resume_from_checkpoint)
 
         self._compiled = {
@@ -395,6 +421,64 @@ class Trainer:
         }
         if self.steps_per_execution > 1:
             self._compiled["train_multi"] = self._build_multi_train_step(model)
+
+    # ------------------------------------------------------------------
+    def loop_state(self) -> Dict[str, Any]:
+        """Loop counters + callback states for exact resume (saved as a
+        checkpoint's ``loop.json``). The Lightning analog is the epoch /
+        global_step / callback entries of a ``.ckpt``; first-party gate:
+        tests/test_engine.py resume-exactness tests."""
+        return {
+            "epoch": self.current_epoch,
+            "global_step": self.global_step,
+            "epoch_start_step": self._epoch_start_step,
+            # True when the checkpoint was written by a mid-epoch validation
+            # (val_check_interval) — resume then re-enters the SAME epoch and
+            # skips the batches already trained, instead of moving on
+            "mid_epoch": self._in_train_epoch,
+            "last_val_step": self._last_val_step,
+            # duck-typed callbacks (anything with the hook methods works)
+            # may not subclass Callback — treat them as stateless
+            "callbacks": [
+                {
+                    "class": type(cb).__name__,
+                    "state": cb.state_dict() if hasattr(cb, "state_dict") else {},
+                }
+                for cb in self.callbacks
+            ],
+        }
+
+    def _restore_loop_state(self, checkpoint_path: str) -> None:
+        """Apply a checkpoint's ``loop.json`` so training continues exactly
+        where it stopped. Checkpoints without one (foreign/converted) keep
+        the old params-only resume semantics."""
+        from predict_pv_yield_tpu.training.callbacks import load_loop_state
+
+        loop = load_loop_state(checkpoint_path)
+        if loop is None:
+            return
+        self.current_epoch = int(loop["epoch"])
+        self.global_step = int(loop["global_step"])
+        self._last_val_step = int(loop.get("last_val_step", -1))
+        if loop.get("mid_epoch"):
+            self._fit_start_epoch = self.current_epoch
+            self._resume_skip_batches = self.global_step - int(
+                loop.get("epoch_start_step", self.global_step)
+            )
+        else:
+            self._fit_start_epoch = self.current_epoch + 1
+            self._resume_skip_batches = 0
+        saved = loop.get("callbacks", [])
+        for cb, entry in zip(self.callbacks, saved):
+            if type(cb).__name__ == entry.get("class") and hasattr(
+                cb, "load_state_dict"
+            ):
+                cb.load_state_dict(entry.get("state", {}))
+            else:  # pragma: no cover - config changed between save and resume
+                log.warning(
+                    "resume: callback %s does not match saved %s; skipping",
+                    type(cb).__name__, entry.get("class"),
+                )
 
     def _log_weights_summary(self, variables) -> None:
         """Per-module parameter-count table at setup (Lightning
@@ -632,9 +716,13 @@ class Trainer:
 
     def _wire_cast(self, numeric):
         """Optional f32→f16 narrowing of host leaves before transfer
-        (``wire_float16``); models upcast on device."""
+        (``wire_float16``); models upcast on device. Idempotent: leaves a
+        loader-side pre-cast batch (``_offload_wire_cast``) untouched."""
         if not self.wire_float16:
             return numeric
+        return self._wire_cast_tree(numeric)
+
+    def _wire_cast_tree(self, numeric):
         import jax.tree_util as jtu
 
         def cast(path, leaf):
@@ -647,6 +735,64 @@ class Trainer:
             return leaf.astype(np.float16)
 
         return jtu.tree_map_with_path(cast, numeric)
+
+    def _resolve_wire_auto(self, example: Batch) -> bool:
+        """Measured auto-selection for ``wire_float16="auto"``: ship the
+        example batch both ways and keep the f16 wire only when cast +
+        half-width transfer actually beats the plain f32 transfer. The
+        f32→f16 cast costs host CPU; on a few-core host it can exceed the
+        halved-transfer win (BENCH_r04 measured 25.0 vs 35.4 host batches/s)
+        — so the choice is probed on THIS rig, not assumed."""
+        if jax.process_count() > 1:
+            # the probe's plain device_put doesn't model the multi-host
+            # assembly path; be conservative rather than mis-measure
+            return False
+        numeric = example.numeric()
+        jax.block_until_ready(jax.device_put(numeric, self._batch_shard))
+
+        def ship(prep):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(prep(), self._batch_shard))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_f32 = ship(lambda: numeric)
+        t_f16 = ship(lambda: self._wire_cast_tree(numeric))
+        keep = t_f16 < t_f32
+        log.info(
+            "wire_float16=auto: f32 ship %.1f ms vs f16 cast+ship %.1f ms "
+            "-> f16 wire %s", t_f32 * 1e3, t_f16 * 1e3, "ON" if keep else "OFF",
+        )
+        return keep
+
+    def _offload_wire_cast(self, *loaders) -> None:
+        """Move the f16 wire cast into ``PrefetchingLoader`` worker threads.
+
+        On the consumer thread the cast serialises with everything else; in
+        the loader workers it parallelises and overlaps the train loop (the
+        reference's pin-memory DataLoader did its cast in workers the same
+        way). ``_wire_cast`` in ``_to_device`` then no-ops on the already-f16
+        leaves. Installed per-fit from THIS trainer's wire config; an
+        engine-installed transform on a reused loader is replaced, a
+        user-owned transform is left alone."""
+        for loader in loaders:
+            if loader is None or not hasattr(loader, "transform"):
+                continue
+            current = loader.transform
+            if current is not None and not getattr(
+                current, "_engine_wire_cast", False
+            ):
+                continue
+            if self.wire_float16:
+                def cast_batch(batch, _self=self):
+                    return _self._wire_cast_tree(batch)
+
+                cast_batch._engine_wire_cast = True
+                loader.transform = cast_batch
+            else:
+                loader.transform = None
 
     def _to_device_stacked(self, hosts: List[Batch]):
         """k host batches → one (k, B, ...) device pytree, batch axis sharded
@@ -847,6 +993,7 @@ class Trainer:
         if self.state is None:
             self.setup(model, self._example_batch(train_loader))
         model = self._model
+        self._offload_wire_cast(train_loader, val_loader)
 
         if self.jax_trace and is_main_process():
             jax.profiler.start_trace("jax_trace")
@@ -863,7 +1010,9 @@ class Trainer:
 
         max_epochs = 1 if self.fast_dev_run else self.max_epochs
         try:
-            for epoch in range(max_epochs):
+            # resume continues from the checkpointed epoch (loop.json);
+            # a fresh fit starts at 0
+            for epoch in range(self._fit_start_epoch, max_epochs):
                 self.current_epoch = epoch
                 if (
                     self.reload_dataloaders_every_epoch
@@ -988,9 +1137,26 @@ class Trainer:
         self._last_val_step = self.global_step
 
     def _train_epoch(self, loader, val_loader=None) -> Dict[str, float]:
+        try:
+            self._in_train_epoch = True
+            return self._train_epoch_inner(loader, val_loader)
+        finally:
+            self._in_train_epoch = False
+
+    def _train_epoch_inner(self, loader, val_loader=None) -> Dict[str, float]:
         step_fn = self._compiled["train"]
         device_metrics: List[Dict] = []
+        # Mid-epoch resume: the first epoch after restore re-enters the
+        # interrupted epoch and skips the batches already trained (exact for
+        # deterministic loaders; gate in tests/test_engine.py). One-shot.
+        skip = self._resume_skip_batches
+        self._resume_skip_batches = 0
+        self._epoch_start_step = self.global_step - skip
         limit = self._resolve_limit(self.limit_train_batches, loader)
+        if skip and limit is not None:
+            # limit_train_batches bounds the WHOLE epoch — already-trained
+            # batches count against it
+            limit = max(limit - skip, 0)
         if self.max_steps is not None:
             remaining = self.max_steps - self.global_step
             if remaining <= 0:
@@ -1022,7 +1188,11 @@ class Trainer:
             else:
                 val_every = int(vi)
 
-        batches_done = 0
+        if skip:
+            loader = _drop_first_batches(loader, skip)
+        # start the counter at the resume position so int val_check_interval
+        # bucket boundaries land exactly where the uninterrupted run's would
+        batches_done = skip
         if self.steps_per_execution > 1 and not self.fast_dev_run:
             multi_fn = self._compiled["train_multi"]
             for hosts, device, is_group in self._iter_batch_groups(loader, limit):
@@ -1244,6 +1414,7 @@ class Trainer:
         if self.state is None:
             self.setup(model, self._example_batch(val_loader))
         model = self._model
+        self._offload_wire_cast(val_loader)
         metrics = self._eval_epoch(model, val_loader, tag="Validation")
         for cb in self.callbacks:
             cb.on_validation_epoch_end(self, model, metrics)
@@ -1262,6 +1433,7 @@ class Trainer:
         if self.state is None:
             self.setup(model, self._example_batch(loader))
         model = self._model
+        self._offload_wire_cast(loader)
         return self._eval_epoch(model, loader, tag="Test")
 
     def predict(self, model=None, dataloaders=None):

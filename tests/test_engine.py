@@ -530,3 +530,135 @@ def test_wire_float16_skips_coordinate_fields(sharded_configuration):
     for leaf in jtu.tree_leaves(cast):
         if isinstance(leaf, np.ndarray) and leaf.dtype == np.float16:
             assert np.isfinite(leaf).all()
+
+
+def _state_arrays(state):
+    """All params + optimiser-state leaves as host numpy arrays."""
+    return [
+        np.asarray(jax.device_get(leaf))
+        for leaf in jax.tree_util.tree_leaves((state.params, state.opt_state))
+        if hasattr(leaf, "shape")
+    ]
+
+
+def _assert_states_identical(state_a, state_b):
+    """Params, Adam first/second moments, and the optimiser step counter
+    must be BIT-identical — resume is exact, not approximately-restored."""
+    leaves_a, leaves_b = _state_arrays(state_a), _state_arrays(state_b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(la, lb)
+    assert int(state_a.step) == int(state_b.step)
+
+
+def test_resume_exactness_epoch_boundary(configuration_conv3d, tmp_cwd):
+    """Train 4 epochs uninterrupted vs train 2, kill, resume from the `last`
+    checkpoint, train the remaining 2: final params, Adam moments, step
+    counters, epoch counter, and EarlyStopping/ModelCheckpoint callback
+    state must be bit-identical. The reference leaned on Lightning for this
+    (reference configs/trainer/all_params.yaml:39 resume_from_checkpoint +
+    SURVEY §5.4); a first-party engine must prove it itself."""
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=configuration_conv3d, length=3)
+
+    def fit(max_epochs, ckpt_dir, resume=None):
+        ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / ckpt_dir), save_last=True)
+        es = EarlyStopping(patience=100)
+        trainer = Trainer(
+            max_epochs=max_epochs, profiler=None,
+            callbacks=[es, ckpt], resume_from_checkpoint=resume,
+        )
+        trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+        return trainer, ckpt, es
+
+    full, ckpt_full, es_full = fit(4, "full")
+
+    part, ckpt_part, _ = fit(2, "part")
+    resumed, _, es_resumed = fit(
+        4, "resumed", resume=os.path.join(str(tmp_cwd / "part"), "last")
+    )
+
+    assert part.global_step == 6  # 2 epochs x 3 batches actually ran
+    assert resumed.global_step == full.global_step == 12
+    assert resumed.current_epoch == full.current_epoch == 3
+    _assert_states_identical(full.state, resumed.state)
+    # callback state survived the round-trip: EarlyStopping saw the same
+    # validation history as the uninterrupted run
+    assert es_resumed.state_dict() == es_full.state_dict()
+
+
+def test_resume_exactness_mid_epoch(configuration_conv3d, tmp_cwd):
+    """A checkpoint written by a MID-epoch validation (val_check_interval)
+    resumes into the SAME epoch, skips exactly the batches already trained,
+    and reproduces the uninterrupted run bit-for-bit — including the
+    mid-epoch validation cadence after the resume point."""
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=configuration_conv3d, length=6)
+
+    def fit(ckpt_dir, max_steps=None, resume=None):
+        ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / ckpt_dir), save_last=True)
+        trainer = Trainer(
+            max_epochs=1, profiler=None, val_check_interval=3,
+            max_steps=max_steps, callbacks=[ckpt], resume_from_checkpoint=resume,
+        )
+        trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+        return trainer
+
+    full = fit("full")
+
+    # interrupted at batch 3: the val_check_interval=3 validation fires
+    # mid-epoch, writes `last`, then max_steps stops training
+    part = fit("part", max_steps=3)
+    assert part.global_step == 3
+
+    resumed = fit(
+        "resumed", resume=os.path.join(str(tmp_cwd / "part"), "last")
+    )
+    assert resumed.current_epoch == full.current_epoch == 0
+    assert resumed.global_step == full.global_step == 6
+    _assert_states_identical(full.state, resumed.state)
+
+
+def test_wire_float16_auto_resolves_by_measurement(sharded_configuration, tmp_cwd):
+    """``wire_float16="auto"`` probes cast+f16-ship vs plain f32-ship on the
+    example batch at setup and resolves to a bool — the f16 wire trap
+    (host cast cost silently breaking host >= device on a few-core rig)
+    becomes a per-rig measured decision."""
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=1)
+    trainer = Trainer(max_epochs=1, profiler=None, wire_float16="auto")
+    metrics = trainer.fit(Conv3d(**config), train_dataloaders=ds)
+    assert isinstance(trainer.wire_float16, bool)
+    assert np.isfinite(metrics["NMAE/Train_epoch"])
+
+
+def test_wire_cast_offloads_to_loader_workers(sharded_configuration, tmp_cwd):
+    """With a PrefetchingLoader, the f16 wire cast runs in the loader's
+    worker threads (parallel + overlapped), not serialised on the consumer
+    thread; a trainer with the wire off removes an engine-installed
+    transform from a reused loader, and a user-owned transform is kept."""
+    from predict_pv_yield_tpu.data.loader import PrefetchingLoader
+
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=sharded_configuration, length=2)
+    loader = PrefetchingLoader(ds, num_workers=2, prefetch_factor=2)
+
+    trainer_on = Trainer(max_epochs=1, profiler=None, wire_float16=True)
+    metrics = trainer_on.fit(Conv3d(**config), train_dataloaders=loader)
+    assert np.isfinite(metrics["NMAE/Train_epoch"])
+    assert loader.transform is not None
+    assert getattr(loader.transform, "_engine_wire_cast", False)
+    # the installed transform narrows data leaves but not OSGB coordinates
+    cast = loader.transform(ds[0])
+    assert cast.satellite.data.dtype == np.float16
+    assert cast.satellite.x.dtype == np.float32
+
+    trainer_off = Trainer(max_epochs=1, profiler=None, wire_float16=False)
+    trainer_off.fit(Conv3d(**config), train_dataloaders=loader)
+    assert loader.transform is None
+
+    user_fn = lambda b: b
+    loader.transform = user_fn
+    trainer_on2 = Trainer(max_epochs=1, profiler=None, wire_float16=True)
+    trainer_on2.fit(Conv3d(**config), train_dataloaders=loader)
+    assert loader.transform is user_fn
