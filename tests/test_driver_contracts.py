@@ -66,6 +66,27 @@ def test_bench_smoke_prints_one_parseable_json_line():
     assert record["mfu"] is not None and record["mfu"] >= 0, record
     # flow baseline keys exist (null allowed only if native kernels are off)
     assert "flow_vs_cpu_farm" in record and "flow_host_single_core_pairs_per_s" in record
+    # round-5 keys: the end-to-end learning gate measured on the bench
+    # device (VERDICT r4 #1), the measured wire auto-selection (r4 weak #4),
+    # and the host-measurement validity guard (r4 weak #6)
+    assert record["trained_nmae"] > 0 and record["baseline_nmae"] > 0, record
+    assert isinstance(record["wire_f16_auto_selected"], bool), record
+    assert record["host_cpu_frac"] > 0, record
+    assert isinstance(record["host_load_contaminated"], bool), record
+    assert record["host_load_1m_at_start"] >= 0, record
+    assert record["vs_baseline_basis"].startswith("2021"), record
+
+
+def test_contended_guard_thresholds():
+    """The host-measurement contamination guard: a process that held a full
+    core is healthy; one that got half the core (a stale process sharing
+    the rig — the round-4 silent-depression case) is flagged."""
+    import bench
+
+    assert not bench._contended(0.98)
+    assert not bench._contended(4.0)  # multi-core saturation
+    assert bench._contended(0.5)
+    assert bench._contended(0.0)
 
 
 def test_graft_entry_forward_executes():
