@@ -1027,3 +1027,64 @@ class TestTopographicAndHRV:
             config["input_data"]["topographic"]["topographic_image_size_pixels"]
             == 6
         )
+
+
+class TestPrepareWorkers:
+    def test_prepare_dataset_parallel_workers_bit_identical(self, tmp_path):
+        """tools/prepare_dataset.py --workers: each batch derives its
+        sampling AND filler rngs from (seed, split, index), so the written
+        dataset is bit-identical at any worker count — conversion
+        parallelises across cores (VERDICT r4 #2) without changing output."""
+        from predict_pv_yield_tpu.data.shards import shard_filename
+        from predict_pv_yield_tpu.data.zarr_reader import write_zarr
+
+        store = tmp_path / "sat.zarr"
+        n_frames, px = 80, 12
+        times = _grid("2020-06-01T08:00", n_frames)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 900, size=(n_frames, px, px), dtype=np.int16)
+        write_zarr(str(store / "data"), frames, chunks=(16, px, px))
+        minutes = (
+            times.astype("datetime64[ns]").astype(np.int64) // (60 * 10**9)
+        )
+        write_zarr(str(store / "time"), minutes, chunks=(n_frames,),
+                   attrs={"units": "minutes since 1970-01-01"})
+        write_zarr(str(store / "x"),
+                   np.arange(px) * 2000.0 + 100_000.0, chunks=(px,))
+        write_zarr(str(store / "y"),
+                   np.arange(px) * 2000.0 + 500_000.0, chunks=(px,))
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = {
+            k: v
+            for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
+
+        def build(workers):
+            out = tmp_path / f"prepared_w{workers}"
+            result = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tools", "prepare_dataset.py"),
+                    "--out", str(out),
+                    "--satellite-zarr", str(store),
+                    "--n-train", "4", "--n-test", "2", "--batch-size", "2",
+                    "--satellite-pixels", "8", "--nwp-pixels", "2",
+                    "--history-minutes", "30", "--forecast-minutes", "30",
+                    "--workers", str(workers),
+                ],
+                env=env, capture_output=True, text=True,
+            )
+            assert result.returncode == 0, result.stderr
+            return out
+
+        serial, threaded = build(1), build(4)
+        for split, count in (("train", 4), ("test", 2)):
+            for i in range(count):
+                name = shard_filename(i, "raw")
+                with open(serial / split / name, "rb") as fh:
+                    a = fh.read()
+                with open(threaded / split / name, "rb") as fh:
+                    b = fh.read()
+                assert a == b, f"{split}/{name} differs between worker counts"

@@ -80,5 +80,67 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def sweep() -> None:
+    """Flow throughput scaling curve (VERDICT r4 weak #3 / next #4).
+
+    Two axes around the headline operating point (49 frames, 256²):
+
+    * pairs-per-dispatch: 49/97/193 frames at 256² — does batching more
+      pairs into one launch amortise fixed dispatch/pyramid cost?
+    * frame size at 49 frames: 128², 256², 512², and the nb13 PRODUCTION
+      geometry — the full-geo-extent UK HRV window the reference's
+      SatelliteLoader computed flow over before cropping (704×548: the
+      OCF ``SEVIRI_RSS/OSGB36/all_zarr_int16`` y×x extent; nb13 cells
+      9-13 run Farnebäck on the whole extent, one process per pair).
+
+    Prints one JSON line per point: pairs/s, ms/pair, and the per-pixel
+    rate (Mpix·pairs/s) that separates gather-bound scaling from fixed
+    overhead. Run AFTER bench.py finishes — the points share the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from predict_pv_yield_tpu.ops.optical_flow import flow_sequence
+
+    points = [
+        {"t": 49, "h": 256, "w": 256, "label": "headline"},
+        {"t": 97, "h": 256, "w": 256, "label": "2x pairs"},
+        {"t": 193, "h": 256, "w": 256, "label": "4x pairs"},
+        {"t": 49, "h": 128, "w": 128, "label": "small frames"},
+        {"t": 49, "h": 512, "w": 512, "label": "large frames"},
+        {"t": 49, "h": 704, "w": 548, "label": "nb13 production full-geo HRV"},
+    ]
+    for p in points:
+        t, h, w = p["t"], p["h"], p["w"]
+        rng = np.random.default_rng(0)
+        coarse = rng.standard_normal((t, h // 16, w // 16)).astype(np.float32)
+        frames = jax.device_put(
+            jax.image.resize(jnp.asarray(coarse), (t, h, w), "bilinear") * 60
+            + 120
+        )
+        flows = flow_sequence(frames)  # compile + warm
+        jax.device_get(flows)
+        runs = max(3, int(10 * (49 * 256 * 256) / (t * h * w)))
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            flows = flow_sequence(frames)
+        jax.device_get(flows)
+        dt = time.perf_counter() - t0
+        pairs = t - 1
+        rate = runs * pairs / dt
+        print(json.dumps({
+            "label": p["label"],
+            "frames": t,
+            "size": f"{h}x{w}",
+            "pairs_per_s": round(rate, 2),
+            "ms_per_pair": round(1000.0 / rate, 3),
+            "mpix_pairs_per_s": round(rate * h * w / 1e6, 1),
+            "runs": runs,
+        }))
+        sys.stdout.flush()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        sweep()
+    else:
+        main()

@@ -118,6 +118,15 @@ def main() -> None:
         help="held-out tail of the archive's time axis used for the test "
         "split (prevents train/test window overlap; zarr mode only)",
     )
+    parser.add_argument(
+        "--workers", type=int, default=min(8, os.cpu_count() or 1),
+        help="concurrent batch builders (threads). Batches are independent "
+        "— each gets its own (seed, split, index)-derived rng for sampling "
+        "AND filler, so output is bit-identical at any worker count; zarr "
+        "decode and numpy release the GIL, so conversion scales with cores "
+        "(the reference's nowcasting_dataset prepared batches with a "
+        "process pool the same way)",
+    )
     args = parser.parse_args()
 
     from predict_pv_yield_tpu.config.dataset import Configuration
@@ -334,17 +343,25 @@ def main() -> None:
                 rng=np.random.default_rng((args.seed, split == "test", 1 << 20)),
                 locations=locations,
             )
-        for i in range(count):
-            rng = np.random.default_rng((args.seed, split == "test", i))
+        def build_one(i: int, _generator=generator, _directory=directory,
+                      _split=split) -> None:
+            rng = np.random.default_rng((args.seed, _split == "test", i))
             batch = fake_batch(configuration, rng)
-            if generator is not None:
+            if _generator is not None:
                 from predict_pv_yield_tpu.data.sources import merge_real_groups
 
-                real = collate_samples(generator.sample(args.batch_size))
+                # per-index sampling rng (not the generator's shared stream):
+                # batch i is the same batch at ANY --workers count
+                real = collate_samples(_generator.sample(
+                    args.batch_size,
+                    rng=np.random.default_rng(
+                        (args.seed, _split == "test", i, 7)
+                    ),
+                ))
                 batch = merge_real_groups(batch, real)
             if args.format == "netcdf":
                 # int16 satellite wire, as the real v15 archives ship it
-                if generator is None:
+                if _generator is None:
                     raw = rng.integers(
                         -1, 1023, size=batch.satellite.data.shape, dtype=np.int16
                     )
@@ -357,7 +374,7 @@ def main() -> None:
                         or vals.max() > np.iinfo(np.int16).max
                         or not np.array_equal(vals, np.round(vals))
                     ):
-                        parser.error(
+                        raise ValueError(
                             "--format netcdf writes the int16 satellite "
                             "wire, but the archive holds non-integral or "
                             "out-of-range values (already-decoded floats?) "
@@ -367,9 +384,19 @@ def main() -> None:
                 batch = batch.replace(
                     satellite=batch.satellite.replace(data=raw)
                 )
-                write_v15_batch(directory, i, batch)
+                write_v15_batch(_directory, i, batch)
             else:
-                write_shard(directory, i, batch, fmt=args.format)
+                write_shard(_directory, i, batch, fmt=args.format)
+
+        if args.workers > 1 and count > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=args.workers) as pool:
+                # list() drains the map so the first failure raises here
+                list(pool.map(build_one, range(count)))
+        else:
+            for i in range(count):
+                build_one(i)
         print(f"wrote {count} batches to {directory}")
 
 
