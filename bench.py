@@ -339,8 +339,18 @@ def _flow_bench() -> dict:
     t0 = time.perf_counter()
     for _ in range(FLOW_RUNS):
         flows = flow_sequence(frames_device)
+    # a full device_get is the one reliable sync on the dev rig (remote
+    # tunnel: block_until_ready returns before remote completion, eager
+    # ops on still-queued buffers wedge); it also ships the 25 MB flow
+    # field back once per timed loop, so the pure-transfer cost is
+    # measured by re-fetching the ready buffer and only compute is billed
+    # to the kernel — the farm baseline times compute only too
     jax.device_get(flows)
-    device_rate = FLOW_RUNS * pairs / (time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(flows)
+    fetch = time.perf_counter() - t0
+    device_rate = FLOW_RUNS * pairs / max(elapsed - fetch, 1e-9)
 
     host_rate = None
     try:

@@ -114,14 +114,18 @@ def _poly_exp_conv_kernels(poly_n: int, poly_sigma: float):
 # ---------------------------------------------------------------------------
 
 
-def polynomial_expansion_batched(
+def polynomial_expansion_packed(
     images: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-pixel quadratic-fit coefficients for (N, H, W) images.
+) -> jnp.ndarray:
+    """Per-pixel quadratic-fit coefficients for (N, H, W) images, packed.
 
-    Returns:
-        A: (N, H, W, 2, 2) symmetric quadratic term, (x, y) coordinate order.
-        b: (N, H, W, 2) linear term.
+    Returns (N, H, W, 5) channels ``[a11, a12, a22, bx, by]`` — the
+    symmetric quadratic term's three unique entries plus the linear term.
+    This packed form is the solver's working representation throughout:
+    explicit (..., 2, 2) matrices tile as T(2,128) on TPU, padding the two
+    trailing size-2 dims to 128 lanes (a measured 64× HBM expansion that
+    OOMed a 192-pair dispatch and throttled every smaller one), so the 2×2
+    algebra downstream is written out per-channel instead of einsummed.
     """
     _, Ginv = _poly_exp_solver(poly_n, float(poly_sigma))
     kx_np, ky_np = _poly_exp_conv_kernels(poly_n, float(poly_sigma))
@@ -138,14 +142,36 @@ def polynomial_expansion_batched(
         rows, ky, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )  # (N, 6, H, W)
-    m = jnp.transpose(moments, (0, 2, 3, 1))  # (N, H, W, 6)
-    r = jnp.einsum("ij,nhwj->nhwi", jnp.asarray(Ginv), m)
+    # solve r = Ginv @ m per pixel in planar (NCHW) form — channels stay
+    # full H×W planes, no small trailing dim for XLA to pad
+    r = jnp.einsum("ij,njhw->nihw", jnp.asarray(Ginv), moments)
+    # packed channel order [a11, a12, a22, bx, by]; moment order of r is
+    # [m00, m10, m01, m20, m02, m11] → a11=r3, a22=r4, a12=r5/2, b=(r1, r2)
+    packed = jnp.stack(
+        [r[:, 3], r[:, 5] / 2, r[:, 4], r[:, 1], r[:, 2]], axis=-1
+    )  # (N, H, W, 5)
+    return packed
 
-    b = r[..., 1:3]
+
+def polynomial_expansion_batched(
+    images: jnp.ndarray, poly_n: int = 5, poly_sigma: float = 0.7
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel quadratic-fit coefficients for (N, H, W) images.
+
+    Returns:
+        A: (N, H, W, 2, 2) symmetric quadratic term, (x, y) coordinate order.
+        b: (N, H, W, 2) linear term.
+
+    Convenience/inspection API — the production solver consumes
+    :func:`polynomial_expansion_packed` directly (see its docstring for the
+    TPU layout rationale).
+    """
+    p = polynomial_expansion_packed(images, poly_n, poly_sigma)
+    b = p[..., 3:5]
     A = jnp.stack(
         [
-            jnp.stack([r[..., 3], r[..., 5] / 2], axis=-1),
-            jnp.stack([r[..., 5] / 2, r[..., 4]], axis=-1),
+            jnp.stack([p[..., 0], p[..., 1]], axis=-1),
+            jnp.stack([p[..., 1], p[..., 2]], axis=-1),
         ],
         axis=-2,
     )  # (N, H, W, 2, 2)
@@ -316,37 +342,34 @@ def _border_scale(height: int, width: int) -> np.ndarray:
 
 
 def _update_flow(
-    A1, b1, A2, b2, flow: jnp.ndarray, winsize: int, gaussian: bool
+    p1, p2, flow: jnp.ndarray, winsize: int, gaussian: bool
 ) -> jnp.ndarray:
-    """One Farnebäck iteration. All args batched: A (N,H,W,2,2), b (N,H,W,2),
+    """One Farnebäck iteration. ``p1``/``p2`` are packed expansions
+    (N,H,W,5) ``[a11, a12, a22, bx, by]`` (see polynomial_expansion_packed),
     flow (N,H,W,2) in (x, y). Matches OpenCV's FarnebackUpdateMatrices
     semantics: when the warped sample's floor cell leaves [0,W-2]×[0,H-2] the
     pixel uses Ā=A1 and a zero b-difference, and all fields are damped by the
-    5-px border ramp before the window average."""
+    5-px border ramp before the window average.
+
+    The 2×2 linear algebra (Ā·flow, ĀᵀĀ, Āᵀδb) is written out per symmetric
+    channel instead of einsummed over explicit (…, 2, 2) matrices: those
+    einsums forced XLA to materialise T(2,128)-tiled temporaries whose two
+    trailing size-2 dims pad 64× in HBM — 12 GB for a 192-pair dispatch
+    (measured OOM) and the throughput cliff behind the round-4 scaling
+    question. Channel form keeps every temp a dense (N,H,W) plane."""
     n, height, width = flow.shape[:3]
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(height, dtype=flow.dtype),
         jnp.arange(width, dtype=flow.dtype),
         indexing="ij",
     )
-    sample_y = grid_y[None] + flow[..., 1]
-    sample_x = grid_x[None] + flow[..., 0]
+    fx, fy = flow[..., 0], flow[..., 1]
+    sample_y = grid_y[None] + fy
+    sample_x = grid_x[None] + fx
 
     # one 5-channel gather for the warped A2/b2 fields (A is symmetric, so
     # a12 ships once; the gather dominates device time — see bilinear_gather)
-    packed = jnp.stack(
-        [A2[..., 0, 0], A2[..., 0, 1], A2[..., 1, 1], b2[..., 0], b2[..., 1]],
-        axis=-1,
-    )
-    warped = bilinear_gather_batched(packed, sample_y, sample_x)
-    A2w = jnp.stack(
-        [
-            jnp.stack([warped[..., 0], warped[..., 1]], axis=-1),
-            jnp.stack([warped[..., 1], warped[..., 2]], axis=-1),
-        ],
-        axis=-2,
-    )
-    b2w = warped[..., 3:]
+    warped = bilinear_gather_batched(p2, sample_y, sample_x)
 
     # cv2 takes the no-warp branch unless floor(sample) is strictly interior
     x_floor = jnp.floor(sample_x)
@@ -355,20 +378,28 @@ def _update_flow(
         (x_floor >= 0) & (x_floor <= width - 2)
         & (y_floor >= 0) & (y_floor <= height - 2)
     )
-    A_avg = jnp.where(oob[..., None, None], A1, 0.5 * (A1 + A2w))
+    a11 = jnp.where(oob, p1[..., 0], 0.5 * (p1[..., 0] + warped[..., 0]))
+    a12 = jnp.where(oob, p1[..., 1], 0.5 * (p1[..., 1] + warped[..., 1]))
+    a22 = jnp.where(oob, p1[..., 2], 0.5 * (p1[..., 2] + warped[..., 2]))
     # cv2's OOB else-branch zeroes only the WARPED b2 taps, so the pixel
     # still contributes 0.5*b1 (FarnebackUpdateMatrices: r2=r3=0 then
     # r2=(R0-r2)*0.5) — zeroing the whole difference measured up to
     # 0.009 px border error vs cv2; this form is exact (4e-5 px)
-    b_diff = -0.5 * (jnp.where(oob[..., None], 0.0, b2w) - b1)
-    delta_b = b_diff + jnp.einsum("nhwij,nhwj->nhwi", A_avg, flow)
+    bdx = -0.5 * (jnp.where(oob, 0.0, warped[..., 3]) - p1[..., 3])
+    bdy = -0.5 * (jnp.where(oob, 0.0, warped[..., 4]) - p1[..., 4])
+    dx = bdx + a11 * fx + a12 * fy
+    dy = bdy + a12 * fx + a22 * fy
 
     scale = jnp.asarray(_border_scale(height, width))[None]
-    A_avg = A_avg * scale[..., None, None]
-    delta_b = delta_b * scale[..., None]
+    a11, a12, a22 = a11 * scale, a12 * scale, a22 * scale
+    dx, dy = dx * scale, dy * scale
 
-    ATA = jnp.einsum("nhwki,nhwkj->nhwij", A_avg, A_avg)
-    ATb = jnp.einsum("nhwki,nhwk->nhwi", A_avg, delta_b)
+    # ĀᵀĀ and Āᵀδb with Ā symmetric, per channel
+    g11 = a11 * a11 + a12 * a12
+    g12 = a12 * (a11 + a22)
+    g22 = a12 * a12 + a22 * a22
+    h1 = a11 * dx + a12 * dy
+    h2 = a12 * dx + a22 * dy
 
     radius = winsize // 2
     if gaussian:
@@ -382,10 +413,7 @@ def _update_flow(
     # and rejected with numbers: ops/pallas_blur.py module docstring).
     from predict_pv_yield_tpu.ops.pallas_blur import sep_blur
 
-    fields = jnp.stack(
-        [ATA[..., 0, 0], ATA[..., 0, 1], ATA[..., 1, 1], ATb[..., 0], ATb[..., 1]],
-        axis=1,
-    )  # (N, 5, H, W)
+    fields = jnp.stack([g11, g12, g22, h1, h2], axis=1)  # (N, 5, H, W)
     smoothed = sep_blur(fields, kernel)
     g11, g12, g22, h1, h2 = (smoothed[:, i] for i in range(5))
 
@@ -439,10 +467,10 @@ def farneback_flow_batched(
             flow = jnp.zeros((*level_im1.shape, 2), dtype=jnp.float32)
         elif flow.shape[1:3] != level_im1.shape[1:3]:
             flow = _resize_linear(flow, level_im1.shape[1:3]) / pyr_scale
-        A1, b1 = polynomial_expansion_batched(level_im1, poly_n, poly_sigma)
-        A2, b2 = polynomial_expansion_batched(level_im2, poly_n, poly_sigma)
+        p1 = polynomial_expansion_packed(level_im1, poly_n, poly_sigma)
+        p2 = polynomial_expansion_packed(level_im2, poly_n, poly_sigma)
         for _ in range(iterations):
-            flow = _update_flow(A1, b1, A2, b2, flow, winsize, gaussian)
+            flow = _update_flow(p1, p2, flow, winsize, gaussian)
     return flow
 
 

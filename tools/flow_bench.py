@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from predict_pv_yield_tpu.utils import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 
 def _synth_frames(t=49, size=256, seed=0):
     import jax
@@ -50,8 +54,18 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(runs):
         flows = flow_sequence(frames_device)
+    # a full device_get is the one reliable sync on the dev rig (remote
+    # tunnel: block_until_ready returns before remote completion, and
+    # eager ops on still-queued buffers wedge) — but it also ships the
+    # whole 25 MB flow field through the ~35 MB/s tunnel once per timed
+    # loop. Measure that pure-transfer cost by re-fetching the now-ready
+    # buffer and bill only compute to the kernel, like the farm baseline.
     jax.device_get(flows)
-    device_pairs_per_sec = runs * pairs / (time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(flows)
+    fetch = time.perf_counter() - t0
+    device_pairs_per_sec = runs * pairs / max(elapsed - fetch, 1e-9)
 
     # native single-core host rate (the reference's per-worker unit)
     host_pairs_per_sec = None
@@ -123,8 +137,18 @@ def sweep() -> None:
         t0 = time.perf_counter()
         for _ in range(runs):
             flows = flow_sequence(frames)
+        # full device_get is the one reliable sync on the dev rig (see
+        # main()); it ships the whole flow field (up to 148 MB at the nb13
+        # extent) through the tunnel once per timed loop, so measure that
+        # pure-transfer cost by re-fetching the ready buffer and bill only
+        # compute — otherwise the low-run large-shape points absorb a
+        # transfer the per-pair scaling comparison shouldn't carry
         jax.device_get(flows)
-        dt = time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(flows)
+        fetch = time.perf_counter() - t0
+        dt = max(elapsed - fetch, 1e-9)
         pairs = t - 1
         rate = runs * pairs / dt
         print(json.dumps({
