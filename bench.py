@@ -83,6 +83,8 @@ PERCEIVER_BASELINE_EXAMPLES_PER_SEC = 24900 * 32 / (4 * 3600.0)  # ≈55.3
 #: nothing ever ran bench.py (VERDICT r3 #1).
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
 
+from predict_pv_yield_tpu.utils import timed_device_compute
+
 if SMOKE:
     # Same persistent compile cache the test suite uses (tests/conftest.py):
     # the smoke gate's cost is pure XLA CPU compiles, all identical
@@ -334,23 +336,13 @@ def _flow_bench() -> dict:
     # re-uploading 12.8 MB per call through the dev rig's ~35 MB/s tunnel
     # was costing ~25% of the measured rate
     frames_device = jax.device_put(jnp.asarray(frames))
-    flows = flow_sequence(frames_device)  # compile + warm
-    jax.device_get(flows)
-    t0 = time.perf_counter()
-    for _ in range(FLOW_RUNS):
-        flows = flow_sequence(frames_device)
-    # a full device_get is the one reliable sync on the dev rig (remote
-    # tunnel: block_until_ready returns before remote completion, eager
-    # ops on still-queued buffers wedge); it also ships the 25 MB flow
-    # field back once per timed loop, so the pure-transfer cost is
-    # measured by re-fetching the ready buffer and only compute is billed
-    # to the kernel — the farm baseline times compute only too
-    jax.device_get(flows)
-    elapsed = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(flows)
-    fetch = time.perf_counter() - t0
-    device_rate = FLOW_RUNS * pairs / max(elapsed - fetch, 1e-9)
+    jax.device_get(flow_sequence(frames_device))  # compile + warm
+    # timed_device_compute owns the dev-rig sync protocol (device_get sync,
+    # min-of-two transfer subtraction, transfer-dominated guard)
+    seconds, flow_timing = timed_device_compute(
+        lambda: flow_sequence(frames_device), FLOW_RUNS
+    )
+    device_rate = FLOW_RUNS * pairs / seconds
 
     host_rate = None
     try:
@@ -363,7 +355,7 @@ def _flow_bench() -> dict:
     except Exception as exc:  # native kernels disabled → flow keys go null
         print(f"WARNING: native flow baseline unavailable: {exc}", file=sys.stderr)
 
-    return {
+    out = {
         "flow_pairs_per_s": round(device_rate, 2),
         "flow_frame_size": FLOW_SIZE,
         "flow_host_single_core_pairs_per_s": (
@@ -373,6 +365,9 @@ def _flow_bench() -> dict:
             round(device_rate / (8 * host_rate), 3) if host_rate else None
         ),
     }
+    if flow_timing["transfer_dominated"]:
+        out["flow_transfer_dominated"] = True  # link noise, not kernel time
+    return out
 
 
 def _contended(cpu_frac: float, threshold: float = 0.75) -> bool:
@@ -396,80 +391,44 @@ def _learning_gate_bench() -> dict:
     two keys show the native framework doing the same thing, measured fresh
     every round. The in-suite CPU gate (tests/test_learning_gate.py) asserts
     the margin; smoke mode here shrinks the run so the driver-contract test
-    stays fast."""
+    stays fast.
+
+    The override blocks and the compose→train runner are single-sourced in
+    ``data/synthetic.py`` and shared with the in-suite gate — the artifact
+    measures exactly the model tests/test_learning_gate.py asserts on."""
     import shutil
     import tempfile
 
-    from predict_pv_yield_tpu.config.composer import compose
-    from predict_pv_yield_tpu.data.synthetic import make_learnable_archive
-    from predict_pv_yield_tpu.training.pipeline import train
-
-    config_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "configs"
+    from predict_pv_yield_tpu.data.synthetic import (
+        BASELINE_GATE_OVERRIDES,
+        CONV3D_GATE_OVERRIDES,
+        make_learnable_archive,
+        run_learnable,
     )
+
     root = tempfile.mkdtemp(prefix="bench_learn_")
-    cwd = os.getcwd()
     try:
         arch = make_learnable_archive(
             root, n_frames=96 if SMOKE else 288, px=24, n_gsp=4, seed=0
         )
-        common = [
-            "logger=csv",
-            "callbacks=none",
-            "datamodule=zarr_stream",
-            f"datamodule.zarr_path={arch.satellite_zarr}",
-            f"datamodule.gsp_csv={arch.gsp_csv}",
-            "datamodule.n_gsp=1",
-            "datamodule.batch_size=8",
-            "datamodule.history_minutes=30",
-            "datamodule.forecast_minutes=30",
-            "datamodule.satellite_image_size_pixels=24",
-            "datamodule.n_val_data=8",
-            "datamodule.num_workers=2",
-            "datamodule.seed=0",
-            "+optimized_metric=NMAE/Validation_epoch",
-        ]
 
         def run(overrides):
-            workdir = tempfile.mkdtemp(prefix="run_", dir=root)
-            os.chdir(workdir)  # train() writes logs/checkpoints into cwd
-            try:
-                config = compose(
-                    config_name="config",
-                    overrides=common + overrides,
-                    config_dir=config_dir,
-                )
-                return float(train(config))
-            finally:
-                os.chdir(cwd)
+            return run_learnable(
+                arch,
+                overrides,
+                workdir=tempfile.mkdtemp(prefix="run_", dir=root),
+            )
 
-        trained = run([
-            "model=conv3d_sat_nwp",
-            "model.include_nwp=false",
-            "model.image_size_pixels=24",
-            "model.number_sat_channels=1",
-            "model.history_minutes=30",
-            "model.forecast_minutes=30",
-            "model.number_of_conv3d_layers=2",
-            "model.conv3d_channels=8",
-            "model.fc1_output_features=32",
-            "model.fc2_output_features=16",
-            "model.fc3_output_features=8",
-            "datamodule.n_train_data=32",
-            f"trainer.max_epochs={1 if SMOKE else 4}",
-        ])
-        baseline = run([
-            "model=baseline",
-            "model.history_minutes=30",
-            "model.forecast_minutes=30",
-            "+validate_only=1",
-        ])
+        trained = run(
+            CONV3D_GATE_OVERRIDES
+            + [f"trainer.max_epochs={1 if SMOKE else 4}"]
+        )
+        baseline = run(BASELINE_GATE_OVERRIDES)
         return {
             "trained_nmae": round(trained, 4),
             "baseline_nmae": round(baseline, 4),
         }
     finally:
-        os.chdir(cwd)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -63,6 +63,16 @@ class PrefetchingLoader:
     def __len__(self) -> int:
         return len(self.dataset)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle rng for the next iteration to a global epoch
+        number. The engine calls this each train epoch so the permutation is
+        a function of ``(seed, current_epoch)`` rather than of how many times
+        THIS object has been iterated — which makes resumed runs (a fresh
+        loader starting mid-training) and ``reload_dataloaders_every_epoch``
+        (a fresh loader every epoch) reproduce the uninterrupted sequence
+        exactly. Mirrors torch's ``DistributedSampler.set_epoch``."""
+        self._epoch = int(epoch)
+
     def _order(self):
         indices = list(range(len(self.dataset)))
         if self.shuffle:

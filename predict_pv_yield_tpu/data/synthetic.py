@@ -228,3 +228,117 @@ def make_learnable_archive(
         cadence_minutes=5,
         nwp_zarr=nwp_store,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared learning-gate harness. tests/test_learning_gate.py, bench.py's
+# _learning_gate_bench and tools/learn_probe.py all train the SAME flagship
+# configs on this archive — these single-source the override blocks and the
+# compose→train runner so the in-suite gate and the driver artifact cannot
+# silently drift onto different models.
+# ---------------------------------------------------------------------------
+
+#: The metric every learning-gate run optimises and reports.
+GATE_METRIC = "NMAE/Validation_epoch"
+
+#: conv3d_sat_nwp at gate scale (sat-only branch; epochs are the caller's).
+CONV3D_GATE_OVERRIDES = [
+    "model=conv3d_sat_nwp",
+    "model.include_nwp=false",
+    "model.image_size_pixels=24",
+    "model.number_sat_channels=1",
+    "model.history_minutes=30",
+    "model.forecast_minutes=30",
+    "model.number_of_conv3d_layers=2",
+    "model.conv3d_channels=8",
+    "model.fc1_output_features=32",
+    "model.fc2_output_features=16",
+    "model.fc3_output_features=8",
+    "datamodule.n_train_data=32",
+]
+
+#: last-value persistence on the same split (the reference's
+#: ``model=baseline`` + validate-only run).
+BASELINE_GATE_OVERRIDES = [
+    "model=baseline",
+    "model.history_minutes=30",
+    "model.forecast_minutes=30",
+    "+validate_only=1",
+]
+
+
+def perceiver_gate_overrides(arch: LearnableArchive) -> list:
+    """perceiver_conv3d_sat_nwp at gate scale with the real-NWP branch live
+    (requires ``make_learnable_archive(..., with_nwp=True)``)."""
+    return [
+        "model=perceiver_conv3d_sat_nwp",
+        "model.history_minutes=30",
+        "model.forecast_minutes=30",
+        "model.batch_size=8",
+        "model.num_latents=12",
+        "model.latent_dim=16",
+        "model.conv3d_channels=4",
+        "model.use_future_satellite_images=1",
+        f"datamodule.nwp_zarr_path={arch.nwp_zarr}",
+        "datamodule.nwp_image_size_pixels=24",
+        "datamodule.n_train_data=32",
+    ]
+
+
+def learnable_common_overrides(
+    arch: LearnableArchive, batch_size: int = 8
+) -> list:
+    """Datamodule/logger overrides every gate run shares."""
+    return [
+        "logger=csv",
+        "callbacks=none",
+        "datamodule=zarr_stream",
+        f"datamodule.zarr_path={arch.satellite_zarr}",
+        f"datamodule.gsp_csv={arch.gsp_csv}",
+        "datamodule.n_gsp=1",
+        f"datamodule.batch_size={batch_size}",
+        "datamodule.history_minutes=30",
+        "datamodule.forecast_minutes=30",
+        "datamodule.satellite_image_size_pixels=24",
+        "datamodule.n_val_data=8",
+        "datamodule.num_workers=2",
+        "datamodule.seed=0",
+        f"+optimized_metric={GATE_METRIC}",
+    ]
+
+
+def run_learnable(
+    arch: LearnableArchive,
+    overrides,
+    batch_size: int = 8,
+    config_dir: str | None = None,
+    workdir: str | None = None,
+):
+    """Compose and ``train()`` a gate run; returns the optimised metric.
+
+    ``workdir`` (if given) becomes the cwd for the run — ``train()`` writes
+    logs/checkpoints into it — and the previous cwd is restored after; pass
+    None to run in the current directory (the in-suite gates run inside
+    their ``tmp_cwd`` so they can glob the CSV logger's output).
+    """
+    from predict_pv_yield_tpu.config.composer import compose
+    from predict_pv_yield_tpu.training.pipeline import train
+
+    if config_dir is None:
+        config_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "..", "configs"
+        )
+    cwd = os.getcwd()
+    if workdir is not None:
+        os.chdir(workdir)
+    try:
+        config = compose(
+            config_name="config",
+            overrides=learnable_common_overrides(arch, batch_size)
+            + list(overrides),
+            config_dir=config_dir,
+        )
+        result = train(config)
+        return float(result) if result is not None else None
+    finally:
+        os.chdir(cwd)

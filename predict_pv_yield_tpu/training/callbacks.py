@@ -162,43 +162,58 @@ class ModelCheckpoint(Callback):
         score = metrics.get(self.monitor)
         epoch = engine.current_epoch
         os.makedirs(self.dirpath, exist_ok=True)
+
+        # Best-k bookkeeping runs BEFORE the loop_state snapshot so the
+        # loop.json written into `last` (and the new best checkpoint itself)
+        # already lists this validation's save — otherwise a resume from
+        # `last` restores best_k missing the checkpoint written alongside
+        # it, re-saves a worse score as "best", and the test phase loads the
+        # wrong weights.
+        best_path = None
+        if score is not None and not (
+            isinstance(score, float) and math.isnan(score)
+        ):
+            score = float(score)
+            if self.save_top_k and (
+                len(self.best_k) < self.save_top_k
+                or self._better(score, self.best_k[-1][0])
+            ):
+                name = self.filename.format(epoch=epoch)
+                path = os.path.join(self.dirpath, name)
+                # mid-epoch validation (val_check_interval) revisits the same
+                # {epoch} filename within one epoch — version the collision
+                # (Lightning's "-v1" rule) so a worse-but-qualifying later
+                # save cannot overwrite a better checkpoint holding the name
+                taken = {p for _, p in self.best_k}
+                if path in taken:
+                    version = 1
+                    while f"{path}-v{version}" in taken:
+                        version += 1
+                    path = f"{path}-v{version}"
+                self.best_k.append((score, path))
+                self.best_k.sort(key=lambda sp: sp[0], reverse=self.mode != "min")
+                while len(self.best_k) > self.save_top_k:
+                    _, stale = self.best_k.pop()
+                    if os.path.exists(stale):
+                        shutil.rmtree(stale, ignore_errors=True)
+                self.best_model_score, self.best_model_path = self.best_k[0]
+                best_path = path
+
         loop = getattr(engine, "loop_state", lambda: None)()
 
         if self.save_last:
             _save_state(os.path.join(self.dirpath, "last"), engine.state, loop)
 
-        if score is None or (isinstance(score, float) and math.isnan(score)):
-            return
-        score = float(score)
-
-        if self.save_top_k and (
-            len(self.best_k) < self.save_top_k
-            or self._better(score, self.best_k[-1][0])
-        ):
-            name = self.filename.format(epoch=epoch)
-            path = os.path.join(self.dirpath, name)
-            # mid-epoch validation (val_check_interval) revisits the same
-            # {epoch} filename within one epoch — version the collision
-            # (Lightning's "-v1" rule) so a worse-but-qualifying later save
-            # cannot overwrite a better checkpoint already holding the name
-            taken = {p for _, p in self.best_k}
-            if path in taken:
-                version = 1
-                while f"{path}-v{version}" in taken:
-                    version += 1
-                path = f"{path}-v{version}"
-            _save_state(path, engine.state, loop)
-            with open(os.path.join(path, "monitor.json"), "w") as fh:
-                json.dump({"monitor": self.monitor, "score": score, "epoch": epoch}, fh)
-            self.best_k.append((score, path))
-            self.best_k.sort(key=lambda sp: sp[0], reverse=self.mode != "min")
-            while len(self.best_k) > self.save_top_k:
-                _, stale = self.best_k.pop()
-                if os.path.exists(stale):
-                    shutil.rmtree(stale, ignore_errors=True)
-            self.best_model_score, self.best_model_path = self.best_k[0]
+        if best_path is not None:
+            _save_state(best_path, engine.state, loop)
+            with open(os.path.join(best_path, "monitor.json"), "w") as fh:
+                json.dump(
+                    {"monitor": self.monitor, "score": score, "epoch": epoch}, fh
+                )
             if self.verbose:
-                log.info("checkpoint %s: %s=%.6f", path, self.monitor, score)
+                log.info(
+                    "checkpoint %s: %s=%.6f", best_path, self.monitor, score
+                )
 
     def state_dict(self) -> Dict:
         return {

@@ -259,6 +259,7 @@ class Trainer:
         # trained before the checkpoint was written (mid-epoch resume)
         self.should_stop = False
         self.sanity_checking = False
+        self._wire_cast_loaders: List = []  # loaders holding our transform
         self.state: Optional[TrainState] = None
         self.mesh = None
         self.callback_metrics: Dict[str, float] = {}
@@ -748,13 +749,34 @@ class Trainer:
             # assembly path; be conservative rather than mis-measure
             return False
         numeric = example.numeric()
-        jax.block_until_ready(jax.device_put(numeric, self._batch_shard))
+
+        # Sync by device_get of a data-dependent scalar, not
+        # block_until_ready: on remote-tunnel rigs block_until_ready can
+        # return before the transfer actually completes (the bench's
+        # documented dev-rig behavior), which would turn this measured
+        # decision into noise on exactly the bandwidth-starved hosts the
+        # auto mode exists for. A jitted sum over every leaf consumes all
+        # shipped bytes, so fetching its scalar forces the full transfer;
+        # the sum's compute time is negligible against it and identical
+        # for both variants.
+        @jax.jit
+        def _consume(tree):
+            leaves = [
+                jnp.sum(jnp.abs(x).astype(jnp.float32))
+                for x in jax.tree.leaves(tree)
+            ]
+            return jnp.stack(leaves).sum()
 
         def ship(prep):
             best = float("inf")
+            # first call compiles _consume for this dtype tree — warm, then
+            # time two runs and keep the faster
+            jax.device_get(_consume(jax.device_put(prep(), self._batch_shard)))
             for _ in range(2):
                 t0 = time.perf_counter()
-                jax.block_until_ready(jax.device_put(prep(), self._batch_shard))
+                jax.device_get(
+                    _consume(jax.device_put(prep(), self._batch_shard))
+                )
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -774,9 +796,12 @@ class Trainer:
         the loader workers it parallelises and overlaps the train loop (the
         reference's pin-memory DataLoader did its cast in workers the same
         way). ``_wire_cast`` in ``_to_device`` then no-ops on the already-f16
-        leaves. Installed per-fit from THIS trainer's wire config; an
-        engine-installed transform on a reused loader is replaced, a
-        user-owned transform is left alone."""
+        leaves. Installed per-phase from THIS trainer's wire config and
+        uninstalled by ``_remove_wire_cast`` when the phase ends — the
+        closure pins the trainer (and its device-resident state) alive and
+        would silently f16-narrow batches for any later non-engine consumer
+        of the user-owned loader. An engine-installed transform on a reused
+        loader is replaced; a user-owned transform is left alone."""
         for loader in loaders:
             if loader is None or not hasattr(loader, "transform"):
                 continue
@@ -791,8 +816,20 @@ class Trainer:
 
                 cast_batch._engine_wire_cast = True
                 loader.transform = cast_batch
+                self._wire_cast_loaders.append(loader)
             else:
                 loader.transform = None
+
+    def _remove_wire_cast(self) -> None:
+        """Uninstall every engine-installed wire-cast transform (phase
+        teardown counterpart of ``_offload_wire_cast``; user-owned
+        transforms are never touched)."""
+        for loader in self._wire_cast_loaders:
+            if getattr(
+                getattr(loader, "transform", None), "_engine_wire_cast", False
+            ):
+                loader.transform = None
+        self._wire_cast_loaders = []
 
     def _to_device_stacked(self, hosts: List[Batch]):
         """k host batches → one (k, B, ...) device pytree, batch axis sharded
@@ -993,7 +1030,6 @@ class Trainer:
         if self.state is None:
             self.setup(model, self._example_batch(train_loader))
         model = self._model
-        self._offload_wire_cast(train_loader, val_loader)
 
         if self.jax_trace and is_main_process():
             jax.profiler.start_trace("jax_trace")
@@ -1009,6 +1045,7 @@ class Trainer:
             self._sanity_check(val_loader)
 
         max_epochs = 1 if self.fast_dev_run else self.max_epochs
+        self._offload_wire_cast(train_loader, val_loader)
         try:
             # resume continues from the checkpointed epoch (loop.json);
             # a fresh fit starts at 0
@@ -1026,6 +1063,14 @@ class Trainer:
                     train_loader, val_loader = self._resolve_loaders(
                         datamodule, train_dataloaders, val_dataloaders
                     )
+                # Pin the shuffle permutation to the GLOBAL epoch number:
+                # without this a resumed run's fresh loader (or a reloaded
+                # per-epoch loader) restarts its internal epoch counter at 0
+                # and mid-epoch resume would fast-forward through the wrong
+                # permutation, silently training some batches twice and
+                # others never (resume-exactness gate in tests/test_engine).
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
                 train_metrics = self._train_epoch(train_loader, val_loader)
                 for cb in self.callbacks:
                     cb.on_train_epoch_end(self, model, train_metrics)
@@ -1053,6 +1098,7 @@ class Trainer:
                 if self.should_stop and self._early_stop_ok():
                     break
         finally:
+            self._remove_wire_cast()
             if self.jax_trace and is_main_process():
                 jax.profiler.stop_trace()
 
@@ -1153,6 +1199,13 @@ class Trainer:
         self._resume_skip_batches = 0
         self._epoch_start_step = self.global_step - skip
         limit = self._resolve_limit(self.limit_train_batches, loader)
+        # Fractional val_check_interval derives its cadence from THIS — the
+        # limit_train_batches-truncated epoch length (Lightning's
+        # num_training_batches). Neither a max_steps truncation nor a
+        # mid-epoch resume skip may change where validations land, or an
+        # interrupted run stops being a prefix of the uninterrupted one and
+        # exact resume is impossible.
+        full_epoch_limit = limit
         if skip and limit is not None:
             # limit_train_batches bounds the WHOLE epoch — already-trained
             # batches count against it
@@ -1175,10 +1228,15 @@ class Trainer:
         ):
             vi = self.val_check_interval
             if isinstance(vi, float):
-                # fraction of the EFFECTIVE epoch — after limit_train_batches
-                # / max_steps truncation — not of the raw loader length
+                # fraction of the limit_train_batches-truncated epoch (see
+                # full_epoch_limit above) — not of the raw loader length,
+                # and NOT of the max_steps- or resume-skip-reduced remainder
                 try:
-                    n = limit if limit is not None else len(loader)
+                    n = (
+                        full_epoch_limit
+                        if full_epoch_limit is not None
+                        else len(loader)
+                    )
                 except TypeError:
                     raise ValueError(
                         f"fractional val_check_interval {vi} needs a sized "
@@ -1415,7 +1473,10 @@ class Trainer:
             self.setup(model, self._example_batch(val_loader))
         model = self._model
         self._offload_wire_cast(val_loader)
-        metrics = self._eval_epoch(model, val_loader, tag="Validation")
+        try:
+            metrics = self._eval_epoch(model, val_loader, tag="Validation")
+        finally:
+            self._remove_wire_cast()
         for cb in self.callbacks:
             cb.on_validation_epoch_end(self, model, metrics)
         self.logger.save()  # terminal finalize belongs to pipeline finish()
@@ -1434,7 +1495,10 @@ class Trainer:
             self.setup(model, self._example_batch(loader))
         model = self._model
         self._offload_wire_cast(loader)
-        return self._eval_epoch(model, loader, tag="Test")
+        try:
+            return self._eval_epoch(model, loader, tag="Test")
+        finally:
+            self._remove_wire_cast()
 
     def predict(self, model=None, dataloaders=None):
         self._adopt_configuration(dataloaders)

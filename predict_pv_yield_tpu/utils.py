@@ -47,6 +47,51 @@ def enable_persistent_compile_cache() -> None:
         pass
 
 
+def timed_device_compute(dispatch, runs: int):
+    """Compute-only seconds for ``runs`` dispatches of ``dispatch`` (a
+    zero-arg callable returning a device pytree), with the dev-rig sync
+    protocol shared by ``bench.py`` and ``tools/flow_bench.py``.
+
+    A full ``jax.device_get`` is the one reliable sync on remote-tunnel
+    rigs (``block_until_ready`` can return before remote completion, and
+    eager ops on still-queued buffers wedge the tunnel) — but it also
+    ships the whole result through the ~35 MB/s link once per timed loop.
+    That pure-transfer cost is measured by re-fetching the already-ready
+    buffer (twice, keeping the MIN — link jitter inflates a single fetch
+    and would over-subtract) and only compute is billed, the same quantity
+    a CPU-farm baseline times.
+
+    Returns ``(seconds, info)``. When the subtraction would remove >95% of
+    the measured wall the point is link noise, not kernel time: ``seconds``
+    is clamped to 5% of the wall (never the absurd rate a raw
+    ``max(elapsed - fetch, 1e-9)`` denominator can produce) and
+    ``info["transfer_dominated"]`` is True so callers flag or re-run it.
+    """
+    import time
+
+    import jax
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(runs):
+        out = dispatch()
+    jax.device_get(out)
+    elapsed = time.perf_counter() - t0
+    fetch = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.device_get(out)
+        fetch = min(fetch, time.perf_counter() - t0)
+    compute = elapsed - fetch
+    floor = 0.05 * elapsed
+    dominated = compute < floor
+    return max(compute, floor), {
+        "elapsed": elapsed,
+        "fetch": fetch,
+        "transfer_dominated": dominated,
+    }
+
+
 def load_config(config_file: str) -> Dict[str, Any]:
     """Open a model YAML and strip the ``_target_`` key (reference
     ``utils.py:16-32``). Relative paths resolve against the repo root."""

@@ -619,6 +619,118 @@ def test_resume_exactness_mid_epoch(configuration_conv3d, tmp_cwd):
     _assert_states_identical(full.state, resumed.state)
 
 
+def test_resume_exactness_shuffled_loader(configuration_conv3d, tmp_cwd):
+    """Mid-epoch resume must fast-forward through the SAME shuffle
+    permutation the interrupted run trained. The loader's shuffle rng is
+    pinned to the global epoch number (``PrefetchingLoader.set_epoch``,
+    called by the engine each train epoch) — without that, a resumed run's
+    fresh loader restarts its internal epoch counter at 0 and the skip
+    drops batches of the WRONG permutation, silently training some batches
+    twice and others never."""
+    from predict_pv_yield_tpu.data.loader import PrefetchingLoader
+
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=configuration_conv3d, length=6)
+
+    def fit(ckpt_dir, max_steps=None, resume=None):
+        ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / ckpt_dir), save_last=True)
+        trainer = Trainer(
+            max_epochs=2, profiler=None, val_check_interval=3,
+            max_steps=max_steps, callbacks=[ckpt],
+            resume_from_checkpoint=resume,
+        )
+        loader = PrefetchingLoader(ds, num_workers=0, shuffle=True, seed=7)
+        trainer.fit(
+            Conv3d(**config), train_dataloaders=loader, val_dataloaders=ds
+        )
+        return trainer
+
+    full = fit("full")
+
+    # interrupted mid-epoch 1 (the SECOND epoch): the val at global step 9
+    # (batch 3 of 6 within epoch 1) writes `last`, then max_steps stops —
+    # so the resume must re-enter epoch 1 and skip 3 batches of epoch 1's
+    # permutation, not epoch 0's
+    part = fit("part", max_steps=9)
+    assert part.global_step == 9 and part.current_epoch == 1
+
+    resumed = fit(
+        "resumed", resume=os.path.join(str(tmp_cwd / "part"), "last")
+    )
+    assert resumed.global_step == full.global_step == 12
+    _assert_states_identical(full.state, resumed.state)
+
+
+def test_midtrain_checkpoint_lists_itself_in_loop_state(
+    configuration_conv3d, tmp_cwd
+):
+    """The ``loop.json`` written into ``last`` (and into the new best
+    checkpoint) already records the best-k entry saved at the SAME
+    validation. A snapshot taken before the best-k bookkeeping would make a
+    resume from ``last`` forget the best checkpoint written alongside it —
+    the next validation would re-save a worse score as "best" and the test
+    phase would load the wrong weights."""
+    from predict_pv_yield_tpu.training.callbacks import load_loop_state
+
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=configuration_conv3d, length=2)
+    ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / "ck"), save_last=True)
+    trainer = Trainer(max_epochs=1, profiler=None, callbacks=[ckpt])
+    trainer.fit(Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds)
+    assert ckpt.best_model_path
+
+    for ckpt_path in (os.path.join(str(tmp_cwd / "ck"), "last"),
+                      ckpt.best_model_path):
+        loop = load_loop_state(ckpt_path)
+        entry = next(
+            e for e in loop["callbacks"] if e["class"] == "ModelCheckpoint"
+        )
+        assert entry["state"]["best_model_path"] == ckpt.best_model_path, (
+            f"{ckpt_path}: loop.json does not list the best checkpoint "
+            "written at the same validation"
+        )
+        assert entry["state"]["best_k"], f"{ckpt_path}: best_k empty"
+
+
+def test_resume_exactness_fractional_val_interval(
+    configuration_conv3d, tmp_cwd
+):
+    """A fractional ``val_check_interval`` derives its cadence from the FULL
+    epoch length on resume, not the skip-reduced remainder — otherwise the
+    resumed run validates at different steps than the run it resumes
+    (extra validations advance EarlyStopping and write extra checkpoints)."""
+    config = load_config("tests/configs/model/conv3d_tiny.yaml")
+    ds = FakeDataset(configuration=configuration_conv3d, length=8)
+
+    def fit(ckpt_dir, max_steps=None, resume=None):
+        ckpt = ModelCheckpoint(dirpath=str(tmp_cwd / ckpt_dir), save_last=True)
+        es = EarlyStopping(patience=100)
+        trainer = Trainer(
+            max_epochs=1, profiler=None, val_check_interval=0.5,
+            limit_train_batches=6, max_steps=max_steps,
+            callbacks=[es, ckpt], resume_from_checkpoint=resume,
+        )
+        trainer.fit(
+            Conv3d(**config), train_dataloaders=ds, val_dataloaders=ds
+        )
+        return trainer, es
+
+    # uninterrupted: limit 6, interval 0.5 -> val_every=3 (vals at 3 and 6)
+    full, es_full = fit("full")
+
+    part, _ = fit("part", max_steps=3)  # val at 3 writes `last`, then stop
+    assert part.global_step == 3
+
+    resumed, es_resumed = fit(
+        "resumed", resume=os.path.join(str(tmp_cwd / "part"), "last")
+    )
+    assert resumed.global_step == full.global_step == 6
+    _assert_states_identical(full.state, resumed.state)
+    # same validation cadence after the resume point: EarlyStopping saw the
+    # same number of validations with the same scores
+    assert es_resumed.state_dict() == es_full.state_dict()
+
+
 def test_wire_float16_auto_resolves_by_measurement(sharded_configuration, tmp_cwd):
     """``wire_float16="auto"`` probes cast+f16-ship vs plain f32-ship on the
     example batch at setup and resolves to a bool — the f16 wire trap
@@ -635,8 +747,10 @@ def test_wire_float16_auto_resolves_by_measurement(sharded_configuration, tmp_cw
 def test_wire_cast_offloads_to_loader_workers(sharded_configuration, tmp_cwd):
     """With a PrefetchingLoader, the f16 wire cast runs in the loader's
     worker threads (parallel + overlapped), not serialised on the consumer
-    thread; a trainer with the wire off removes an engine-installed
-    transform from a reused loader, and a user-owned transform is kept."""
+    thread — and is UNINSTALLED when the phase ends: the closure pins the
+    trainer (and its device state) alive and would silently f16-narrow
+    batches for any later non-engine consumer of the user-owned loader.
+    A user-owned transform is never touched."""
     from predict_pv_yield_tpu.data.loader import PrefetchingLoader
 
     config = load_config("tests/configs/model/conv3d_tiny.yaml")
@@ -646,15 +760,18 @@ def test_wire_cast_offloads_to_loader_workers(sharded_configuration, tmp_cwd):
     trainer_on = Trainer(max_epochs=1, profiler=None, wire_float16=True)
     metrics = trainer_on.fit(Conv3d(**config), train_dataloaders=loader)
     assert np.isfinite(metrics["NMAE/Train_epoch"])
-    assert loader.transform is not None
+    # phase teardown removed the engine's transform from the user's loader
+    assert loader.transform is None
+
+    # the install/uninstall contract, directly: the installed transform
+    # narrows data leaves but not OSGB coordinates, and removal restores
+    # the loader
+    trainer_on._offload_wire_cast(loader)
     assert getattr(loader.transform, "_engine_wire_cast", False)
-    # the installed transform narrows data leaves but not OSGB coordinates
     cast = loader.transform(ds[0])
     assert cast.satellite.data.dtype == np.float16
     assert cast.satellite.x.dtype == np.float32
-
-    trainer_off = Trainer(max_epochs=1, profiler=None, wire_float16=False)
-    trainer_off.fit(Conv3d(**config), train_dataloaders=loader)
+    trainer_on._remove_wire_cast()
     assert loader.transform is None
 
     user_fn = lambda b: b

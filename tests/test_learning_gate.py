@@ -12,6 +12,12 @@ real ``train()`` pipeline on a learnable synthetic archive
 (``data/synthetic.py``: yield is a deterministic function of satellite
 brightness) and asserting the trained validation NMAE lands strictly below
 the last-value baseline's on the SAME held-out split.
+
+The override blocks and the compose→train runner are single-sourced in
+``data/synthetic.py`` (``CONV3D_GATE_OVERRIDES`` etc.) and shared with
+``bench.py``'s ``_learning_gate_bench`` — the driver artifact's
+``trained_nmae``/``baseline_nmae`` keys measure exactly the models gated
+here.
 """
 
 import csv
@@ -20,13 +26,16 @@ import os
 
 import pytest
 
-from predict_pv_yield_tpu.config.composer import compose
-from predict_pv_yield_tpu.data.synthetic import make_learnable_archive
-from predict_pv_yield_tpu.training.pipeline import train
+from predict_pv_yield_tpu.data.synthetic import (
+    BASELINE_GATE_OVERRIDES,
+    CONV3D_GATE_OVERRIDES,
+    GATE_METRIC,
+    make_learnable_archive,
+    perceiver_gate_overrides,
+    run_learnable,
+)
 
-CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
-
-METRIC = "NMAE/Validation_epoch"
+METRIC = GATE_METRIC
 
 
 def _best_val_nmae(run_root):
@@ -49,46 +58,16 @@ def _best_val_nmae(run_root):
     return min(scores)
 
 
-def _common_overrides(arch, batch_size=8):
-    return [
-        "logger=csv",
-        "callbacks=none",
-        "datamodule=zarr_stream",
-        f"datamodule.zarr_path={arch.satellite_zarr}",
-        f"datamodule.gsp_csv={arch.gsp_csv}",
-        "datamodule.n_gsp=1",
-        f"datamodule.batch_size={batch_size}",
-        "datamodule.history_minutes=30",
-        "datamodule.forecast_minutes=30",
-        "datamodule.satellite_image_size_pixels=24",
-        "datamodule.n_val_data=8",
-        "datamodule.num_workers=2",
-        "datamodule.seed=0",
-        f"+optimized_metric={METRIC}",
-    ]
-
-
-def _run(overrides):
-    config = compose(
-        config_name="config", overrides=overrides, config_dir=CONFIG_DIR
-    )
-    result = train(config)
+def _run(archive, overrides, batch_size=8):
+    result = run_learnable(archive, overrides, batch_size=batch_size)
     assert result is not None, f"{METRIC} missing from callback metrics"
-    return float(result)
+    return result
 
 
 def _baseline_nmae(arch):
     """Validation NMAE of the last-value persistence model on the same
     archive/split (the reference's ``model=baseline`` + validate_only)."""
-    return _run(
-        _common_overrides(arch)
-        + [
-            "model=baseline",
-            "model.history_minutes=30",
-            "model.forecast_minutes=30",
-            "+validate_only=1",
-        ]
-    )
+    return _run(arch, BASELINE_GATE_OVERRIDES)
 
 
 @pytest.fixture(scope="module")
@@ -104,22 +83,7 @@ def test_conv3d_sat_nwp_learns_beats_persistence(archive, tmp_cwd):
     gate trained < baseline with margin (the proto run landed ~0.07 vs
     ~0.126; the gate asserts <0.85x to absorb run-to-run jitter)."""
     trained = _run(
-        _common_overrides(archive)
-        + [
-            "model=conv3d_sat_nwp",
-            "model.include_nwp=false",
-            "model.image_size_pixels=24",
-            "model.number_sat_channels=1",
-            "model.history_minutes=30",
-            "model.forecast_minutes=30",
-            "model.number_of_conv3d_layers=2",
-            "model.conv3d_channels=8",
-            "model.fc1_output_features=32",
-            "model.fc2_output_features=16",
-            "model.fc3_output_features=8",
-            "datamodule.n_train_data=32",
-            "trainer.max_epochs=4",
-        ]
+        archive, CONV3D_GATE_OVERRIDES + ["trainer.max_epochs=4"]
     )
     baseline = _baseline_nmae(archive)
     assert trained < 0.85 * baseline, (
@@ -141,26 +105,17 @@ def test_perceiver_flagship_learns_beats_persistence(archive, tmp_cwd):
     epoch, the score checkpoint selection deploys (see _best_val_nmae).
     """
     _run(
-        _common_overrides(archive, batch_size=8)
+        archive,
+        perceiver_gate_overrides(archive)
         + [
-            "model=perceiver_conv3d_sat_nwp",
-            "model.history_minutes=30",
-            "model.forecast_minutes=30",
-            "model.batch_size=8",
-            "model.num_latents=12",
-            "model.latent_dim=16",
-            "model.conv3d_channels=4",
-            "model.use_future_satellite_images=1",
-            f"datamodule.nwp_zarr_path={archive.nwp_zarr}",
-            "datamodule.nwp_image_size_pixels=24",
-            "datamodule.n_train_data=32",
             "trainer.max_epochs=16",
             # The reference's fixed Adam 5e-4 needs whole epochs of real data
             # to move this (much deeper) model; at smoke scale we use the
             # engine's configurable rate instead (reference parity for the
             # 5e-4 default is pinned separately in tests/test_convert.py).
             "+trainer.learning_rate=1e-3",
-        ]
+        ],
+        batch_size=8,
     )
     trained = _best_val_nmae(tmp_cwd)
     baseline = _baseline_nmae(archive)

@@ -73,6 +73,15 @@ def test_prefetching_loader_order_and_shuffle(prepared_dataset):
     assert sorted(first_epoch) == sorted(second_epoch) == sorted(int(x) for x in a)
     assert first_epoch != second_epoch  # reshuffled per epoch
 
+    # set_epoch pins the permutation to a GLOBAL epoch number: a fresh
+    # loader pinned to epoch 1 reproduces the original loader's second
+    # epoch exactly (the engine uses this so resumed / freshly-reloaded
+    # loaders replay the uninterrupted run's shuffle sequence)
+    fresh = PrefetchingLoader(dataset, num_workers=2, shuffle=True, seed=1)
+    fresh.set_epoch(1)
+    pinned = [int(b.metadata.t0_datetime_utc[0]) for b in fresh]
+    assert pinned == second_epoch
+
 
 def test_prefetching_loader_propagates_worker_errors():
     class FlakyDataset:

@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from predict_pv_yield_tpu.utils import enable_persistent_compile_cache
+from predict_pv_yield_tpu.utils import (
+    enable_persistent_compile_cache,
+    timed_device_compute,
+)
 
 enable_persistent_compile_cache()
 
@@ -48,24 +51,14 @@ def main() -> None:
     import jax.numpy as jnp
 
     frames_device = jax.device_put(jnp.asarray(frames))
-    flows = flow_sequence(frames_device)  # compile + warm
-    jax.device_get(flows)
+    jax.device_get(flow_sequence(frames_device))  # compile + warm
     runs = 10
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        flows = flow_sequence(frames_device)
-    # a full device_get is the one reliable sync on the dev rig (remote
-    # tunnel: block_until_ready returns before remote completion, and
-    # eager ops on still-queued buffers wedge) — but it also ships the
-    # whole 25 MB flow field through the ~35 MB/s tunnel once per timed
-    # loop. Measure that pure-transfer cost by re-fetching the now-ready
-    # buffer and bill only compute to the kernel, like the farm baseline.
-    jax.device_get(flows)
-    elapsed = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(flows)
-    fetch = time.perf_counter() - t0
-    device_pairs_per_sec = runs * pairs / max(elapsed - fetch, 1e-9)
+    # timed_device_compute owns the dev-rig sync protocol (device_get sync,
+    # min-of-two transfer subtraction, transfer-dominated guard)
+    seconds, timing = timed_device_compute(
+        lambda: flow_sequence(frames_device), runs
+    )
+    device_pairs_per_sec = runs * pairs / seconds
 
     # native single-core host rate (the reference's per-worker unit)
     host_pairs_per_sec = None
@@ -91,6 +84,8 @@ def main() -> None:
             round(host_pairs_per_sec, 2) if host_pairs_per_sec else None
         ),
     }
+    if timing["transfer_dominated"]:
+        result["transfer_dominated"] = True  # link noise, not kernel time
     print(json.dumps(result))
 
 
@@ -131,27 +126,16 @@ def sweep() -> None:
             jax.image.resize(jnp.asarray(coarse), (t, h, w), "bilinear") * 60
             + 120
         )
-        flows = flow_sequence(frames)  # compile + warm
-        jax.device_get(flows)
+        jax.device_get(flow_sequence(frames))  # compile + warm
         runs = max(3, int(10 * (49 * 256 * 256) / (t * h * w)))
-        t0 = time.perf_counter()
-        for _ in range(runs):
-            flows = flow_sequence(frames)
-        # full device_get is the one reliable sync on the dev rig (see
-        # main()); it ships the whole flow field (up to 148 MB at the nb13
-        # extent) through the tunnel once per timed loop, so measure that
-        # pure-transfer cost by re-fetching the ready buffer and bill only
-        # compute — otherwise the low-run large-shape points absorb a
-        # transfer the per-pair scaling comparison shouldn't carry
-        jax.device_get(flows)
-        elapsed = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.device_get(flows)
-        fetch = time.perf_counter() - t0
-        dt = max(elapsed - fetch, 1e-9)
+        # shared dev-rig protocol (utils.timed_device_compute): without the
+        # transfer subtraction the low-run large-shape points (up to 148 MB
+        # at the nb13 extent) absorb a tunnel transfer the per-pair scaling
+        # comparison shouldn't carry
+        dt, timing = timed_device_compute(lambda: flow_sequence(frames), runs)
         pairs = t - 1
         rate = runs * pairs / dt
-        print(json.dumps({
+        point = {
             "label": p["label"],
             "frames": t,
             "size": f"{h}x{w}",
@@ -159,7 +143,10 @@ def sweep() -> None:
             "ms_per_pair": round(1000.0 / rate, 3),
             "mpix_pairs_per_s": round(rate * h * w / 1e6, 1),
             "runs": runs,
-        }))
+        }
+        if timing["transfer_dominated"]:
+            point["transfer_dominated"] = True
+        print(json.dumps(point))
         sys.stdout.flush()
 
 

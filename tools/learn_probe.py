@@ -5,6 +5,9 @@ the real train() pipeline at several learning rates and prints the
 NMAE/Validation_epoch trajectory from the CSV logger, plus the train-loss
 trajectory — to tell "undertrained" apart from "structurally can't learn".
 Scratch tool for the round-5 learning-gate work; not part of the bench.
+
+The override blocks and runner are single-sourced in ``data/synthetic.py``
+(shared with tests/test_learning_gate.py and bench.py's learning-gate leg).
 """
 
 import csv
@@ -15,84 +18,51 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from predict_pv_yield_tpu.config.composer import compose
-from predict_pv_yield_tpu.data.synthetic import make_learnable_archive
-from predict_pv_yield_tpu.training.pipeline import train
+from predict_pv_yield_tpu.data.synthetic import (  # noqa: E402
+    BASELINE_GATE_OVERRIDES,
+    GATE_METRIC as METRIC,
+    make_learnable_archive,
+    perceiver_gate_overrides,
+    run_learnable,
+)
 
-CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
-METRIC = "NMAE/Validation_epoch"
 
-
-def common(arch, batch_size=8):
-    return [
-        "logger=csv",
-        "callbacks=none",
-        "datamodule=zarr_stream",
-        f"datamodule.zarr_path={arch.satellite_zarr}",
-        f"datamodule.gsp_csv={arch.gsp_csv}",
-        "datamodule.n_gsp=1",
-        f"datamodule.batch_size={batch_size}",
-        "datamodule.history_minutes=30",
-        "datamodule.forecast_minutes=30",
-        "datamodule.satellite_image_size_pixels=24",
-        "datamodule.n_val_data=8",
-        "datamodule.num_workers=2",
-        "datamodule.seed=0",
-        f"+optimized_metric={METRIC}",
-    ]
+def _rows(workdir):
+    rows = []
+    for path in glob.glob(
+        os.path.join(workdir, "**", "metrics.csv"), recursive=True
+    ):
+        with open(path) as fh:
+            rows.extend(csv.DictReader(fh))
+    return rows
 
 
 def run_one(arch, lr, epochs, extra=()):
     wd = tempfile.mkdtemp(prefix=f"probe_lr{lr}_")
-    cwd = os.getcwd()
-    os.chdir(wd)
-    try:
-        config = compose(
-            config_name="config",
-            overrides=common(arch)
-            + [
-                "model=perceiver_conv3d_sat_nwp",
-                "model.history_minutes=30",
-                "model.forecast_minutes=30",
-                "model.batch_size=8",
-                "model.num_latents=12",
-                "model.latent_dim=16",
-                "model.conv3d_channels=4",
-                "model.use_future_satellite_images=1",
-                f"datamodule.nwp_zarr_path={arch.nwp_zarr}",
-                "datamodule.nwp_image_size_pixels=24",
-                "datamodule.n_train_data=32",
-                f"trainer.max_epochs={epochs}",
-                f"+trainer.learning_rate={lr}",
-            ]
-            + list(extra),
-            config_dir=CONFIG_DIR,
-        )
-        result = train(config)
-        rows = []
-        for path in glob.glob(
-            os.path.join(wd, "**", "metrics.csv"), recursive=True
-        ):
-            with open(path) as fh:
-                rows.extend(csv.DictReader(fh))
-        val = [
-            (r.get("epoch", r.get("step", "?")), r[METRIC])
-            for r in rows
-            if r.get(METRIC) not in (None, "")
-        ]
-        tr = [
-            (r.get("epoch", r.get("step", "?")), r["MSE/Train_epoch"])
-            for r in rows
-            if r.get("MSE/Train_epoch") not in (None, "")
-        ]
-        print(f"lr={lr} epochs={epochs} extra={list(extra)}")
-        print(f"  final {METRIC}: {result}")
-        print(f"  val NMAE trajectory: {val}")
-        print(f"  train MSE trajectory: {tr}")
-        sys.stdout.flush()
-        return float(result) if result is not None else None
-    finally:
-        os.chdir(cwd)
+    result = run_learnable(
+        arch,
+        perceiver_gate_overrides(arch)
+        + [f"trainer.max_epochs={epochs}", f"+trainer.learning_rate={lr}"]
+        + list(extra),
+        workdir=wd,
+    )
+    rows = _rows(wd)
+    val = [
+        (r.get("epoch", r.get("step", "?")), r[METRIC])
+        for r in rows
+        if r.get(METRIC) not in (None, "")
+    ]
+    tr = [
+        (r.get("epoch", r.get("step", "?")), r["MSE/Train_epoch"])
+        for r in rows
+        if r.get("MSE/Train_epoch") not in (None, "")
+    ]
+    print(f"lr={lr} epochs={epochs} extra={list(extra)}")
+    print(f"  final {METRIC}: {result}")
+    print(f"  val NMAE trajectory: {val}")
+    print(f"  train MSE trajectory: {tr}")
+    sys.stdout.flush()
+    return result
 
 
 def main():
@@ -102,25 +72,13 @@ def main():
     )
 
     # baseline for scale
-    wd = tempfile.mkdtemp(prefix="probe_baseline_")
-    cwd = os.getcwd()
-    os.chdir(wd)
-    try:
-        config = compose(
-            config_name="config",
-            overrides=common(arch)
-            + [
-                "model=baseline",
-                "model.history_minutes=30",
-                "model.forecast_minutes=30",
-                "+validate_only=1",
-            ],
-            config_dir=CONFIG_DIR,
-        )
-        print("baseline NMAE:", train(config))
-        sys.stdout.flush()
-    finally:
-        os.chdir(cwd)
+    baseline = run_learnable(
+        arch,
+        BASELINE_GATE_OVERRIDES,
+        workdir=tempfile.mkdtemp(prefix="probe_baseline_"),
+    )
+    print("baseline NMAE:", baseline)
+    sys.stdout.flush()
 
     for lr, epochs, extra in [
         (2e-3, 16, ()),
@@ -131,71 +89,51 @@ def main():
 
 
 def run_small(arch, lr, epochs, batch=4, latents=8, ldim=12, extra=()):
-    """Cheaper candidate config for the in-suite gate (1-core CI host)."""
+    """Cheaper candidate config for the in-suite gate (1-core CI host):
+    the shared perceiver gate overrides shrunk to 16 px / smaller latents."""
     import time
 
     wd = tempfile.mkdtemp(prefix=f"probe_small_lr{lr}_")
-    cwd = os.getcwd()
-    os.chdir(wd)
     t0 = time.monotonic()
-    try:
-        config = compose(
-            config_name="config",
-            overrides=common(arch, batch_size=batch)
-            + [
-                "model=perceiver_conv3d_sat_nwp",
-                "model.history_minutes=30",
-                "model.forecast_minutes=30",
-                f"model.batch_size={batch}",
-                f"model.num_latents={latents}",
-                f"model.latent_dim={ldim}",
-                "model.conv3d_channels=4",
-                "model.use_future_satellite_images=1",
-                f"datamodule.nwp_zarr_path={arch.nwp_zarr}",
-                "datamodule.nwp_image_size_pixels=16",
-                "datamodule.satellite_image_size_pixels=16",
-                "model.image_size_pixels=16",
-                "datamodule.n_train_data=32",
-                f"trainer.max_epochs={epochs}",
-                f"+trainer.learning_rate={lr}",
-            ]
-            + list(extra),
-            config_dir=CONFIG_DIR,
-        )
-        result = train(config)
-        rows = []
-        for path in glob.glob(os.path.join(wd, "**", "metrics.csv"), recursive=True):
-            with open(path) as fh:
-                rows.extend(csv.DictReader(fh))
-        val = [r[METRIC] for r in rows if r.get(METRIC)]
-        print(f"SMALL lr={lr} b={batch} lat={latents}/{ldim} epochs={epochs} "
-              f"wall={time.monotonic()-t0:.0f}s extra={list(extra)}")
-        print(f"  final: {result}  best: {min(float(v) for v in val):.4f}")
-        print(f"  val NMAE: {[f'{float(v):.3f}' for v in val]}")
-        sys.stdout.flush()
-    finally:
-        os.chdir(cwd)
+    result = run_learnable(
+        arch,
+        perceiver_gate_overrides(arch)
+        + [
+            f"model.batch_size={batch}",
+            f"model.num_latents={latents}",
+            f"model.latent_dim={ldim}",
+            "datamodule.nwp_image_size_pixels=16",
+            "datamodule.satellite_image_size_pixels=16",
+            "model.image_size_pixels=16",
+            f"trainer.max_epochs={epochs}",
+            f"+trainer.learning_rate={lr}",
+        ]
+        + list(extra),
+        batch_size=batch,
+        workdir=wd,
+    )
+    val = [r[METRIC] for r in _rows(wd) if r.get(METRIC)]
+    print(f"SMALL lr={lr} b={batch} lat={latents}/{ldim} epochs={epochs} "
+          f"wall={time.monotonic()-t0:.0f}s extra={list(extra)}")
+    print(f"  final: {result}  best: {min(float(v) for v in val):.4f}")
+    print(f"  val NMAE: {[f'{float(v):.3f}' for v in val]}")
+    sys.stdout.flush()
 
 
 def main_small():
     root = tempfile.mkdtemp(prefix="learnable_probe16_")
-    arch = make_learnable_archive(root, n_frames=288, px=16, n_gsp=4, seed=0, with_nwp=True)
-    wd = tempfile.mkdtemp(prefix="probe_baseline16_")
-    cwd = os.getcwd()
-    os.chdir(wd)
-    try:
-        config = compose(
-            config_name="config",
-            overrides=common(arch, batch_size=4)
-            + ["model=baseline", "model.history_minutes=30",
-               "model.forecast_minutes=30", "+validate_only=1",
-               "datamodule.satellite_image_size_pixels=16"],
-            config_dir=CONFIG_DIR,
-        )
-        print("baseline(16px,b4) NMAE:", train(config))
-        sys.stdout.flush()
-    finally:
-        os.chdir(cwd)
+    arch = make_learnable_archive(
+        root, n_frames=288, px=16, n_gsp=4, seed=0, with_nwp=True
+    )
+    baseline = run_learnable(
+        arch,
+        BASELINE_GATE_OVERRIDES
+        + ["datamodule.satellite_image_size_pixels=16"],
+        batch_size=4,
+        workdir=tempfile.mkdtemp(prefix="probe_baseline16_"),
+    )
+    print("baseline(16px,b4) NMAE:", baseline)
+    sys.stdout.flush()
     run_small(arch, 2e-3, 16)
     run_small(arch, 1e-3, 16)
 
